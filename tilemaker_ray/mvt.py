@@ -1,0 +1,360 @@
+"""Mapbox Vector Tile (MVT v2) encoder — hand-rolled protobuf.
+
+Mirrors the reference's vtzero usage in
+/root/reference/src/tile_worker.cpp:96-269:
+- per-layer key/value tables deduplicated in first-seen order
+- attribute values are string / float(float_value) / bool, with
+  per-attribute minzoom filtering applied at write time
+  (output_object.cpp writeAttributes)
+- zero-length segments suppressed (consecutive identical scaled points
+  dropped; lines need >=2 distinct points, rings >=4 incl. closure)
+- geometry command stream: MoveTo/LineTo/ClosePath with zigzag deltas,
+  cursor persisting across parts of one feature
+
+No protobuf library: varints are encoded by hand (wire format is
+public). Output is byte-stable for a given feature order.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+MOVE_TO = 1
+LINE_TO = 2
+CLOSE_PATH = 7
+
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+
+def _varint(buf: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _tag(buf: bytearray, field: int, wire: int) -> None:
+    _varint(buf, (field << 3) | wire)
+
+
+def _bytes_field(buf: bytearray, field: int, payload: bytes) -> None:
+    _tag(buf, field, 2)
+    _varint(buf, len(payload))
+    buf += payload
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _encode_value(v) -> bytes:
+    out = bytearray()
+    if isinstance(v, bool):
+        _tag(out, 7, 0)
+        _varint(out, 1 if v else 0)
+    elif isinstance(v, str):
+        _bytes_field(out, 1, v.encode("utf-8"))
+    elif isinstance(v, bytes):
+        _bytes_field(out, 1, v)
+    elif isinstance(v, (int, np.integer)):
+        # tilemaker only emits string/float/bool; ints come through
+        # AttributeNumeric as floats — accept ints as float for parity
+        _tag(out, 2, 5)
+        out += np.float32(v).tobytes()
+    elif isinstance(v, (float, np.floating)):
+        _tag(out, 2, 5)
+        out += np.float32(v).tobytes()
+    else:
+        raise TypeError(f"unsupported MVT value type {type(v)}")
+    return bytes(out)
+
+
+class LayerBuilder:
+    """vtzero::layer_builder equivalent."""
+
+    def __init__(self, name: str, version: int = 2, extent: int = 4096):
+        self.name = name
+        self.version = version
+        self.extent = extent
+        self.keys: list[str] = []
+        self._key_idx: dict[str, int] = {}
+        self.values: list[bytes] = []
+        self._val_idx: dict[bytes, int] = {}
+        self.features: list[bytes] = []
+
+    def key_index(self, k: str) -> int:
+        i = self._key_idx.get(k)
+        if i is None:
+            i = len(self.keys)
+            self.keys.append(k)
+            self._key_idx[k] = i
+        return i
+
+    def value_index(self, v) -> int:
+        enc = _encode_value(v)
+        i = self._val_idx.get(enc)
+        if i is None:
+            i = len(self.values)
+            self.values.append(enc)
+            self._val_idx[enc] = i
+        return i
+
+    def add_feature(self, geom_type: int, geometry: bytes,
+                    tags: list[tuple[str, object]], fid: int | None = None) -> None:
+        f = bytearray()
+        if fid is not None:
+            _tag(f, 1, 0)
+            _varint(f, int(fid))
+        if tags:
+            t = bytearray()
+            for k, v in tags:
+                _varint(t, self.key_index(k))
+                _varint(t, self.value_index(v))
+            _bytes_field(f, 2, bytes(t))
+        _tag(f, 3, 0)
+        _varint(f, geom_type)
+        _bytes_field(f, 4, geometry)
+        self.features.append(bytes(f))
+
+    # --- geometry builders (tile-local int coords) ---
+
+    @staticmethod
+    def encode_points(pts: list[tuple[int, int]]) -> bytes:
+        g = bytearray()
+        _varint(g, (MOVE_TO & 0x7) | (len(pts) << 3))
+        cx = cy = 0
+        for x, y in pts:
+            _varint(g, _zigzag(x - cx))
+            _varint(g, _zigzag(y - cy))
+            cx, cy = x, y
+        return bytes(g)
+
+    @staticmethod
+    def encode_multilinestring(parts: list[list[tuple[int, int]]]) -> bytes:
+        """Each part: >=2 distinct consecutive points (caller dedups)."""
+        g = bytearray()
+        cx = cy = 0
+        for pts in parts:
+            _varint(g, (MOVE_TO & 0x7) | (1 << 3))
+            x, y = pts[0]
+            _varint(g, _zigzag(x - cx))
+            _varint(g, _zigzag(y - cy))
+            cx, cy = x, y
+            _varint(g, (LINE_TO & 0x7) | ((len(pts) - 1) << 3))
+            for x, y in pts[1:]:
+                _varint(g, _zigzag(x - cx))
+                _varint(g, _zigzag(y - cy))
+                cx, cy = x, y
+        return bytes(g)
+
+    @staticmethod
+    def encode_polygon(rings: list[list[tuple[int, int]]]) -> bytes:
+        """Rings given closed (last == first); closing point becomes
+        ClosePath, as vtzero does."""
+        g = bytearray()
+        cx = cy = 0
+        for pts in rings:
+            body = pts[:-1] if pts[0] == pts[-1] else pts
+            _varint(g, (MOVE_TO & 0x7) | (1 << 3))
+            x, y = body[0]
+            _varint(g, _zigzag(x - cx))
+            _varint(g, _zigzag(y - cy))
+            cx, cy = x, y
+            _varint(g, (LINE_TO & 0x7) | ((len(body) - 1) << 3))
+            for x, y in body[1:]:
+                _varint(g, _zigzag(x - cx))
+                _varint(g, _zigzag(y - cy))
+                cx, cy = x, y
+            _varint(g, (CLOSE_PATH & 0x7) | (1 << 3))
+        return bytes(g)
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        _tag(out, 15, 0)
+        _varint(out, self.version)
+        _bytes_field(out, 1, self.name.encode("utf-8"))
+        for f in self.features:
+            _bytes_field(out, 2, f)
+        for k in self.keys:
+            _bytes_field(out, 3, k.encode("utf-8"))
+        for v in self.values:
+            _bytes_field(out, 4, v)
+        _tag(out, 5, 0)
+        _varint(out, self.extent)
+        return bytes(out)
+
+
+class TileBuilder:
+    def __init__(self):
+        self.layers: list[LayerBuilder] = []
+
+    def layer(self, name: str, version: int = 2, extent: int = 4096) -> LayerBuilder:
+        lb = LayerBuilder(name, version, extent)
+        self.layers.append(lb)
+        return lb
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        for lb in self.layers:
+            if lb.features:
+                _bytes_field(out, 3, lb.serialize())
+        return bytes(out)
+
+
+def compress_tile(data: bytes, gzip_fmt: bool = True, level: int = 6) -> bytes:
+    """helpers.cpp:103-126 — gzip (or raw deflate) at level 6."""
+    if gzip_fmt:
+        co = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    else:
+        co = zlib.compressobj(level, zlib.DEFLATED, zlib.MAX_WBITS)
+    return co.compress(data) + co.flush()
+
+
+# --- minimal decoder (for tests / the merge join) -----------------------
+
+def decode_tile(data: bytes) -> dict:
+    """Decode enough of an MVT for round-trip tests: layers → features
+    with geom_type, raw geometry ints decoded to coordinate parts, and
+    tag key/values."""
+    layers = {}
+    for field, wire, payload, _ in _iter_fields(data):
+        if field == 3:
+            lay = _decode_layer(payload)
+            layers[lay["name"]] = lay
+    return layers
+
+
+def _iter_fields(data: bytes):
+    i = 0
+    n = len(data)
+    while i < n:
+        key, i = _read_varint(data, i)
+        field, wire = key >> 3, key & 0x7
+        if wire == 2:
+            ln, i = _read_varint(data, i)
+            yield field, wire, data[i:i + ln], None
+            i += ln
+        elif wire == 0:
+            v, i = _read_varint(data, i)
+            yield field, wire, b"", v
+        elif wire == 5:
+            yield field, wire, data[i:i + 4], None
+            i += 4
+        else:
+            raise ValueError(f"wire {wire}")
+
+
+def _read_varint(data: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    v = 0
+    while True:
+        b = data[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return v, i
+        shift += 7
+
+
+def _decode_layer(data: bytes) -> dict:
+    name = ""
+    version = extent = 0
+    keys: list[str] = []
+    values: list[object] = []
+    feats = []
+    for field, wire, payload, v in _iter_fields(data):
+        if field == 1:
+            name = payload.decode()
+        elif field == 15:
+            version = v
+        elif field == 5:
+            extent = v
+        elif field == 3:
+            keys.append(payload.decode())
+        elif field == 4:
+            values.append(_decode_value(payload))
+        elif field == 2:
+            feats.append(payload)
+    features = [_decode_feature(f, keys, values) for f in feats]
+    return {"name": name, "version": version, "extent": extent,
+            "keys": keys, "values": values, "features": features}
+
+
+def _decode_value(data: bytes):
+    for field, wire, payload, v in _iter_fields(data):
+        if field == 1:
+            return payload.decode()
+        if field == 2:
+            return float(np.frombuffer(payload, dtype=np.float32)[0])
+        if field == 7:
+            return bool(v)
+        if field == 3:
+            return float(np.frombuffer(payload, dtype=np.float64)[0])
+        if field in (4, 5):
+            return v
+        if field == 6:
+            return (v >> 1) ^ -(v & 1)
+    return None
+
+
+def _decode_feature(data: bytes, keys, values) -> dict:
+    out = {"id": None, "type": 0, "tags": {}, "parts": []}
+    geom = []
+    tag_ints = []
+    for field, wire, payload, v in _iter_fields(data):
+        if field == 1:
+            out["id"] = v
+        elif field == 3:
+            out["type"] = v
+        elif field == 2:
+            i = 0
+            while i < len(payload):
+                t, i = _read_varint(payload, i)
+                tag_ints.append(t)
+        elif field == 4:
+            i = 0
+            while i < len(payload):
+                g, i = _read_varint(payload, i)
+                geom.append(g)
+    for j in range(0, len(tag_ints), 2):
+        out["tags"][keys[tag_ints[j]]] = values[tag_ints[j + 1]]
+    # decode command stream
+    i = 0
+    cx = cy = 0
+    cur = []
+    while i < len(geom):
+        cmd = geom[i] & 0x7
+        count = geom[i] >> 3
+        i += 1
+        if cmd == MOVE_TO:
+            for _ in range(count):
+                cx += (geom[i] >> 1) ^ -(geom[i] & 1)
+                cy += (geom[i + 1] >> 1) ^ -(geom[i + 1] & 1)
+                i += 2
+                if out["type"] == GEOM_POINT:
+                    out["parts"].append((cx, cy))
+                else:
+                    if cur:
+                        out["parts"].append(cur)
+                    cur = [(cx, cy)]
+        elif cmd == LINE_TO:
+            for _ in range(count):
+                cx += (geom[i] >> 1) ^ -(geom[i] & 1)
+                cy += (geom[i + 1] >> 1) ^ -(geom[i + 1] & 1)
+                i += 2
+                cur.append((cx, cy))
+        elif cmd == CLOSE_PATH:
+            cur.append(cur[0])
+            out["parts"].append(cur)
+            cur = []
+    if cur:
+        out["parts"].append(cur)
+    return out
