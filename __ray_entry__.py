@@ -20,8 +20,15 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic Common-Crawl-style pages (deterministic,
+    sized for sf0.001) → feature extraction (actor pool) → tile assignment
+    → groupby((z6x,z6y)) → per-tile MVT render. Returns the tile Dataset
+    (zoom, tile_x, tile_y, mvt, n_features, n_bytes)."""
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    from tilemaker_ray.pipelines.flagship import tile_dataset
+
+    pages = pages_path(rows_for_sf("/root/testdata/sf0.001"))
+    return tile_dataset(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,201 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tilemaker_ray import mvt
+from tilemaker_ray import tilemath as tm
+from tilemaker_ray.geom import core as gc
+from tilemaker_ray.profile import WebProfile, extract_text, hash_url
+from tilemaker_ray.sources.pages import generate_block, pages_path
+from tilemaker_ray.stages.extract import PageFeatureExtractor
+from tilemaker_ray.stages.render import TileRenderer
+from tilemaker_ray.stages.tiles import LOWZOOM, assign_tiles_batch
+
+
+@pytest.fixture(scope="module")
+def small_pages():
+    return generate_block(42, 0, 500)
+
+
+@pytest.fixture(scope="module")
+def features(small_pages):
+    return PageFeatureExtractor()(small_pages)
+
+
+class TestSource:
+    def test_deterministic(self):
+        a = generate_block(42, 0, 100)
+        b = generate_block(42, 0, 100)
+        assert a.equals(b)
+
+    def test_schema(self, small_pages):
+        assert small_pages.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+        assert small_pages.schema.field("html").type == pa.binary()
+
+    def test_text_invariant(self, small_pages):
+        for h, t in zip(small_pages["html"].to_pylist()[:50],
+                        small_pages["text"].to_pylist()[:50]):
+            assert extract_text(h) == t
+
+
+class TestExtract:
+    def test_features_emitted(self, features):
+        assert features.num_rows > 200
+        layers = set(features["layer"].to_pylist())
+        assert layers <= {"places", "routes", "areas"}
+        assert "places" in layers
+
+    def test_point_rows_have_coords(self, features):
+        df = features.to_pandas()
+        pts = df[df.geom_type == gc.POINT_]
+        assert np.isfinite(pts.lon).all()
+        assert (pts.geom.str.len() == 0).all()
+        lines = df[df.geom_type != gc.POINT_]
+        assert (lines.geom.str.len() > 0).all()
+
+    def test_deterministic_feature_ids(self, small_pages):
+        a = PageFeatureExtractor()(small_pages).to_pandas().fillna(0.0)
+        b = PageFeatureExtractor()(small_pages).to_pandas().fillna(0.0)
+        assert a.equals(b)
+
+    def test_invariant_violation_raises(self, small_pages):
+        bad = small_pages.set_column(
+            small_pages.schema.get_field_index("text"),
+            "text", pa.array(["tampered"] * small_pages.num_rows))
+        with pytest.raises(ValueError, match="invariant"):
+            PageFeatureExtractor()(bad)
+
+
+class TestAssign:
+    def test_point_assignment(self, features):
+        out = assign_tiles_batch(features)
+        df = out.to_pandas()
+        pts = df[(df.geom_type == gc.POINT_) & (df.z6x != LOWZOOM)]
+        expect_x = tm.lon2tilex(pts.lon.to_numpy(), 14)
+        np.testing.assert_array_equal(pts.tile_x.to_numpy(), expect_x)
+        np.testing.assert_array_equal(pts.z6x.to_numpy(), expect_x >> np.uint32(8))
+
+    def test_lowzoom_rows(self, features):
+        df = assign_tiles_batch(features).to_pandas()
+        low = df[df.z6x == LOWZOOM]
+        assert (low.min_zoom <= 5).all()
+        # every min_zoom<=5 feature has at least one lowzoom row
+        want = df[(df.min_zoom <= 5) & (df.z6x != LOWZOOM)].feature_id.unique()
+        assert set(want) == set(low.feature_id.unique())
+
+    def test_large_feature_routing(self):
+        # a polygon spanning many z14 tiles -> large rows, one per z6 tile
+        ring = np.array([[0.0, 0.0], [0.0, 3.0], [3.0, 3.0], [3.0, 0.0], [0.0, 0.0]])
+        t = pa.table({
+            "url": ["u"], "feature_id": pa.array([1], pa.uint64()),
+            "layer": ["areas"], "geom_type": pa.array([gc.POLYGON_], pa.uint8()),
+            "min_zoom": pa.array([8], pa.uint8()), "z_order": pa.array([0], pa.int16()),
+            "attrs": ["[]"], "lon": [float("nan")], "latp": [float("nan")],
+            "geom": [gc.pack_mp([[ring]])],
+        })
+        df = assign_tiles_batch(t).to_pandas()
+        assert df.large.all()
+        # 3 degrees at z6 (5.6 deg/tile) -> 1-2 z6 tiles per axis
+        assert 1 <= len(df) <= 9
+        assert (df.max_tx - df.min_tx >= 16).all()
+
+
+class TestRenderE2E:
+    def test_tiles_render_and_decode(self, features):
+        assigned = assign_tiles_batch(features).to_pandas()
+        r = TileRenderer()
+        total_feats = 0
+        seen = set()
+        for key, gdf in assigned.groupby(["z6x", "z6y"]):
+            out = r(gdf)
+            for _, row in out.iterrows():
+                k = (row.zoom, row.tile_x, row.tile_y)
+                assert k not in seen
+                seen.add(k)
+                total_feats += row.n_features
+        assert total_feats > 0
+        assert len(seen) > 50
+
+    def test_single_point_tile_bytes(self):
+        # one point at a known position; decode the z14 tile and check
+        lon, lat = 7.42, 43.73
+        latp = float(tm.lat2latp(lat))
+        t = pa.table({
+            "url": ["u"], "feature_id": pa.array([7], pa.uint64()),
+            "layer": ["places"], "geom_type": pa.array([gc.POINT_], pa.uint8()),
+            "min_zoom": pa.array([14], pa.uint8()), "z_order": pa.array([0], pa.int16()),
+            "attrs": ['[["name",0,0,"x"]]'], "lon": [lon], "latp": [latp],
+            "geom": [b""],
+        })
+        df = assign_tiles_batch(t).to_pandas()
+        r = TileRenderer(compress=False)
+        out = r(df)
+        z14 = out[out.zoom == 14].iloc[0]
+        assert (z14.tile_x, z14.tile_y) == (8529, 5974)
+        dec = mvt.decode_tile(z14.mvt)
+        f = dec["places"]["features"][0]
+        assert f["tags"] == {"name": "x"}
+        bb = tm.TileBbox(8529, 5974, 14)
+        ex, ey = bb.scale_latplon(latp, lon)
+        assert f["parts"] == [(int(ex), int(ey))]
+
+    def test_attr_minzoom_filtering(self):
+        lon, latp = 7.42, float(tm.lat2latp(43.73))
+        t = pa.table({
+            "url": ["u"], "feature_id": pa.array([7], pa.uint64()),
+            "layer": ["places"], "geom_type": pa.array([gc.POINT_], pa.uint8()),
+            "min_zoom": pa.array([6], pa.uint8()), "z_order": pa.array([0], pa.int16()),
+            "attrs": ['[["host",0,10,"h"],["lang",0,0,"en"]]'],
+            "lon": [lon], "latp": [latp], "geom": [b""],
+        })
+        df = assign_tiles_batch(t).to_pandas()
+        r = TileRenderer(compress=False)
+        out = r(df)
+        z8 = out[out.zoom == 8].iloc[0]
+        z12 = out[out.zoom == 12].iloc[0]
+        f8 = mvt.decode_tile(z8.mvt)["places"]["features"][0]
+        f12 = mvt.decode_tile(z12.mvt)["places"]["features"][0]
+        assert "host" not in f8["tags"] and f8["tags"]["lang"] == "en"
+        assert f12["tags"]["host"] == "h"
+
+    def test_polygon_clipped_to_tile(self):
+        # polygon crossing a tile boundary: decoded coords within margin
+        ring = gc.close_ring(np.array([
+            [7.40, 54.0], [7.46, 54.0], [7.46, 54.04], [7.40, 54.04]]))
+        # use latp coords directly around a z14 tile near latp 54
+        t = pa.table({
+            "url": ["u"], "feature_id": pa.array([9], pa.uint64()),
+            "layer": ["areas"], "geom_type": pa.array([gc.POLYGON_], pa.uint8()),
+            "min_zoom": pa.array([14], pa.uint8()), "z_order": pa.array([0], pa.int16()),
+            "attrs": ["[]"], "lon": [float("nan")], "latp": [float("nan")],
+            "geom": [gc.pack_mp([[ring]])],
+        })
+        df = assign_tiles_batch(t).to_pandas()
+        r = TileRenderer(compress=False)
+        for key, gdf in df[df.z6x != LOWZOOM].groupby(["z6x", "z6y"]):
+            out = r(gdf)
+            for _, row in out[out.zoom == 14].iterrows():
+                dec = mvt.decode_tile(row.mvt)
+                for f in dec["areas"]["features"]:
+                    for part in f["parts"]:
+                        for (x, y) in part:
+                            # clip margin is extent/200 ≈ 20.5 + rounding
+                            assert -21 <= x <= 4096 + 21
+                            assert -21 <= y <= 4096 + 21
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRayPipeline:
+    def test_flagship(self):
+        from tilemaker_ray.pipelines.flagship import tile_dataset
+        d = pages_path(2000)
+        df = tile_dataset(d, concurrency=2).to_pandas()
+        assert len(df) > 1000
+        assert not df.duplicated(subset=["zoom", "tile_x", "tile_y"]).any()
+        assert (df.n_bytes > 0).all()
+        # deterministic across runs
+        df2 = tile_dataset(d, concurrency=2).to_pandas()
+        a = df.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+        b = df2.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+        assert a.equals(b)

@@ -1,0 +1,79 @@
+"""The flagship pipeline: web pages → features → tiles → MVT.
+
+Ray-Data lifecycle (SURVEY §3.4):
+
+    read_parquet(pages)                              [stream]
+      → map_batches(PageFeatureExtractor, actors)    [ST1]
+      → map_batches(assign_tiles_batch)              [A1 explode]
+      → groupby((z6x, z6y)).map_groups(TileRenderer) [A3-A5 + encode]
+      → write_parquet / iter_batches                 [sink]
+
+Everything streams; the only all-to-all exchange is the single groupby
+on the (z6x, z6y) subtree key. Large features ride the same shuffle
+(see stages/tiles.py docstring) so there is no second pass and no
+driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..config import Config, default_config
+from ..stages.extract import PageFeatureExtractor
+from ..stages.render import TileRenderer
+from ..stages.tiles import assign_tiles_batch
+
+
+def _default_concurrency() -> int:
+    import ray
+    n = int(ray.cluster_resources().get("CPU", 8))
+    # leave headroom for the read / assign / render stages
+    return max(2, n // 2)
+
+
+def feature_dataset(pages_dir: str, config: Config | None = None,
+                    concurrency: int | tuple | None = None,
+                    batch_size: int = 2048) -> ray.data.Dataset:
+    config = config or default_config()
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    known = {l.name for l in config.layers}
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
+    return ds.map_batches(
+        PageFeatureExtractor,
+        fn_constructor_kwargs={"known_layers": known},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def tile_dataset(pages_dir: str, config: Config | None = None,
+                 concurrency: int | tuple | None = None) -> ray.data.Dataset:
+    config = config or default_config()
+    feats = feature_dataset(pages_dir, config, concurrency=concurrency)
+    assigned = feats.map_batches(
+        lambda b: assign_tiles_batch(b, config.base_zoom),
+        batch_format="pyarrow")
+    renderer = TileRenderer(config)
+
+    def render_group(df):
+        return renderer(df)
+
+    # plain-function map_groups: stateless task pool scales elastically
+    # (the renderer's state is just the config; per-group clip caches
+    # live inside the call)
+    tiles = assigned.groupby(["z6x", "z6y"]).map_groups(
+        render_group, batch_format="pandas")
+    return tiles
+
+
+def run_flagship(pages_dir: str, out_dir: str | None = None,
+                 config: Config | None = None) -> ray.data.Dataset:
+    tiles = tile_dataset(pages_dir, config)
+    if out_dir:
+        tiles.write_parquet(out_dir)
+    return tiles

@@ -1,0 +1,136 @@
+"""Deterministic synthetic Common-Crawl-style web-page table.
+
+Input shape mandated by BASELINE.json input_hint:
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+
+No external data: pages are synthesized deterministically from a seed.
+Page text embeds geo mentions that the extraction profile parses:
+
+    point:   "geo:<lat>,<lon>"                       → POINT feature
+    route:   "route:<lat>,<lon>;<lat>,<lon>;..."     → LINESTRING feature
+    area:    "area:<lat>,<lon>;<lat>,<lon>;..."      → POLYGON feature (ring)
+
+Determinism contract: row i's content is a pure function of (seed, i)
+— generation happens in fixed-size blocks of BLOCK_ROWS rows with a
+per-block child seed, so the same (seed, n_rows) always produces the
+same table regardless of how many parquet files it is split into.
+
+This is the graft equivalent of the reference's .osm.pbf input
+(/root/reference/src/pbf_reader.cpp): a parallel-readable, blocked,
+deterministic source of entities.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BLOCK_ROWS = 10_000
+
+LANGS = np.array(["en", "de", "fr", "es", "pt", "zh", "ja", "ru"])
+WORDS = np.array([
+    "travel", "city", "guide", "map", "street", "hotel", "park", "museum",
+    "restaurant", "river", "coast", "mountain", "station", "market", "harbor",
+    "visit", "near", "located", "district", "region", "tour", "walk",
+])
+
+# Feature "cities" — cluster centers pages talk about. Skewed: a few hot
+# clusters (dense urban tiles) to exercise the salting path.
+N_CLUSTERS = 64
+
+
+def _cluster_table(seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed ^ 0xC1057E85)
+    lat = rng.uniform(-60.0, 65.0, N_CLUSTERS)
+    lon = rng.uniform(-170.0, 170.0, N_CLUSTERS)
+    # zipf-ish popularity: cluster 0 is ~30x hotter than the median
+    pop = 1.0 / np.arange(1, N_CLUSTERS + 1) ** 0.8
+    pop /= pop.sum()
+    return lat, lon, pop
+
+
+def generate_block(seed: int, block_id: int, n_rows: int) -> pa.Table:
+    rng = np.random.default_rng((seed << 20) ^ block_id)
+    clat, clon, cpop = _cluster_table(seed)
+    base = block_id * BLOCK_ROWS
+
+    doc_ids = np.arange(base, base + n_rows, dtype=np.int64)
+    cl = rng.choice(N_CLUSTERS, size=n_rows, p=cpop)
+    lang = LANGS[rng.integers(0, len(LANGS), n_rows)]
+    ts = np.datetime64("2024-01-01T00:00:00") + \
+        rng.integers(0, 365 * 24 * 3600, n_rows).astype("timedelta64[s]")
+
+    urls = np.char.add(
+        np.char.add("https://site", (doc_ids % 997).astype("U8")),
+        np.char.add(".example/page/", doc_ids.astype("U12")))
+
+    kinds = rng.random(n_rows)  # <0.70 point, <0.90 route, <0.97 area, else none
+    texts: list[str] = []
+    for i in range(n_rows):
+        r = np.random.default_rng((seed << 21) ^ (base + i))
+        nw = int(r.integers(8, 40))
+        words = WORDS[r.integers(0, len(WORDS), nw)]
+        lat0 = clat[cl[i]] + r.normal(0, 0.5)
+        lon0 = clon[cl[i]] + r.normal(0, 0.5)
+        mention = ""
+        k = kinds[i]
+        if k < 0.70:
+            mention = f"geo:{lat0:.5f},{lon0:.5f}"
+        elif k < 0.90:
+            npts = int(r.integers(3, 9))
+            dlat = np.cumsum(r.normal(0, 0.01, npts)) + lat0
+            dlon = np.cumsum(r.normal(0, 0.01, npts)) + lon0
+            mention = "route:" + ";".join(f"{a:.5f},{b:.5f}" for a, b in zip(dlat, dlon))
+        elif k < 0.97:
+            npts = int(r.integers(4, 10))
+            ang = np.sort(r.uniform(0, 2 * np.pi, npts))
+            rad = r.uniform(0.005, 0.08, npts)
+            alat = lat0 + rad * np.sin(ang)
+            alon = lon0 + rad * np.cos(ang)
+            mention = "area:" + ";".join(f"{a:.5f},{b:.5f}" for a, b in zip(alat, alon))
+        pos = int(r.integers(0, nw))
+        toks = list(words[:pos]) + ([mention] if mention else []) + list(words[pos:])
+        texts.append(" ".join(toks))
+
+    html = [f"<html><body><p>{t}</p></body></html>".encode() for t in texts]
+    return pa.table({
+        "url": pa.array(urls.tolist(), pa.string()),
+        "warc_ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang.tolist(), pa.string()),
+    })
+
+
+def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """Materialize (once) and return the directory of the synthetic pages
+    parquet table. One file per generation block → parallel reads."""
+    d = os.path.join(root, f"n{n_rows}_s{seed}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
+    for b in range(n_blocks):
+        rows = min(BLOCK_ROWS, n_rows - b * BLOCK_ROWS)
+        t = generate_block(seed, b, rows)
+        pq.write_table(t, os.path.join(tmp, f"block-{b:05d}.parquet"))
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(tmp):
+        os.replace(os.path.join(tmp, f), os.path.join(d, f))
+    os.rmdir(tmp)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+def rows_for_sf(sf_dir: str) -> int:
+    """Map a testdata sf dir to a pages row count (sf0.001 → 2k rows,
+    sf0.01 → 20k, sf0.1 → 200k)."""
+    name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(name.replace("sf", "")) if name.startswith("sf") else 0.001
+    return max(1000, int(sf * 2_000_000))
