@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` here or in the library.
 """
 
 from __future__ import annotations
@@ -31,21 +28,62 @@ def entry() -> Any:
     return tile_dataset(pages)
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+def _flagship_tiles(sf_dir: str):
+    """Rows-only: the full pages→MVT pipeline at the sf-equivalent page
+    count; returns per-tile summary rows (mvt bytes elided — the blob
+    content is covered by unit + golden tests)."""
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    from tilemaker_ray.pipelines.flagship import tile_dataset
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    pages = pages_path(rows_for_sf(sf_dir))
+    df = tile_dataset(pages).to_pandas()
+    out = df[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    from tilemaker_ray.ops import dedup, geospatial, relational, similarity, text
+
+    return {
+        # geospatial core (tile math / joins / topk — SURVEY §2.4-2.6)
+        "tile_assign_points": geospatial.q_tile_assign_points,
+        "tile_zoom_rollup": geospatial.q_tile_zoom_rollup,
+        "pip_join": geospatial.q_pip_join,
+        "pip_semi_join": geospatial.q_pip_semi_join,
+        "knn": geospatial.q_knn,
+        "zorder_encode": geospatial.q_zorder_encode,
+        "grouped_topk": geospatial.q_grouped_topk,
+        # relational surface (groupby/join/sort/window)
+        "lineitem_agg": relational.q_lineitem_agg,
+        "order_revenue_topk": relational.q_order_revenue_topk,
+        "nation_customer_count": relational.q_nation_customer_count,
+        "events_window": relational.q_events_window,
+        "supplier_balance": relational.q_supplier_balance,
+        # training-data ops: text analysis
+        "token_count": text.q_token_count,
+        "quality_score": text.q_quality_score,
+        "langid": text.q_langid,
+        "fingerprint": text.q_fingerprint,
+        # dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_keep_first": dedup.q_dedup_keep_first,
+        "minhash_pairs": dedup.q_minhash_pairs,
+        "simhash": dedup.q_simhash,
+        # similarity search
+        "cosine_topk": similarity.q_cosine_topk,
+        "ivf_topk": similarity.q_ivf_topk,
+        # flagship tiling pipeline (rows-only)
+        "flagship_tiles": _flagship_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tilemaker_ray.ops import dedup, geospatial, relational, similarity, text
+
+    out: dict[str, str] = {}
+    out.update(geospatial.ORACLES)
+    out.update(relational.ORACLES)
+    out.update(text.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    return out

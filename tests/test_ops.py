@@ -1,0 +1,78 @@
+"""Operator queries vs DuckDB oracles at sf0.001 (fast subset of the
+driver's correctness gate; scripts/check_oracles.py runs the full set)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def check(name, con):
+    import __ray_entry__ as E
+    res = E.queries()[name](SF)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    exp = con.sql(E.oracle_sql()[name]).df()
+    a, b = normalize(df), normalize(exp)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", [
+    "tile_assign_points", "tile_zoom_rollup", "pip_join", "knn",
+    "zorder_encode", "lineitem_agg", "events_window", "token_count",
+    "quality_score", "dedup_keep_first", "cosine_topk",
+])
+def test_oracle(name, con):
+    check(name, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_finds_near_dups(con):
+    # plant a near-duplicate pair and check the LSH pipeline finds it
+    from tilemaker_ray.ops.dedup import jaccard, minhash_signature, _minhash_params
+    a, b = _minhash_params()
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy dog again and once"
+    s1 = minhash_signature(t1, a, b)
+    s2 = minhash_signature(t2, a, b)
+    est = (s1 == s2).mean()
+    true_j = jaccard(t1, t2)
+    assert abs(est - true_j) < 0.35  # 64 perms -> coarse estimate
+
+    # identical docs collide in every band
+    s3 = minhash_signature(t1, a, b)
+    assert (s1 == s3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall():
+    import __ray_entry__ as E
+    brute = E.queries()["cosine_topk"](SF)
+    ivf = E.queries()["ivf_topk"](SF)
+    m = brute.merge(ivf, on=["query_id", "vec_id"], how="inner")
+    recall = len(m) / len(brute)
+    assert recall >= 0.5  # nprobe=4/16 on random vectors

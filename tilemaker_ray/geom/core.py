@@ -225,6 +225,31 @@ def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
     return (inside % 2).astype(bool)
 
 
+def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Exact boundary test: point lies on some segment of the ring
+    (zero cross product + within the segment's bbox). Vectorized over
+    points × segments."""
+    x1 = ring[:-1, 0]; y1 = ring[:-1, 1]
+    x2 = ring[1:, 0]; y2 = ring[1:, 1]
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    inbox = ((px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2)) &
+             (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2)))
+    return ((cross == 0.0) & inbox).any(axis=1)
+
+
+def points_in_polygon_inclusive(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """boost geom::intersects(point, polygon) semantics: interior OR
+    boundary (used by the J3 Intersects join)."""
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    res = points_in_polygon(px, py, rings)
+    for r in rings:
+        res |= points_on_ring(px, py, r)
+    return res
+
+
 def segments_intersect(p1, p2, q1, q2) -> bool:
     d1 = _orient(q1, q2, p1)
     d2 = _orient(q1, q2, p2)

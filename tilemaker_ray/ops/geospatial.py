@@ -1,0 +1,357 @@
+"""Geospatial operator queries over the testdata tables.
+
+Each query derives deterministic lon/lat from integer columns via exact
+modular arithmetic (reproducible bit-for-bit in the DuckDB oracle), then
+exercises the engine's real geospatial operators:
+
+- tile assignment (A1, coordinates.cpp:38-41) at base zoom
+- zoom rollup (A2, tile_data.h:142-177)
+- point-in-polygon broadcast spatial join (J3,
+  shp_mem_tiles.cpp:21-46) via the per-actor STRtree
+- kNN lookup (north-rule extension of J3; STRtree nearest)
+- grouped top-k (A5 feature_limit semantics, tile_worker.cpp:446-448)
+- z_order lossy encode (output_object.h:56-63)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .. import tilemath as tm
+from ..geom import core as gc
+from ..geom.strtree import STRtree
+
+# deterministic point derivation from event_id (mirrored in oracle SQL)
+#   lon = (event_id*7919 % 360000)/1000 - 180
+#   lat = (event_id*104729 % 17000)/100 - 85
+LON_SQL = "((event_id*7919) % 360000)/1000.0 - 180.0"
+LAT_SQL = "((event_id*104729) % 17000)/100.0 - 85.0"
+
+
+def _event_points(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def add_coords(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        lon = (eid * 7919 % 360000) / 1000.0 - 180.0
+        lat = (eid * 104729 % 17000) / 100.0 - 85.0
+        return b.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+    return ds.map_batches(add_coords, batch_format="pyarrow")
+
+
+def q_tile_assign_points(sf_dir: str) -> pd.DataFrame:
+    """Points → z14 tiles → count per tile (partial-agg inside
+    map_batches, then a small groupby — no full-row shuffle)."""
+    ds = _event_points(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = tm.lon2tilex(b.column("lon").to_numpy(), 14)
+        y = tm.latp2tiley(tm.lat2latp(b.column("lat").to_numpy()), 14)
+        key = x.astype(np.int64) << 32 | y.astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_x": pa.array((uniq >> 32).astype(np.int64)),
+            "tile_y": pa.array((uniq & 0xFFFFFFFF).astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["tile_x", "tile_y"])
+             .aggregate(Sum("n", alias_name="n")))
+    return out.to_pandas()
+
+
+def q_tile_zoom_rollup(sf_dir: str) -> pd.DataFrame:
+    """Distinct tiles containing >=1 point, per zoom 0..14 (parents by
+    halving, tile_data.h:142-177)."""
+    ds = _event_points(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = tm.lon2tilex(b.column("lon").to_numpy(), 14).astype(np.int64)
+        y = tm.latp2tiley(tm.lat2latp(b.column("lat").to_numpy()), 14).astype(np.int64)
+        zooms = []
+        keys = []
+        for z in range(15):
+            s = 14 - z
+            k = np.unique((x >> s) << 32 | (y >> s))
+            zooms.append(np.full(len(k), z, dtype=np.int64))
+            keys.append(k)
+        return pa.table({"zoom": pa.array(np.concatenate(zooms)),
+                         "key": pa.array(np.concatenate(keys))})
+
+    from ray.data.aggregate import Count
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["zoom", "key"]).aggregate(Count(alias_name="_c")))
+    out = dist.groupby("zoom").aggregate(Count(alias_name="n_tiles"))
+    df = out.to_pandas().sort_values("zoom").reset_index(drop=True)
+    return df[["zoom", "n_tiles"]]
+
+
+# --- deterministic rectangle build side (shared with the oracle) --------
+
+N_RECTS = 100
+
+
+def rect_table() -> pd.DataFrame:
+    i = np.arange(N_RECTS, dtype=np.int64)
+    lon0 = (i * 37 % 340) - 170.0
+    lat0 = (i * 53 % 160) - 80.0
+    w = 3.0 + i % 5
+    h = 2.0 + i % 7
+    return pd.DataFrame({"rect_id": i, "lon0": lon0, "lat0": lat0,
+                         "lon1": lon0 + w, "lat1": lat0 + h})
+
+
+RECTS_SQL = f"""
+SELECT i AS rect_id,
+       CAST((i*37) % 340 - 170 AS DOUBLE) AS lon0,
+       CAST((i*53) % 160 - 80  AS DOUBLE) AS lat0,
+       CAST((i*37) % 340 - 170 + 3 + i % 5 AS DOUBLE) AS lon1,
+       CAST((i*53) % 160 - 80  + 2 + i % 7 AS DOUBLE) AS lat1
+FROM range({N_RECTS}) t(i)
+"""
+
+
+class PipJoiner:
+    """Broadcast spatial join (J3): STRtree over the rectangle layer
+    built once per actor; per-batch candidate probe + exact inclusive
+    PIP (boost geom::intersects semantics — boundary points match, like
+    the reference's Intersects, osm_lua_processing.cpp:385-391)."""
+
+    def __init__(self, rects: pd.DataFrame | None = None):
+        self.rects = rects if rects is not None else rect_table()
+        # polygons in (lon, latp) space; mercator is monotonic so the
+        # rectangle stays a rectangle
+        lat0p = tm.lat2latp(self.rects.lat0.to_numpy())
+        lat1p = tm.lat2latp(self.rects.lat1.to_numpy())
+        self.boxes = np.column_stack([
+            self.rects.lon0.to_numpy(), lat0p,
+            self.rects.lon1.to_numpy(), lat1p])
+        self.tree = STRtree(self.boxes)
+        self.rings = [
+            gc.correct_polygon([np.array([
+                [b[0], b[1]], [b[0], b[3]], [b[2], b[3]], [b[2], b[1]], [b[0], b[1]]])])
+            for b in self.boxes]
+        self.rect_ids = self.rects.rect_id.to_numpy()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        lon = b.column("lon").to_numpy()
+        latp = tm.lat2latp(b.column("lat").to_numpy())
+        out_e = []
+        out_r = []
+        for k in range(len(eid)):
+            cands = self.tree.query(lon[k], latp[k], lon[k], latp[k])
+            for c in cands:
+                if gc.points_in_polygon_inclusive([lon[k]], [latp[k]], self.rings[c])[0]:
+                    out_e.append(int(eid[k]))
+                    out_r.append(int(self.rect_ids[c]))
+        return pa.table({"event_id": pa.array(out_e, pa.int64()),
+                         "rect_id": pa.array(out_r, pa.int64())})
+
+
+def q_pip_join(sf_dir: str) -> pd.DataFrame:
+    ds = _event_points(sf_dir)
+    out = ds.map_batches(PipJoiner, batch_format="pyarrow", concurrency=2)
+    return out.to_pandas()
+
+
+def q_pip_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi-join flavor (Intersects with once=true short-circuit,
+    shp_mem_tiles.cpp:43): events inside >=1 rectangle."""
+    df = q_pip_join(sf_dir)
+    return (df[["event_id"]].drop_duplicates().sort_values("event_id")
+            .reset_index(drop=True))
+
+
+N_KNN_QUERIES = 16
+KNN_K = 5
+
+
+def knn_query_points() -> pd.DataFrame:
+    i = np.arange(N_KNN_QUERIES, dtype=np.int64)
+    return pd.DataFrame({
+        "query_id": i,
+        "qlon": (i * 61 % 300) - 150.0,
+        "qlat": (i * 43 % 140) - 70.0,
+    })
+
+
+KNN_QUERIES_SQL = f"""
+SELECT i AS query_id,
+       CAST((i*61) % 300 - 150 AS DOUBLE) AS qlon,
+       CAST((i*43) % 140 - 70  AS DOUBLE) AS qlat
+FROM range({N_KNN_QUERIES}) t(i)
+"""
+
+
+class KnnJoiner:
+    """kNN lookup: brute-force planar distance in (lon, lat) degrees per
+    batch against the broadcast query set — the documented baseline
+    (numpy matmul/argpartition); an LSH/cell-bucketed variant is the
+    scale path."""
+
+    def __init__(self):
+        q = knn_query_points()
+        self.qid = q.query_id.to_numpy()
+        self.qx = q.qlon.to_numpy()
+        self.qy = q.qlat.to_numpy()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        lon = b.column("lon").to_numpy()
+        lat = b.column("lat").to_numpy()
+        # per batch: keep the local top-k per query (combiner), final
+        # reduce happens in q_knn
+        d = (lon[None, :] - self.qx[:, None]) ** 2 + (lat[None, :] - self.qy[:, None]) ** 2
+        k = min(KNN_K, d.shape[1])
+        out = {"query_id": [], "event_id": [], "d2": []}
+        idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+        for qi in range(len(self.qid)):
+            for j in idx[qi]:
+                out["query_id"].append(int(self.qid[qi]))
+                out["event_id"].append(int(eid[j]))
+                out["d2"].append(float(d[qi, j]))
+        return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    ds = _event_points(sf_dir)
+    partials = ds.map_batches(KnnJoiner, batch_format="pyarrow", concurrency=2)
+    df = partials.to_pandas()  # small: queries × k × n_batches
+    df = df.sort_values(["query_id", "d2", "event_id"], kind="stable")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= KNN_K][["query_id", "rank", "event_id"]]
+    return df.reset_index(drop=True)
+
+
+def q_zorder_encode(sf_dir: str) -> pd.DataFrame:
+    """z_order lossy encode over a value spanning all three branches."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy() * 20.0 - 2000.0
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "z_order": pa.array(tm.zorder_encode(v).astype(np.int64)),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow").to_pandas()
+
+
+def q_grouped_topk(sf_dir: str) -> pd.DataFrame:
+    """feature_limit semantics: top-5 events per z8 tile by
+    (value desc, event_id asc)."""
+    ds = _event_points(sf_dir)
+
+    def with_tile(b: pa.Table) -> pa.Table:
+        x = tm.lon2tilex(b.column("lon").to_numpy(), 8).astype(np.int64)
+        y = tm.latp2tiley(tm.lat2latp(b.column("lat").to_numpy()), 8).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "tile_x": pa.array(x), "tile_y": pa.array(y)})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    tiles = ds.map_batches(with_tile, batch_format="pyarrow")
+    joined = tiles.join(ev, join_type="inner", num_partitions=8, on=("event_id",))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="stable").head(5)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["tile_x", "tile_y", "rnk", "event_id", "value"]]
+
+    out = joined.groupby(["tile_x", "tile_y"]).map_groups(topk, batch_format="pandas")
+    return out.to_pandas()
+
+
+ORACLES = {
+    "tile_assign_points": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), t AS (
+          SELECT CAST(floor((lon+180.0) * (1.0/360.0) * 16384.0) AS BIGINT) AS tile_x,
+                 CAST(floor((180.0 - degrees(ln(tan(radians(lat+90.0)/2.0)))) * (1.0/360.0) * 16384.0) AS BIGINT) AS tile_y
+          FROM pts
+        )
+        SELECT tile_x, tile_y, count(*) AS n FROM t GROUP BY tile_x, tile_y
+    """,
+    "tile_zoom_rollup": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), t AS (
+          SELECT CAST(floor((lon+180.0) * (1.0/360.0) * 16384.0) AS BIGINT) AS x,
+                 CAST(floor((180.0 - degrees(ln(tan(radians(lat+90.0)/2.0)))) * (1.0/360.0) * 16384.0) AS BIGINT) AS y
+          FROM pts
+        )
+        SELECT z.zoom, count(DISTINCT (x >> (14 - z.zoom)) * 4294967296 + (y >> (14 - z.zoom))) AS n_tiles
+        FROM t, (SELECT CAST(i AS BIGINT) AS zoom FROM range(15) r(i)) z
+        GROUP BY z.zoom ORDER BY z.zoom
+    """,
+    "pip_join": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), rects AS ({RECTS_SQL})
+        SELECT p.event_id, r.rect_id
+        FROM pts p JOIN rects r
+          ON p.lon >= r.lon0 AND p.lon <= r.lon1
+         AND p.lat >= r.lat0 AND p.lat <= r.lat1
+    """,
+    "pip_semi_join": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), rects AS ({RECTS_SQL})
+        SELECT DISTINCT p.event_id
+        FROM pts p JOIN rects r
+          ON p.lon >= r.lon0 AND p.lon <= r.lon1
+         AND p.lat >= r.lat0 AND p.lat <= r.lat1
+        ORDER BY p.event_id
+    """,
+    "knn": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), q AS ({KNN_QUERIES_SQL}), d AS (
+          SELECT q.query_id, p.event_id,
+                 (p.lon-q.qlon)*(p.lon-q.qlon) + (p.lat-q.qlat)*(p.lat-q.qlat) AS d2,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY (p.lon-q.qlon)*(p.lon-q.qlon) + (p.lat-q.qlat)*(p.lat-q.qlat), p.event_id) AS rank
+          FROM q, pts p
+        )
+        SELECT query_id, rank, event_id FROM d WHERE rank <= {KNN_K}
+    """,
+    "zorder_encode": """
+        SELECT event_id,
+          CAST(CASE
+            WHEN value*20.0 - 2000.0 > 1000.0
+              THEN floor(sqrt((value*20.0 - 2000.0 - 1000.0)*10.0) + 10000.0)
+            WHEN value*20.0 - 2000.0 < -1000.0
+              THEN floor(-10000.0 - sqrt((abs(value*20.0 - 2000.0) - 1000.0)*10.0))
+            ELSE floor((value*20.0 - 2000.0)*10.0)
+          END AS BIGINT) AS z_order
+        FROM events
+    """,
+    "grouped_topk": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), t AS (
+          SELECT p.event_id,
+                 CAST(floor((lon+180.0) * (1.0/360.0) * 256.0) AS BIGINT) AS tile_x,
+                 CAST(floor((180.0 - degrees(ln(tan(radians(lat+90.0)/2.0)))) * (1.0/360.0) * 256.0) AS BIGINT) AS tile_y,
+                 e.value
+          FROM pts p JOIN events e ON p.event_id = e.event_id
+        ), r AS (
+          SELECT tile_x, tile_y, event_id, value,
+                 row_number() OVER (PARTITION BY tile_x, tile_y
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM t
+        )
+        SELECT tile_x, tile_y, rnk, event_id, value FROM r WHERE rnk <= 5
+    """,
+}

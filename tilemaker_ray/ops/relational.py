@@ -1,0 +1,203 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables:
+grouped aggregation with pre-aggregation (A6 pattern), partitioned hash
+join (J1/J2 pattern: Dataset.join), broadcast dict join (J9 pattern),
+sort + limit (O-family), and event-time tumbling windows (the oracle
+side of streaming-shaped workloads).
+
+These evidence the engine's generic query surface; column names match
+the oracle SQL exactly (driver hash-compares values by sorted column
+name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped: pre-aggregate per batch (combiner), then a tiny
+    groupby over partials — the A6 "push aggregation partial" pattern."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            sum_revenue=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_price", alias_name="sum_price"),
+                        Sum("sum_revenue", alias_name="sum_revenue"),
+                        Sum("sum_disc", alias_name="_sd"),
+                        Sum("n", alias_name="count_order")))
+    df = out.to_pandas()
+    df["avg_disc"] = (df["_sd"] / df["count_order"]).round(6)
+    for c in ("sum_qty", "sum_price", "sum_revenue"):
+        df[c] = df[c].round(2)
+    df = df.drop(columns=["_sd"]).sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return df
+
+
+def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
+    """Q3-shaped: lineitem ⋈ orders (partitioned hash join) ⋈ customer
+    (broadcast dict), revenue per order for BUILDING-segment customers,
+    top 10 by revenue."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (li.map_batches(li_partial, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = rev.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    # small side broadcast: BUILDING customers as a frozenset via ray.put
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    building = ray.put(frozenset(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"]))
+
+    class SemiFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = np.array([k in self.keys for k in b.column("o_custkey").to_pylist()])
+            return b.filter(pa.array(mask))
+
+    flt = joined.map_batches(SemiFilter, fn_constructor_kwargs={"ref": building},
+                             batch_format="pyarrow", concurrency=2)
+    top = flt.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()[["l_orderkey", "revenue"]]
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def q_nation_customer_count(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dict join (J9 pattern): customer → nation name, count
+    per nation."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nmap = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    class MapNation:
+        def __init__(self, ref):
+            self.m = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("c_nationkey").to_numpy()
+            names = [self.m.get(int(k), "") for k in keys]
+            return pa.table({"n_name": pa.array(names, pa.string())})
+
+    out = (cust.map_batches(MapNation, fn_constructor_kwargs={"ref": nmap},
+                            batch_format="pyarrow", concurrency=2)
+               .groupby("n_name").aggregate(Count(alias_name="n_customers")))
+    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-day event-time window per event_type: count, sum, max.
+
+    Ray Data has no watermarks (SURVEY §2.9 — nor does the reference);
+    windows are a grouped aggregation over floor(ts/day)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "day": pa.array(day),
+            "value": b.column("value"),
+        })
+
+    out = (ds.map_batches(add_window, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value", alias_name="sum_value"),
+                        Max("value", alias_name="max_value")))
+    df = out.to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
+    """Sort + filter: suppliers with positive balance, ordered."""
+    ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_name", "s_acctbal"])
+    out = (ds.map_batches(
+               lambda b: b.filter(pa.compute.greater(b.column("s_acctbal"), 0.0)),
+               batch_format="pyarrow")
+             .sort(["s_acctbal", "s_suppkey"], descending=[True, False]))
+    return out.to_pandas()
+
+
+ORACLES = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+               count(*) AS count_order,
+               round(sum(l_discount)/count(*), 6) AS avg_disc
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "order_revenue_topk": """
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    "nation_customer_count": """
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    "events_window": """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n, round(sum(value), 2) AS sum_value, max(value) AS max_value
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+        ORDER BY event_type, day
+    """,
+    "supplier_balance": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier WHERE s_acctbal > 0.0
+        ORDER BY s_acctbal DESC, s_suppkey
+    """,
+}
