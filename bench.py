@@ -1,0 +1,121 @@
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "tiles": T, "features": F, "tiles_per_sec": ..., "features_per_sec": ...}
+
+--scaling: runs the headline pipeline twice in fresh processes
+(RAY_GRAFT_CPUS=8 then 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion — no real cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    # pages are generated (once, cached) BEFORE the timed region
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    pages = pages_path(rows_for_sf(sf_dir))
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    # warm the OS page cache (untimed read)
+    ray.data.read_parquet(pages).count()
+
+    queries: dict[str, float] = {}
+
+    # headline: the flagship pages→MVT pipeline
+    from tilemaker_ray.pipelines.flagship import tile_dataset
+    t0 = time.time()
+    tiles = tile_dataset(pages)
+    agg = tiles.map_batches(
+        lambda b: __import__("pandas").DataFrame(
+            {"tiles": [len(b)], "features": [int(b["n_features"].sum())]}),
+        batch_format="pandas").to_pandas().sum()
+    headline = time.time() - t0
+    queries["flagship_tiles"] = round(headline, 3)
+    n_tiles = int(agg["tiles"])
+    n_features = int(agg["features"])
+
+    # secondary operator pipelines over the sf tables
+    from tilemaker_ray.ops import dedup, geospatial, relational, similarity
+    for name, fn in [
+        ("tile_assign_points", geospatial.q_tile_assign_points),
+        ("pip_join", geospatial.q_pip_join),
+        ("knn", geospatial.q_knn),
+        ("lineitem_agg", relational.q_lineitem_agg),
+        ("events_window", relational.q_events_window),
+        ("dedup_keep_first", dedup.q_dedup_keep_first),
+        ("minhash_pairs", dedup.q_minhash_pairs),
+        ("cosine_topk", similarity.q_cosine_topk),
+    ]:
+        t0 = time.time()
+        fn(sf_dir)
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship pages→MVT wall sec (+ operator suite)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "tiles": n_tiles,
+        "features": n_features,
+        "tiles_per_sec": round(n_tiles / headline, 1),
+        "features_per_sec": round(n_features / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo = r_lo["value"]
+    t_hi = r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "N→4N scaling (8 vs 32 cpus, fresh sessions, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "tiles_per_sec_8": r_lo["tiles_per_sec"],
+        "tiles_per_sec_32": r_hi["tiles_per_sec"],
+        "features_per_sec_8": r_lo["features_per_sec"],
+        "features_per_sec_32": r_hi["features_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -132,8 +132,9 @@ def default_config() -> Config:
         LayerDef(name="places", minzoom=0, maxzoom=14, feature_limit=200,
                  feature_limit_below=15, combine_points=True),
         LayerDef(name="routes", minzoom=4, maxzoom=14, simplify_below=12,
-                 simplify_level=0.0003, simplify_ratio=2.0),
+                 simplify_level=0.0003, simplify_ratio=2.0,
+                 feature_limit=256, feature_limit_below=13),
         LayerDef(name="areas", minzoom=6, maxzoom=14, simplify_below=12,
                  simplify_level=0.0003, simplify_ratio=2.0, filter_below=10,
-                 filter_area=0.05),
+                 filter_area=0.05, feature_limit=256, feature_limit_below=13),
     ])

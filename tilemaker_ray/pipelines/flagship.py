@@ -52,22 +52,66 @@ def feature_dataset(pages_dir: str, config: Config | None = None,
 
 
 def tile_dataset(pages_dir: str, config: Config | None = None,
-                 concurrency: int | tuple | None = None) -> ray.data.Dataset:
+                 concurrency: int | tuple | None = None,
+                 two_stage: bool = True) -> ray.data.Dataset:
     config = config or default_config()
+    # smaller blocks through the tile shuffle: the sort would otherwise
+    # pack the whole exploded dataset into a couple of 128 MB blocks and
+    # the render stage would run 1-2 tasks. 8 MB ≈ 30-60 render tasks at
+    # sf0.1; at 100 TB the natural block count dwarfs this and the knob
+    # is a no-op.
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    if ctx.target_max_block_size is None or ctx.target_max_block_size > 8 * 1024 * 1024:
+        ctx.target_max_block_size = 8 * 1024 * 1024
     feats = feature_dataset(pages_dir, config, concurrency=concurrency)
     assigned = feats.map_batches(
         lambda b: assign_tiles_batch(b, config.base_zoom),
         batch_format="pyarrow")
-    renderer = TileRenderer(config)
+    if not two_stage:
+        renderer = TileRenderer(config)
 
-    def render_group(df):
-        return renderer(df)
+        def render_group(df):
+            return renderer(df)
 
-    # plain-function map_groups: stateless task pool scales elastically
-    # (the renderer's state is just the config; per-group clip caches
-    # live inside the call)
-    tiles = assigned.groupby(["z6x", "z6y"]).map_groups(
-        render_group, batch_format="pandas")
+        # plain-function map_groups: stateless task pool scales
+        # elastically (the renderer's state is just the config;
+        # per-group caches live inside the call)
+        return assigned.groupby(["z6x", "z6y"]).map_groups(
+            render_group, batch_format="pandas")
+
+    # two-stage salted render (stages/salted.py): geometry work salted
+    # by feature_id so dense z6 subtrees split across tasks; MVT
+    # assembly grouped by tile macro-blocks (bounded by feature_limit —
+    # no hot keys in the second shuffle)
+    from ..stages.salted import SALT_K, GeomStage, TileAssembler
+    import numpy as np
+    import pyarrow as pa
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        fid = b.column("feature_id").to_numpy()
+        return b.append_column("salt", pa.array((fid % SALT_K).astype(np.uint8)))
+
+    geom_stage = GeomStage(config)
+    assembler = TileAssembler(config)
+
+    def run_geom(df):
+        return geom_stage(df)
+
+    def run_assemble(df):
+        return assembler(df)
+
+    salted = assigned.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby(["z6x", "z6y", "salt"]).map_groups(
+        run_geom, batch_format="pandas")
+    # checkpoint the bounded post-geometry intermediate: two chained
+    # all-to-all sorts in one streaming DAG interleave poorly (measured
+    # 75s fused vs 43s split at sf0.1); the sort would materialize its
+    # input anyway, and this also gives the resume point between the
+    # two shuffles
+    partials = partials.materialize()
+    tiles = partials.groupby(["zoom", "mx", "my"]).map_groups(
+        run_assemble, batch_format="pandas")
     return tiles
 
 

@@ -97,6 +97,13 @@ class TileRenderer:
         self.zmax = self.config.end_zoom if zmax is None else zmax
         self.base_zoom = self.config.base_zoom
         self.compress = (self.config.compress != "none") if compress is None else compress
+        self._attr_cache: dict[str, list] = {}  # attrs json -> parsed
+        # precomputed physical-layer plan (hot: consulted per tile)
+        self.phys_order = self.config.physical_layer_order()
+        self.sub_by_phys = {
+            phys: [l for l in self.config.layers
+                   if self.config.physical_layer(l.name) == phys]
+            for phys in self.phys_order}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from .tiles import LOWZOOM
@@ -207,11 +214,9 @@ class TileRenderer:
         by_layer: dict[str, list[int]] = {}
         for i in recs:
             by_layer.setdefault(g.layer[i], []).append(i)
-        for phys in self.config.physical_layer_order():
-            sub = [l for l in self.config.layers
-                   if self.config.physical_layer(l.name) == phys]
+        for phys in self.phys_order:
             lb = tb.layer(phys, self.config.mvt_version, bbox.extent)
-            for ld in sub:
+            for ld in self.sub_by_phys[phys]:
                 if zoom < ld.minzoom or zoom > ld.maxzoom:
                     continue
                 sel = by_layer.get(ld.name, [])
@@ -230,12 +235,14 @@ class TileRenderer:
         return blob, nfeat
 
     def _zoom_params(self, ld: LayerDef, zoom: int, tile_y: int):
-        """tile_worker.cpp:428-442."""
+        """tile_worker.cpp:428-442 (scalar math — hot per tile/layer)."""
+        import math
         simplify_level = 0.0
         filter_area = 0.0
         latp = 0.0
         if zoom < ld.simplify_below or zoom < ld.filter_below:
-            latp = (float(tiley2latp(tile_y, zoom)) + float(tiley2latp(tile_y + 1, zoom))) / 2.0
+            latp = ((180.0 - math.ldexp(tile_y, -zoom) * 360.0)
+                    + (180.0 - math.ldexp(tile_y + 1, -zoom) * 360.0)) / 2.0
         if zoom < ld.simplify_below:
             if ld.simplify_length > 0:
                 simplify_level = float(meter2degp(ld.simplify_length, latp))
@@ -288,8 +295,7 @@ class TileRenderer:
         return n
 
     def _scale_point(self, g: _Group, i: int, bbox: TileBbox) -> tuple[int, int]:
-        x, y = bbox.scale_latplon(g.latp[i], g.lon[i])
-        return int(x), int(y)
+        return bbox.scale_pt(g.latp[i], g.lon[i])
 
     def _clipped_mls(self, g: _Group, i: int, bbox: TileBbox, state: RenderState):
         fid = int(g.fid[i])
@@ -382,9 +388,17 @@ class TileRenderer:
         return True
 
     def _tags(self, attrs_json: str, zoom: int) -> list[tuple[str, object]]:
-        """writeAttributes: per-attribute minzoom filter at write time."""
+        """writeAttributes: per-attribute minzoom filter at write time.
+        Parsed attr lists are cached per distinct json (hot: once per
+        feature per tile per zoom)."""
+        parsed = self._attr_cache.get(attrs_json)
+        if parsed is None:
+            parsed = json.loads(attrs_json)
+            if len(self._attr_cache) > 65536:
+                self._attr_cache.clear()
+            self._attr_cache[attrs_json] = parsed
         out = []
-        for k, kind, mz, v in json.loads(attrs_json):
+        for k, kind, mz, v in parsed:
             if mz > zoom:
                 continue
             if kind == 2:

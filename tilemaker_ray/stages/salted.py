@@ -1,0 +1,358 @@
+"""Two-stage salted render — the skew-proof path of the flagship.
+
+The one-stage render (stages/render.py) keys the shuffle on (z6x, z6y)
+only; a dense urban z6 subtree (the reference's motivating skew case,
+SURVEY §4 "skew control 2") becomes one long task. Here the expensive
+per-feature geometry work is salted uniformly:
+
+  stage A  groupby((z6x, z6y, salt))           salt = feature_id % K
+           per tile in subtree: clip → simplify → scale to tile ints
+           emit one row per (feature × tile × zoom) with scaled ints
+  stage B  groupby((zoom, tile_x, tile_y))
+           sort with the O3 comparator, dedup, feature_limit,
+           combine_points / combine_below merging, MVT encode + gzip
+
+Stage A's clip cache (parent-zoom reuse, clip_cache.h) still works:
+a feature's salt is a function of feature_id, so all of its tiles land
+in the same salted group. Stage B's groups are bounded by
+feature_limit, so the second shuffle has no hot keys. At 100 TB the
+stage-A key space is 4096×K and stage-B is the tile space (~10^8 keys
+at z14) — both shard cleanly.
+
+Reference semantics per stage: collation sort tile_data.cpp:397-424
+(stage B), ProcessObjects merging tile_worker.cpp:271-370 (stage B on
+tile-int coords), clip/simplify/scale tile_worker.cpp:96-269 +
+tile_data.cpp:215-349 (stage A).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pandas as pd
+
+from .. import mvt
+from ..config import Config, VISVALINGAM
+from ..geom import core as gc
+from .render import (TileRenderer, _dedup_consecutive, _extend_box,
+                     _remove_parts_below, _ring_pts, reorder_multilinestring)
+
+SALT_K = 4
+
+
+def pack_int_parts(parts: list[list[tuple[int, int]]]) -> bytes:
+    """Pack scaled tile-int coordinate parts (lines: point lists; rings:
+    closed point lists)."""
+    out = [struct.pack("<I", len(parts))]
+    for p in parts:
+        a = np.asarray(p, dtype=np.int32).reshape(-1, 2)
+        out.append(struct.pack("<I", a.shape[0]))
+        out.append(a.tobytes())
+    return b"".join(out)
+
+
+def unpack_int_parts(blob: bytes) -> list[list[tuple[int, int]]]:
+    (n,) = struct.unpack_from("<I", blob, 0)
+    off = 4
+    parts = []
+    for _ in range(n):
+        (m,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        a = np.frombuffer(blob, dtype=np.int32, count=m * 2, offset=off).reshape(m, 2)
+        off += m * 8
+        parts.append([(int(x), int(y)) for x, y in a])
+    return parts
+
+
+class GeomStage(TileRenderer):
+    """Stage A: subclass of the one-stage renderer that, instead of
+    building MVT bytes per tile, emits per-feature scaled-int rows."""
+
+    A_COLUMNS = ("zoom", "tile_x", "tile_y", "lidx", "zo_sort", "geom_type",
+                 "attrs", "feature_id", "layer", "pts")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .tiles import LOWZOOM
+        self._rows = {k: [] for k in self.A_COLUMNS}
+        if len(df) and np.uint32(df["z6x"].iloc[0]) == LOWZOOM:
+            self.render_range(df, self.config.start_zoom, min(5, self.config.end_zoom))
+        else:
+            gx, gy = int(df["z6x"].iloc[0]), int(df["z6y"].iloc[0])
+            self.render_range(df, self.zmin, self.zmax, subtree=(gx, gy))
+        r = self._rows
+        tx = np.array(r["tile_x"], dtype=np.uint32)
+        ty = np.array(r["tile_y"], dtype=np.uint32)
+        return pd.DataFrame({
+            "zoom": np.array(r["zoom"], dtype=np.uint8),
+            "tile_x": tx,
+            "tile_y": ty,
+            # stage-B macro-block shuffle key (16x16 tiles per group)
+            "mx": tx >> np.uint32(4),
+            "my": ty >> np.uint32(4),
+            "lidx": np.array(r["lidx"], dtype=np.int64),
+            "zo_sort": np.array(r["zo_sort"], dtype=np.int64),
+            "geom_type": np.array(r["geom_type"], dtype=np.uint8),
+            "attrs": pd.Series(r["attrs"], dtype=object),
+            "feature_id": np.array(r["feature_id"], dtype=np.uint64),
+            "layer": pd.Series(r["layer"], dtype=object),
+            "pts": pd.Series(r["pts"], dtype=object),
+        })
+
+    # Override the per-tile path: geometry processing only, no MVT.
+    def _render_tile_idx(self, g, idx, zoom, x, y, state):
+        from ..tilemath import TileBbox
+        recs = self._collate(g, idx, zoom)
+        bbox = TileBbox(x, y, zoom, self.config.high_resolution)
+        for phys in self.phys_order:
+            for ld in self.sub_by_phys[phys]:
+                if zoom < ld.minzoom or zoom > ld.maxzoom:
+                    continue
+                sel = [i for i in recs if g.layer[i] == ld.name]
+                if not sel:
+                    continue
+                # in-salt pre-trim: a correct superset of the global
+                # feature_limit applied again in stage B
+                if 0 < ld.feature_limit < len(sel) and zoom < ld.feature_limit_below:
+                    sel = sel[:ld.feature_limit]
+                simplify_level, filter_area = self._zoom_params(ld, zoom, y)
+                self._emit_objects(g, sel, ld, zoom, x, y, bbox, state,
+                                   simplify_level, filter_area)
+        return None, 0
+
+    def _emit_objects(self, g, sel, ld, zoom, x, y, bbox, state,
+                      simplify_level, filter_area):
+        from ..geom.simplify import (douglas_peucker, simplify_multipolygon,
+                                     simplify_vis_linestring,
+                                     simplify_vis_multipolygon)
+        for i in sel:
+            if zoom < g.min_zoom[i]:
+                continue
+            gt = g.geom_type[i]
+            pts_blob = None
+            if gt == gc.POINT_:
+                pts_blob = pack_int_parts([[self._scale_point(g, i, bbox)]])
+            elif gt in (gc.LINESTRING_, gc.MULTILINESTRING_):
+                mls = self._clipped_mls(g, i, bbox, state)
+                if simplify_level > 0:
+                    if ld.simplify_algo == VISVALINGAM:
+                        mls = [simplify_vis_linestring(ls, simplify_level) for ls in mls]
+                    else:
+                        mls = [douglas_peucker(ls, simplify_level) for ls in mls]
+                parts = []
+                for ls in mls:
+                    if len(ls) <= 1:
+                        continue
+                    xs, ys = bbox.scale_latplon(ls[:, 1], ls[:, 0])
+                    p = _dedup_consecutive(xs, ys)
+                    if len(p) > 1:
+                        parts.append(p)
+                if not parts:
+                    continue
+                pts_blob = pack_int_parts(parts)
+            else:
+                mp = self._clipped_mp(g, i, bbox, state)
+                if filter_area > 0.0:
+                    mp = _remove_parts_below(mp, filter_area)
+                scaled = []
+                for rings in mp:
+                    outer = bbox.scale_ring(rings[0][:, 0], rings[0][:, 1])
+                    if len(outer) < 4:
+                        continue
+                    poly = [gc.close_ring(outer.astype(np.float64))]
+                    for rr in rings[1:]:
+                        sr = bbox.scale_ring(rr[:, 0], rr[:, 1])
+                        if len(sr) >= 4:
+                            poly.append(gc.close_ring(sr.astype(np.float64)))
+                    scaled.append(poly)
+                if simplify_level > 0 and scaled:
+                    lvl = simplify_level / bbox.xscale
+                    if ld.simplify_algo == VISVALINGAM:
+                        scaled = simplify_vis_multipolygon(scaled, lvl)
+                    else:
+                        scaled = simplify_multipolygon(scaled, lvl)
+                rings_out = []
+                for poly in scaled:
+                    op = _ring_pts(poly[0])
+                    if op is None:
+                        continue
+                    rings_out.append(op)
+                    for rr in poly[1:]:
+                        pr = _ring_pts(rr)
+                        if pr is not None:
+                            rings_out.append(pr)
+                if not rings_out:
+                    continue
+                pts_blob = pack_int_parts(rings_out)
+            lidx = self.layer_order.get(g.layer[i], 255)
+            zo = g.z_order[i] if ld.z_order_ascending else -g.z_order[i]
+            r = self._rows
+            r["zoom"].append(zoom)
+            r["tile_x"].append(x)
+            r["tile_y"].append(y)
+            r["lidx"].append(lidx)
+            r["zo_sort"].append(int(zo))
+            r["geom_type"].append(int(gt))
+            r["attrs"].append(g.attrs[i])
+            r["feature_id"].append(int(g.fid[i]))
+            r["layer"].append(g.layer[i])
+            r["pts"].append(pts_blob)
+
+
+class TileAssembler:
+    """Stage B: per (zoom,x,y) group — final sort, dedup, feature_limit,
+    point/line merging, MVT assembly, compression."""
+
+    def __init__(self, config: Config | None = None, compress: bool | None = None):
+        from ..config import default_config
+        self.config = config or default_config()
+        self.layer_defs = self.config.layer_map()
+        self.layer_order = {name: i for i, name in
+                            enumerate(l.name for l in self.config.layers)}
+        self.phys_order = self.config.physical_layer_order()
+        self.sub_by_phys = {
+            phys: [l for l in self.config.layers
+                   if self.config.physical_layer(l.name) == phys]
+            for phys in self.phys_order}
+        self.compress = (self.config.compress != "none") if compress is None else compress
+        self._attr_cache: dict[str, list] = {}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """One MACRO-BLOCK group: (zoom, tile_x>>4, tile_y>>4) — up to
+        256 tiles per call, looped internally; per-group call overhead
+        at ~500k tiles would otherwise dominate."""
+        # single lexsort covering (tile, O3-comparator) → contiguous runs
+        df = df.sort_values(["tile_x", "tile_y", "lidx", "zo_sort", "geom_type",
+                             "attrs", "feature_id"], kind="stable")
+        df = df.drop_duplicates(subset=["tile_x", "tile_y", "lidx", "zo_sort",
+                                        "geom_type", "attrs", "feature_id"])
+        zoom = int(df["zoom"].iloc[0])
+        tx = df["tile_x"].to_numpy(dtype=np.int64)
+        ty = df["tile_y"].to_numpy(dtype=np.int64)
+        boundary = np.nonzero((np.diff(tx) != 0) | (np.diff(ty) != 0))[0] + 1
+        starts = np.concatenate([[0], boundary]) if len(tx) else np.array([], dtype=np.int64)
+        ends = np.concatenate([boundary, [len(tx)]]) if len(tx) else np.array([], dtype=np.int64)
+        out = {"zoom": [], "tile_x": [], "tile_y": [], "mvt": [],
+               "n_features": [], "n_bytes": []}
+        cols = {c: df[c].to_numpy(dtype=object) if df[c].dtype == object
+                else df[c].to_numpy() for c in
+                ("geom_type", "zo_sort", "attrs", "feature_id", "pts", "layer")}
+        for s, e in zip(starts, ends):
+            blob, nfeat = self._assemble_tile(cols, int(s), int(e), zoom)
+            if blob is None:
+                continue
+            out["zoom"].append(zoom)
+            out["tile_x"].append(int(tx[s]))
+            out["tile_y"].append(int(ty[s]))
+            out["mvt"].append(blob)
+            out["n_features"].append(nfeat)
+            out["n_bytes"].append(len(blob))
+        return pd.DataFrame({
+            "zoom": np.array(out["zoom"], dtype=np.uint8),
+            "tile_x": np.array(out["tile_x"], dtype=np.uint32),
+            "tile_y": np.array(out["tile_y"], dtype=np.uint32),
+            "mvt": pd.Series(out["mvt"], dtype=object),
+            "n_features": np.array(out["n_features"], dtype=np.int64),
+            "n_bytes": np.array(out["n_bytes"], dtype=np.int64),
+        })
+
+    def _assemble_tile(self, cols: dict, s: int, e: int, zoom: int):
+        extent = 8192 if self.config.high_resolution else 4096
+        tb = mvt.TileBuilder()
+        nfeat = 0
+        layer_arr = cols["layer"][s:e]
+        for phys in self.phys_order:
+            lb = tb.layer(phys, self.config.mvt_version, extent)
+            for ld in self.sub_by_phys[phys]:
+                if zoom < ld.minzoom or zoom > ld.maxzoom:
+                    continue
+                sel = np.nonzero(layer_arr == ld.name)[0] + s
+                if len(sel) == 0:
+                    continue
+                if 0 < ld.feature_limit < len(sel) and zoom < ld.feature_limit_below:
+                    sel = sel[:ld.feature_limit]
+                nfeat += self._assemble(cols, sel, ld, zoom, lb)
+        if nfeat == 0:
+            return None, 0
+        blob = tb.serialize()
+        if self.compress:
+            blob = mvt.compress_tile(blob, gzip_fmt=self.config.compress == "gzip")
+        return blob, nfeat
+
+    def _assemble(self, cols: dict, sel: np.ndarray, ld, zoom: int,
+                  lb: mvt.LayerBuilder) -> int:
+        gt = cols["geom_type"]
+        zo = cols["zo_sort"]
+        at = cols["attrs"]
+        fid = cols["feature_id"]
+        blobs = cols["pts"]
+        n = 0
+        k = 0
+        sel = list(sel)
+        while k < len(sel):
+            i = sel[k]
+            if gt[i] == gc.POINT_:
+                pts = unpack_int_parts(blobs[i])[0]
+                while (k + 1 < len(sel) and ld.combine_points
+                       and _compat(gt, zo, at, i, sel[k + 1])):
+                    k += 1
+                    pts.extend(unpack_int_parts(blobs[sel[k]])[0])
+                lb.add_feature(mvt.GEOM_POINT, lb.encode_points(pts),
+                               self._tags(at[i], zoom),
+                               int(fid[i]) if self.config.include_ids else None)
+                n += 1
+            elif gt[i] in (gc.LINESTRING_, gc.MULTILINESTRING_):
+                parts = unpack_int_parts(blobs[i])
+                if zoom < self.config.combine_below:
+                    while k + 1 < len(sel) and _compat(gt, zo, at, i, sel[k + 1]):
+                        k += 1
+                        parts.extend(unpack_int_parts(blobs[sel[k]]))
+                    arrs = [np.asarray(p, dtype=np.float64) for p in parts]
+                    parts = [[(int(a), int(b)) for a, b in ls]
+                             for ls in reorder_multilinestring(arrs)]
+                parts = [p for p in parts if len(p) > 1]
+                if parts:
+                    lb.add_feature(mvt.GEOM_LINESTRING,
+                                   lb.encode_multilinestring(parts),
+                                   self._tags(at[i], zoom),
+                                   int(fid[i]) if self.config.include_ids else None)
+                    n += 1
+            else:
+                rings = unpack_int_parts(blobs[i])
+                if rings:
+                    lb.add_feature(mvt.GEOM_POLYGON, lb.encode_polygon(rings),
+                                   self._tags(at[i], zoom),
+                                   int(fid[i]) if self.config.include_ids else None)
+                    n += 1
+            k += 1
+        return n
+
+    def _tags(self, attrs_json: str, zoom: int):
+        parsed = self._attr_cache.get(attrs_json)
+        if parsed is None:
+            parsed = json.loads(attrs_json)
+            if len(self._attr_cache) > 65536:
+                self._attr_cache.clear()
+            self._attr_cache[attrs_json] = parsed
+        out = []
+        for key, kind, mz, v in parsed:
+            if mz > zoom:
+                continue
+            out.append((key, bool(v) if kind == 2 else (float(v) if kind == 1 else str(v))))
+        return out
+
+
+def _compat(gt, zo, at, i, j) -> bool:
+    return gt[i] == gt[j] and zo[i] == zo[j] and at[i] == at[j]
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame({
+        "zoom": np.array([], dtype=np.uint8),
+        "tile_x": np.array([], dtype=np.uint32),
+        "tile_y": np.array([], dtype=np.uint32),
+        "mvt": pd.Series([], dtype=object),
+        "n_features": np.array([], dtype=np.int64),
+        "n_bytes": np.array([], dtype=np.int64),
+    })

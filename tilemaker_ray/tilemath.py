@@ -111,6 +111,15 @@ def zorder_encode(z):
     return np.clip(out, -32768, 32767).astype(np.int16)
 
 
+def _lat2latp_s(lat: float) -> float:
+    lat = -85.06 if lat < -85.06 else (85.06 if lat > 85.06 else lat)
+    return math.degrees(math.log(math.tan(math.radians(lat + 90.0) / 2.0)))
+
+
+def _latp2lat_s(latp: float) -> float:
+    return math.degrees(math.atan(math.exp(math.radians(latp))) * 2.0) - 90.0
+
+
 # --- TileBbox (coordinates_geom.cpp:9-52) -------------------------------
 
 class TileBbox:
@@ -127,16 +136,20 @@ class TileBbox:
     )
 
     def __init__(self, x: int, y: int, zoom: int, hires: bool = False):
+        # scalar math (not numpy): this runs once per rendered tile and
+        # numpy scalar ufunc dispatch is ~10x slower than libm here
         self.zoom = zoom
         self.x = x
         self.y = y
         self.hires = hires
-        self.min_lon = float(tilex2lon(x, zoom))
-        self.min_lat = float(tiley2lat(y + 1, zoom))
-        self.max_lon = float(tilex2lon(x + 1, zoom))
-        self.max_lat = float(tiley2lat(y, zoom))
-        self.min_latp = float(lat2latp(self.min_lat))
-        self.max_latp = float(lat2latp(self.max_lat))
+        self.min_lon = math.ldexp(x, -zoom) * 360.0 - 180.0
+        self.max_lon = math.ldexp(x + 1, -zoom) * 360.0 - 180.0
+        # reference computes latp via lat (tiley2lat then lat2latp with
+        # the ±85.06 clamp) — keep that exact roundtrip
+        self.min_lat = _latp2lat_s(180.0 - math.ldexp(y + 1, -zoom) * 360.0)
+        self.max_lat = _latp2lat_s(180.0 - math.ldexp(y, -zoom) * 360.0)
+        self.min_latp = _lat2latp_s(self.min_lat)
+        self.max_latp = _lat2latp_s(self.max_lat)
         self.xmargin = (self.max_lon - self.min_lon) / 200.0
         self.ymargin = (self.max_latp - self.min_latp) / 200.0
         self.extent = 8192 if hires else 4096
@@ -153,6 +166,12 @@ class TileBbox:
         x = np.floor((np.asarray(lon, dtype=np.float64) - self.min_lon) / self.xscale)
         y = np.floor((self.max_latp - np.asarray(latp, dtype=np.float64)) / self.yscale)
         return x.astype(np.int64), y.astype(np.int64)
+
+    def scale_pt(self, latp: float, lon: float) -> tuple[int, int]:
+        """Scalar fast path of scale_latplon (hot: once per point
+        feature per tile)."""
+        return (int(math.floor((lon - self.min_lon) / self.xscale)),
+                int(math.floor((self.max_latp - latp) / self.yscale)))
 
     def floor_latplon(self, latp, lon):
         """coordinates_geom.cpp:90-93 — snap to the int grid, back to degrees."""
