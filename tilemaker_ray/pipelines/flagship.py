@@ -53,7 +53,14 @@ def feature_dataset(pages_dir: str, config: Config | None = None,
 
 def tile_dataset(pages_dir: str, config: Config | None = None,
                  concurrency: int | tuple | None = None,
-                 two_stage: bool = True) -> ray.data.Dataset:
+                 mode: str = "single_pass",
+                 two_stage: bool | None = None) -> ray.data.Dataset:
+    """mode: "single_pass" (default — geometry as a plain map_batches,
+    ONE shuffle total), "salted" (z6-salted geometry shuffle + assembly
+    shuffle; the resumable path uses this keying), "one_stage" (legacy
+    per-z6 render, kept for equality tests)."""
+    if two_stage is not None:  # back-compat for tests
+        mode = "salted" if two_stage else "one_stage"
     config = config or default_config()
     # smaller blocks through the tile shuffle: the sort would otherwise
     # pack the whole exploded dataset into a couple of 128 MB blocks and
@@ -65,10 +72,26 @@ def tile_dataset(pages_dir: str, config: Config | None = None,
     if ctx.target_max_block_size is None or ctx.target_max_block_size > 8 * 1024 * 1024:
         ctx.target_max_block_size = 8 * 1024 * 1024
     feats = feature_dataset(pages_dir, config, concurrency=concurrency)
+
+    if mode == "single_pass":
+        from ..stages.salted import GeomMap, TileAssembler
+        geom_map = GeomMap(config)
+        assembler_sp = TileAssembler(config)
+
+        def run_geom_map(b):
+            return geom_map(b)
+
+        def run_assemble_sp(df):
+            return assembler_sp(df)
+
+        partials = feats.map_batches(run_geom_map, batch_format="pyarrow")
+        return partials.groupby(["zoom", "mx", "my"]).map_groups(
+            run_assemble_sp, batch_format="pandas")
+
     assigned = feats.map_batches(
         lambda b: assign_tiles_batch(b, config.base_zoom),
         batch_format="pyarrow")
-    if not two_stage:
+    if mode == "one_stage":
         renderer = TileRenderer(config)
 
         def render_group(df):

@@ -200,6 +200,54 @@ class GeomStage(TileRenderer):
             r["pts"].append(pts_blob)
 
 
+class GeomMap(GeomStage):
+    """Single-pass geometry map — NO pre-shuffle at all.
+
+    Key insight: a feature's exploded (feature × tile) rows are all
+    produced from the same input row, so they are already co-located in
+    the batch that extracted them. Grouping by z6 before geometry was a
+    carry-over from the reference's shared-store design; clip-cache
+    parent-zoom reuse only needs a feature's tiles to be processed
+    together, which a batch already guarantees. This removes one
+    all-to-all exchange entirely — the pipeline's only shuffle is the
+    stage-B assembly groupby — and stage-A skew vanishes because input
+    batches are uniformly sized (no salting needed before geometry;
+    the salted z6 path remains for the resumable/partitioned variant).
+
+    Used as: feature_ds.map_batches(GeomMap-instance wrapper,
+    batch_format="pyarrow") → stage-B rows.
+    """
+
+    def __call__(self, batch) -> pd.DataFrame:
+        from .tiles import assign_tiles_batch
+        import pyarrow as pa
+        if isinstance(batch, pd.DataFrame):
+            batch = pa.Table.from_pandas(batch, preserve_index=False)
+        assigned = assign_tiles_batch(batch, self.config.base_zoom,
+                                      explode_large_by_z6=False,
+                                      emit_lowzoom=False)
+        df = assigned.to_pandas()
+        self._rows = {k: [] for k in self.A_COLUMNS}
+        self.render_range(df, self.config.start_zoom, self.config.end_zoom)
+        r = self._rows
+        tx = np.array(r["tile_x"], dtype=np.uint32)
+        ty = np.array(r["tile_y"], dtype=np.uint32)
+        return pd.DataFrame({
+            "zoom": np.array(r["zoom"], dtype=np.uint8),
+            "tile_x": tx,
+            "tile_y": ty,
+            "mx": tx >> np.uint32(4),
+            "my": ty >> np.uint32(4),
+            "lidx": np.array(r["lidx"], dtype=np.int64),
+            "zo_sort": np.array(r["zo_sort"], dtype=np.int64),
+            "geom_type": np.array(r["geom_type"], dtype=np.uint8),
+            "attrs": pd.Series(r["attrs"], dtype=object),
+            "feature_id": np.array(r["feature_id"], dtype=np.uint64),
+            "layer": pd.Series(r["layer"], dtype=object),
+            "pts": pd.Series(r["pts"], dtype=object),
+        })
+
+
 class TileAssembler:
     """Stage B: per (zoom,x,y) group — final sort, dedup, feature_limit,
     point/line merging, MVT assembly, compression."""

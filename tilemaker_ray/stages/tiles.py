@@ -39,10 +39,17 @@ LARGE_FEATURE_TILES = 16  # reference threshold (tile_data.cpp:461,527)
 LOWZOOM = np.uint32(0xFFFFFFFF)  # sentinel z6x for the z0-5 render group
 
 
-def assign_tiles_batch(batch: pa.Table, base_zoom: int = 14) -> pa.Table:
+def assign_tiles_batch(batch: pa.Table, base_zoom: int = 14,
+                       explode_large_by_z6: bool = True,
+                       emit_lowzoom: bool = True) -> pa.Table:
     """map_batches(fn, batch_format="pyarrow") body: feature rows in,
     (feature x covered-tile) rows out. Point rows are vectorized; only
-    line/polygon rows walk per feature."""
+    line/polygon rows walk per feature.
+
+    explode_large_by_z6 / emit_lowzoom exist for the z6-shuffle render
+    path; the single-pass geometry map (stages/salted.py GeomMap) sets
+    both False — it consumes the batch directly, so large features need
+    one row and low-zoom tiles derive from the regular rows."""
     gt = batch.column("geom_type").to_numpy()
     lon = batch.column("lon").to_numpy()
     latp = batch.column("latp").to_numpy()
@@ -83,7 +90,7 @@ def assign_tiles_batch(batch: pa.Table, base_zoom: int = 14) -> pa.Table:
         n = len(pidx)
         large_out.extend([False] * n)
         rng_out.extend([(0, 0, 0, 0)] * n)
-        low = minz[pidx] <= 5
+        low = (minz[pidx] <= 5) if emit_lowzoom else np.zeros(len(pidx), dtype=bool)
         if low.any():
             lidx = pidx[low]
             idx_out.extend(lidx.tolist())
@@ -116,18 +123,21 @@ def assign_tiles_batch(batch: pa.Table, base_zoom: int = 14) -> pa.Table:
             xs = [t[0] for t in tile_set]
             ys = [t[1] for t in tile_set]
             rng = (min(xs), max(xs), min(ys), max(ys))
-            for zx in range(rng[0] >> shift, (rng[1] >> shift) + 1):
-                for zy in range(rng[2] >> shift, (rng[3] >> shift) + 1):
-                    if 0 <= zx <= zmax_6 and 0 <= zy <= zmax_6:
-                        emit(i, rng[0], rng[2], zx, zy, True, rng)
-            if minz[i] <= 5:
+            if explode_large_by_z6:
+                for zx in range(rng[0] >> shift, (rng[1] >> shift) + 1):
+                    for zy in range(rng[2] >> shift, (rng[3] >> shift) + 1):
+                        if 0 <= zx <= zmax_6 and 0 <= zy <= zmax_6:
+                            emit(i, rng[0], rng[2], zx, zy, True, rng)
+            else:
+                emit(i, rng[0], rng[2], rng[0] >> shift, rng[2] >> shift, True, rng)
+            if emit_lowzoom and minz[i] <= 5:
                 emit(i, rng[0], rng[2], int(LOWZOOM), 0, True, rng)
         else:
             z6_seen: set[tuple[int, int]] = set()
             for (x, y) in sorted(tile_set):
                 emit(i, x, y, x >> shift, y >> shift, False)
                 z6_seen.add((x >> shift, y >> shift))
-            if minz[i] <= 5:
+            if emit_lowzoom and minz[i] <= 5:
                 for (zx, zy) in sorted(z6_seen):
                     emit(i, (zx << shift), (zy << shift), int(LOWZOOM), 0, False)
 
