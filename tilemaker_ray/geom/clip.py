@@ -155,6 +155,38 @@ def _seg_intersects_box(x1, y1, x2, y2, minx, miny, maxx, maxy) -> bool:
     return _liang_barsky(x1, y1, x2, y2, minx, miny, maxx, maxy) is not None
 
 
+def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman against a CONVEX clip polygon (CCW closed
+    ring). Exact for convex clippers; used by AreaIntersecting (J5) on
+    the convex region layer. Returns an open point list (possibly
+    empty)."""
+    pts = [(float(p[0]), float(p[1])) for p in subject[:-1]] \
+        if len(subject) and (subject[0] == subject[-1]).all() \
+        else [(float(p[0]), float(p[1])) for p in subject]
+    for k in range(len(clip_ring) - 1):
+        if not pts:
+            break
+        ax, ay = clip_ring[k]
+        bx, by = clip_ring[k + 1]
+        ex, ey = bx - ax, by - ay
+        out = []
+        prev = pts[-1]
+        prev_in = ex * (prev[1] - ay) - ey * (prev[0] - ax) >= 0
+        for p in pts:
+            cur_in = ex * (p[1] - ay) - ey * (p[0] - ax) >= 0
+            if cur_in != prev_in:
+                dx, dy = p[0] - prev[0], p[1] - prev[1]
+                denom = ex * dy - ey * dx
+                if denom != 0:
+                    t = (ey * (prev[0] - ax) - ex * (prev[1] - ay)) / denom
+                    out.append((prev[0] + t * dx, prev[1] + t * dy))
+            if cur_in:
+                out.append(p)
+            prev, prev_in = p, cur_in
+        pts = out
+    return np.array(pts, dtype=np.float64).reshape(-1, 2)
+
+
 def clip_linestring_tilemaker(ls: np.ndarray, clip_box, ext_box) -> list[np.ndarray]:
     """The LINESTRING_ branch of buildWayGeometry
     (tile_data.cpp:223-248): split the input where a segment does not

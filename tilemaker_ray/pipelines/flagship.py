@@ -36,15 +36,22 @@ def _default_concurrency() -> int:
 
 def feature_dataset(pages_dir: str, config: Config | None = None,
                     concurrency: int | tuple | None = None,
-                    batch_size: int = 2048) -> ray.data.Dataset:
+                    batch_size: int = 2048,
+                    with_joins: bool = False) -> ray.data.Dataset:
     config = config or default_config()
     if concurrency is None:
         concurrency = _default_concurrency()
     known = {l.name for l in config.layers}
+    kwargs = {"known_layers": known}
+    if with_joins:
+        from ..profile import JoinedWebProfile
+        from ..sources.regions import region_table
+        kwargs["profile_factory"] = JoinedWebProfile
+        kwargs["regions_ref"] = ray.put(region_table())
     ds = ray.data.read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
     return ds.map_batches(
         PageFeatureExtractor,
-        fn_constructor_kwargs={"known_layers": known},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -54,7 +61,8 @@ def feature_dataset(pages_dir: str, config: Config | None = None,
 def tile_dataset(pages_dir: str, config: Config | None = None,
                  concurrency: int | tuple | None = None,
                  mode: str = "single_pass",
-                 two_stage: bool | None = None) -> ray.data.Dataset:
+                 two_stage: bool | None = None,
+                 with_joins: bool = False) -> ray.data.Dataset:
     """mode: "single_pass" (default — geometry as a plain map_batches,
     ONE shuffle total), "salted" (z6-salted geometry shuffle + assembly
     shuffle; the resumable path uses this keying), "one_stage" (legacy
@@ -71,21 +79,28 @@ def tile_dataset(pages_dir: str, config: Config | None = None,
     ctx = DataContext.get_current()
     if ctx.target_max_block_size is None or ctx.target_max_block_size > 8 * 1024 * 1024:
         ctx.target_max_block_size = 8 * 1024 * 1024
-    feats = feature_dataset(pages_dir, config, concurrency=concurrency)
+    feats = feature_dataset(pages_dir, config, concurrency=concurrency,
+                            with_joins=with_joins)
 
     if mode == "single_pass":
-        from ..stages.salted import GeomMap, TileAssembler
+        from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
+                                     default_num_partitions)
         geom_map = GeomMap(config)
         assembler_sp = TileAssembler(config)
+        nparts = default_num_partitions()
 
         def run_geom_map(b):
             return geom_map(b)
 
+        def add_pk(df):
+            return add_partition_key(df, nparts)
+
         def run_assemble_sp(df):
             return assembler_sp(df)
 
-        partials = feats.map_batches(run_geom_map, batch_format="pyarrow")
-        return partials.groupby(["zoom", "mx", "my"]).map_groups(
+        partials = (feats.map_batches(run_geom_map, batch_format="pyarrow")
+                         .map_batches(add_pk, batch_format="pandas"))
+        return partials.groupby("pk").map_groups(
             run_assemble_sp, batch_format="pandas")
 
     assigned = feats.map_batches(

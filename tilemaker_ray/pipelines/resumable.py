@@ -32,10 +32,6 @@ from ..stages.tiles import assign_tiles_batch
 from .flagship import feature_dataset
 
 
-def partition_key(zoom: int, mx: int, my: int) -> str:
-    return f"z{zoom}-mx{mx}-my{my}"
-
-
 class WritingAssembler(TileAssembler):
     """Stage B + atomic parquet write + manifest row per partition."""
 
@@ -49,11 +45,8 @@ class WritingAssembler(TileAssembler):
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
-        zoom = int(df["zoom"].iloc[0])
-        mx = int(df["tile_x"].iloc[0]) >> 4
-        my = int(df["tile_y"].iloc[0]) >> 4
+        key = f"pk{int(df['pk'].iloc[0]):05d}"
         out = super().__call__(df)
-        key = partition_key(zoom, mx, my)
         path = os.path.join(self.tiles_dir, f"{key}.parquet")
         table = pa.Table.from_pandas(out, preserve_index=False)
         import io
@@ -72,9 +65,21 @@ def run_resumable(pages_dir: str, out_dir: str,
     """Run (or resume) the flagship into out_dir. Returns summary stats.
     Completed partitions (per the manifest) are skipped before the
     assembly shuffle via a broadcast key-set filter."""
+    import json
     config = config or default_config()
     manifest = Manifest(out_dir)
     done = manifest.completed()
+
+    # pin the partition count on first run so a resume (possibly on a
+    # different cluster size) maps rows to the same partitions
+    from ..stages.salted import add_partition_key, default_num_partitions
+    meta_path = os.path.join(out_dir, "_manifest", "run_meta.json")
+    if os.path.exists(meta_path):
+        nparts = json.load(open(meta_path))["num_partitions"]
+    else:
+        nparts = default_num_partitions()
+        with open(meta_path, "w") as f:
+            json.dump({"num_partitions": nparts, "pages": pages_dir}, f)
 
     from ray.data import DataContext
     ctx = DataContext.get_current()
@@ -94,8 +99,7 @@ def run_resumable(pages_dir: str, out_dir: str,
         for a very large done-set switch to ray.put + lazy ray.get."""
         if not done:
             return df
-        keys = ("z" + df["zoom"].astype(str) + "-mx"
-                + df["mx"].astype(str) + "-my" + df["my"].astype(str))
+        keys = "pk" + df["pk"].astype(np.int64).astype(str).str.zfill(5)
         return df[~keys.isin(done)]
 
     assembler = WritingAssembler(out_dir, pages_dir, config)
@@ -103,10 +107,14 @@ def run_resumable(pages_dir: str, out_dir: str,
     def run_assemble(df):
         return assembler(df)
 
+    def add_pk(df):
+        return add_partition_key(df, nparts)
+
     partials = (feature_dataset(pages_dir, config)
                 .map_batches(run_geom, batch_format="pyarrow")
+                .map_batches(add_pk, batch_format="pandas")
                 .map_batches(skip_done, batch_format="pandas"))
-    tiles = partials.groupby(["zoom", "mx", "my"]).map_groups(
+    tiles = partials.groupby("pk").map_groups(
         run_assemble, batch_format="pandas")
     summary = tiles.map_batches(
         lambda df: pd.DataFrame({"tiles": [len(df)],

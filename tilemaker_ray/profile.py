@@ -52,10 +52,14 @@ class Feature:
 
 
 class Emitter:
-    """Collects features for one page; the Lua-API verbs."""
+    """Collects features for one page; the Lua-API verbs. `joins`
+    exposes the spatial-join verbs (Intersects/FindIntersecting/
+    CoveredBy/FindCovering/AreaIntersecting/Nearest) over the indexed
+    external layers, mirroring osm_lua_processing.cpp:377-470."""
 
-    def __init__(self, known_layers: set[str]):
+    def __init__(self, known_layers: set[str], joins=None):
         self.known_layers = known_layers
+        self.joins = joins
         self.features: list[Feature] = []
         self._cur: Feature | None = None
 
@@ -177,6 +181,40 @@ class WebProfile:
             emit.AttributeBoolean("verified", importance % 2 == 0, minzoom=12)
             emit.MinZoom(8)
             emit.ZOrder(-importance)
+
+
+class JoinedWebProfile(WebProfile):
+    """WebProfile + spatial joins against the indexed `regions` layer:
+    places get their containing region (J3 semi-join → attribute),
+    areas get a covered_by flag and the intersection area (J5), routes
+    get the nearest region (kNN)."""
+
+    def page_function(self, page: Page, emit: Emitter) -> None:
+        super().page_function(page, emit)
+        j = emit.joins
+        if j is None:
+            return
+        import numpy as np
+        from .geom import core as gc
+        for f in emit.features:
+            emit._cur = f
+            if f.geom_type == gc.POINT_:
+                names = j.FindIntersecting("regions", gc.POINT_, (f.lon, f.latp))
+                if names:
+                    emit.Attribute("region", names[0])
+            elif f.geom_type in (gc.LINESTRING_, gc.MULTILINESTRING_):
+                near = j.Nearest("regions", float(f.geom_parts[0][0, 0]),
+                                 float(f.geom_parts[0][0, 1]), 1)
+                if near:
+                    emit.Attribute("near_region", near[0], minzoom=10)
+            else:
+                rings = f.geom_parts[0]
+                if j.CoveredBy("regions", gc.POLYGON_, rings[0]):
+                    emit.AttributeBoolean("in_region", True)
+                area = j.AreaIntersecting("regions", rings)
+                if area > 0:
+                    emit.AttributeNumeric("region_overlap_m2", round(area, 1),
+                                          minzoom=12)
 
 
 def hash_url(url: str) -> int:

@@ -42,10 +42,19 @@ FEATURE_SCHEMA = pa.schema([
 
 class PageFeatureExtractor:
     def __init__(self, profile_factory=WebProfile, known_layers=None,
-                 verify_text_invariant: bool = True):
+                 verify_text_invariant: bool = True, regions_ref=None):
         self.profile = profile_factory()
         self.known_layers = set(known_layers or ("places", "routes", "areas"))
         self.verify = verify_text_invariant
+        # broadcast spatial-join build side: ray.put once on the driver,
+        # PolygonIndex built ONCE PER ACTOR here (ST5 pattern)
+        self.joins = None
+        if regions_ref is not None:
+            import ray
+            from .spatial_join import PolygonIndex, SpatialJoins
+            regions = ray.get(regions_ref) if isinstance(regions_ref, ray.ObjectRef) \
+                else regions_ref
+            self.joins = SpatialJoins({"regions": PolygonIndex(regions)})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -62,7 +71,7 @@ class PageFeatureExtractor:
                 if ext != texts[i]:
                     raise ValueError(f"text-extraction invariant violated for {urls[i]}")
             page = Page(urls[i], None, htmls[i], texts[i], langs[i])
-            emit = Emitter(self.known_layers)
+            emit = Emitter(self.known_layers, joins=self.joins)
             self.profile.page_function(page, emit)
             base_id = hash_url(urls[i])
             for j, f in enumerate(emit.features):
