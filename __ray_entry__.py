@@ -41,6 +41,17 @@ def _flagship_tiles(sf_dir: str):
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
 
 
+def _osm_monaco_tiles(sf_dir: str):
+    """Rows-only: the reference's own monaco.pbf fixture through the
+    same engine (PBF blob reads → ways⋈nodes join → multipolygon
+    assembly → profile → tiles); per-tile summary rows."""
+    from tilemaker_ray.pipelines.osm import osm_tile_dataset
+
+    df = osm_tile_dataset("/root/reference/test/monaco.pbf").to_pandas()
+    out = df[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tilemaker_ray.ops import dedup, geospatial, relational, similarity, text
 
@@ -58,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": relational.q_order_revenue_topk,
         "nation_customer_count": relational.q_nation_customer_count,
         "events_window": relational.q_events_window,
+        "events_sessionize": relational.q_events_sessionize,
         "supplier_balance": relational.q_supplier_balance,
         # training-data ops: text analysis
         "token_count": text.q_token_count,
@@ -71,9 +83,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.q_simhash,
         # similarity search
         "cosine_topk": similarity.q_cosine_topk,
+        "cosine_dup_pairs": similarity.q_cosine_dup_pairs,
         "ivf_topk": similarity.q_ivf_topk,
         # flagship tiling pipeline (rows-only)
         "flagship_tiles": _flagship_tiles,
+        # OSM-source pipeline on the reference's Monaco fixture (rows-only)
+        "osm_monaco_tiles": _osm_monaco_tiles,
     }
 
 

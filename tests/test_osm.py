@@ -1,0 +1,68 @@
+"""OSM pipeline e2e on the reference's Monaco fixture."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from tilemaker_ray import tilemath as tm
+from tilemaker_ray.geom import core as gc
+from tilemaker_ray.mvt import decode_tile
+
+MONACO = "/root/reference/test/monaco.pbf"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOsmPipeline:
+    def test_entity_counts(self):
+        from tilemaker_ray.pipelines.osm import entity_dataset
+        df = entity_dataset(MONACO).to_pandas()
+        counts = df.kind.value_counts().to_dict()
+        # golden counts from the reference's own test
+        assert counts["node"] == 30477
+        assert counts["way"] == 4825
+        assert counts["relation"] == 285
+
+    def test_way_assembly_join(self):
+        from tilemaker_ray.pipelines.osm import assembled_ways
+        w = assembled_ways(MONACO).to_pandas()
+        assert len(w) == 4825  # every way's nodes resolve (full extract)
+        soccer = w[w.id == 4224978].iloc[0]
+        assert soccer.n_refs == 5
+        assert soccer.closed
+        kind, parts = gc.unpack(soccer.geom)
+        pts = parts[0]
+        # all coordinates inside the Monaco bbox
+        assert (pts[:, 0] > 7.40).all() and (pts[:, 0] < 7.45).all()
+        lat = tm.latp2lat(pts[:, 1])
+        assert (lat > 43.71).all() and (lat < 43.76).all()
+
+    def test_multipolygon_assembly(self):
+        from tilemaker_ray.pipelines.osm import assembled_multipolygons
+        mp = assembled_multipolygons(MONACO).to_pandas()
+        assert len(mp) > 10
+        # rings are closed and correctly wound
+        kind, polys = gc.unpack(mp.iloc[0].geom)
+        for rings in polys:
+            assert (rings[0][0] == rings[0][-1]).all()
+            assert gc.ring_signed_area(rings[0]) < 0  # outer CW
+            for inner in rings[1:]:
+                assert gc.ring_signed_area(inner) > 0
+
+    def test_monaco_tiles(self):
+        from tilemaker_ray.pipelines.osm import osm_tile_dataset
+        df = osm_tile_dataset(MONACO).to_pandas()
+        assert not df.duplicated(subset=["zoom", "tile_x", "tile_y"]).any()
+        # Monaco (7.41-7.45E, 43.72-43.75N) → z14 tiles around (8529, 5974)
+        z14 = df[df.zoom == 14]
+        assert len(z14) >= 2
+        assert z14.tile_x.between(8529, 8531).all()
+        assert z14.tile_y.between(5973, 5975).all()
+        busiest = z14.sort_values("n_features", ascending=False).iloc[0]
+        dec = decode_tile(gzip.decompress(busiest.mvt))
+        assert set(dec) == {"poi", "roads", "buildings", "landuse"}
+        assert len(dec["roads"]["features"]) > 500
+        assert len(dec["buildings"]["features"]) > 100
+        # roads carry the class attribute
+        classes = {f["tags"].get("class") for f in dec["roads"]["features"]}
+        assert "residential" in classes or "primary" in classes

@@ -149,6 +149,39 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session (gap) windows per user: a new session starts when the
+    gap to the previous event exceeds 30 minutes. The stream-shaped
+    pattern from the guide: partition by key, sort by ts inside
+    map_groups (Ray Data has no watermarks; ordering assumption is
+    event-time sort within the user partition)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype(np.int64)
+        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "session_id", "n_events",
+                    "session_start", "session_end", "sum_value"]]
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (out.to_pandas()
+               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+
+
 def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
     """Sort + filter: suppliers with positive balance, ordered."""
     ds = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
@@ -194,6 +227,25 @@ ORACLES = {
         FROM events
         GROUP BY event_type, date_trunc('day', ts)
         ORDER BY event_type, day
+    """,
+    "events_sessionize": f"""
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
     "supplier_balance": """
         SELECT s_suppkey, s_name, s_acctbal

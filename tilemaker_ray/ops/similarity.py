@@ -150,7 +150,63 @@ def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+DUP_THRESHOLD = 0.45  # synthetic embeddings are near-orthogonal (max
+                      # pairwise cosine ≈ 0.51); 0.45 yields real pairs
+
+
+class CosineDupScorer:
+    """Embedding-cosine near-dup pairs: exact blocked all-pairs — each
+    batch matmuls against the broadcast normalized matrix and keeps
+    pairs (a < b, a in batch). O(n²) total but fully vectorized and
+    distributed over batches; the IVF/LSH-bucketed variant (q_ivf_topk
+    machinery) is the 100 TB scale path for candidate generation."""
+
+    def __init__(self, allref, threshold: float):
+        ids, mat = ray.get(allref)
+        self.all_ids = ids
+        self.all_mat = mat
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = en @ self.all_mat.T  # (batch, all)
+        bi, aj = np.nonzero(sims >= self.threshold)
+        a = ids[bi]
+        bb = self.all_ids[aj]
+        keep = a < bb
+        return pa.table({"vec_a": pa.array(a[keep]),
+                         "vec_b": pa.array(bb[keep])})
+
+
+def q_cosine_dup_pairs(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
+    """Near-duplicate (a,b) pairs with cosine >= threshold, a < b."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    allref = ray.put((emb.vec_id.to_numpy().astype(np.int64), mat))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = ds.map_batches(CosineDupScorer,
+                         fn_constructor_kwargs={"allref": allref,
+                                                "threshold": threshold},
+                         batch_format="pyarrow", concurrency=2)
+    df = out.to_pandas().sort_values(["vec_a", "vec_b"])
+    return df.reset_index(drop=True)
+
+
 ORACLES = {
+    "cosine_dup_pairs": f"""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= {DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
     "cosine_topk": f"""
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,428 @@
+"""OSM pipeline: .osm.pbf → entity Datasets → features → tiles.
+
+The reference's ingestion phases (pbf_processor.cpp:506-748) map to:
+- blob enumeration → `ray.data.from_items(blob offsets)` + per-blob
+  parse tasks (S1; replaces the thread pool over blocks)
+- node store lookups → the ways⋈nodes hash JOIN (J1,
+  pbf_processor.cpp:128-146 → Dataset.join on node_id); no global
+  NodeStore (ST2) — at 10^12 scale this is a sorted-bucket join on id
+  ranges instead of point lookups into shared memory
+- significant-tag prefilter (M2, significant_tags.cpp:5-88) applied
+  before the profile
+- per-entity profile hooks: node_function / way_function
+  (osm_lua_processing.cpp:274-286) with the same emit verbs
+- the rest of the pipeline (GeomMap → pk exchange → TileAssembler) is
+  IDENTICAL to the web flagship — one engine, two sources.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .. import tilemath as tm
+from ..config import Config, LayerDef
+from ..geom import core as gc
+from ..profile import Emitter, hash_url
+from ..sources import pbf
+
+
+# --- significant-tag prefilter (M2) -------------------------------------
+
+class SignificantTags:
+    """`node_keys`/`way_keys` filter: entries `key`, `key=value`, or
+    inverted `~key`; an entity passes if it has any significant tag
+    (or, in inverted mode, any tag that is not excluded).
+    significant_tags.cpp:5-88 semantics."""
+
+    def __init__(self, exprs: list[str] | None):
+        self.enabled = exprs is not None
+        self.plain: set[str] = set()
+        self.kv: set[tuple[str, str]] = set()
+        self.inverted: set[str] = set()
+        for e in exprs or []:
+            if e.startswith("~"):
+                self.inverted.add(e[1:])
+            elif "=" in e:
+                k, v = e.split("=", 1)
+                self.kv.add((k, v))
+            else:
+                self.plain.add(e)
+
+    def accept(self, tags: dict) -> bool:
+        if not self.enabled:
+            return bool(tags)
+        if self.inverted:
+            return any(k not in self.inverted for k in tags)
+        return any(k in self.plain or (k, str(v)) in self.kv
+                   for k, v in tags.items())
+
+
+# --- entity datasets ----------------------------------------------------
+
+def _parse_blocks(path: str, kinds: tuple[str, ...]):
+    def parse(batch: pa.Table) -> pa.Table:
+        out_rows = {"kind": [], "id": [], "lat": [], "lon": [],
+                    "tags": [], "refs": [], "member_ids": [],
+                    "member_types": [], "member_roles": []}
+        for off, ln in zip(batch["offset"].to_pylist(), batch["length"].to_pylist()):
+            data = pbf.read_blob_at(path, off, ln)
+            pb = pbf.parse_primitive_block(data)
+            if "node" in kinds:
+                ids, lat, lon, tags = pbf.block_nodes(pb)
+                for i in range(len(ids)):
+                    out_rows["kind"].append("node")
+                    out_rows["id"].append(int(ids[i]))
+                    out_rows["lat"].append(float(lat[i]))
+                    out_rows["lon"].append(float(lon[i]))
+                    out_rows["tags"].append(json.dumps(tags[i]) if tags[i] else "")
+                    out_rows["refs"].append(b"")
+                    out_rows["member_ids"].append(b"")
+                    out_rows["member_types"].append(b"")
+                    out_rows["member_roles"].append("")
+            if "way" in kinds:
+                for w in pb.ways:
+                    out_rows["kind"].append("way")
+                    out_rows["id"].append(int(w["id"]))
+                    out_rows["lat"].append(float("nan"))
+                    out_rows["lon"].append(float("nan"))
+                    t = pbf.way_tags(pb, w)
+                    out_rows["tags"].append(json.dumps(t) if t else "")
+                    out_rows["refs"].append(w["refs"].astype(np.int64).tobytes())
+                    out_rows["member_ids"].append(b"")
+                    out_rows["member_types"].append(b"")
+                    out_rows["member_roles"].append("")
+            if "relation" in kinds:
+                for r in pb.relations:
+                    out_rows["kind"].append("relation")
+                    out_rows["id"].append(int(r["id"]))
+                    out_rows["lat"].append(float("nan"))
+                    out_rows["lon"].append(float("nan"))
+                    t = {pb.strings[int(k)].decode(): pb.strings[int(v)].decode()
+                         for k, v in zip(r["keys"], r["vals"])}
+                    out_rows["tags"].append(json.dumps(t) if t else "")
+                    out_rows["refs"].append(b"")
+                    out_rows["member_ids"].append(r["memids"].astype(np.int64).tobytes())
+                    out_rows["member_types"].append(r["types"].astype(np.int8).tobytes())
+                    out_rows["member_roles"].append(json.dumps(
+                        [pb.strings[int(s)].decode() for s in r["roles_sid"]]))
+        return pa.table({
+            "kind": pa.array(out_rows["kind"], pa.string()),
+            "id": pa.array(out_rows["id"], pa.int64()),
+            "lat": pa.array(out_rows["lat"], pa.float64()),
+            "lon": pa.array(out_rows["lon"], pa.float64()),
+            "tags": pa.array(out_rows["tags"], pa.string()),
+            "refs": pa.array(out_rows["refs"], pa.binary()),
+            "member_ids": pa.array(out_rows["member_ids"], pa.binary()),
+            "member_types": pa.array(out_rows["member_types"], pa.binary()),
+            "member_roles": pa.array(out_rows["member_roles"], pa.string()),
+        })
+    return parse
+
+
+def entity_dataset(path: str, kinds=("node", "way", "relation")) -> ray.data.Dataset:
+    offs = [{"offset": o, "length": l} for o, l, t in pbf.blob_offsets(path)
+            if t == "OSMData"]
+    ds = ray.data.from_items(offs)
+    return ds.map_batches(_parse_blocks(path, kinds), batch_format="pyarrow",
+                          batch_size=1)
+
+
+def assembled_ways(path: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Ways with coordinates via the J1 hash join:
+    explode refs → join nodes on node_id → regroup in ref order.
+    Returns rows (id, tags, geom [packed mls], closed)."""
+    ents = entity_dataset(path, kinds=("node", "way"))
+
+    def split_nodes(b: pa.Table) -> pa.Table:
+        m = pa.compute.equal(b.column("kind"), "node")
+        t = b.filter(m)
+        return pa.table({"node_id": t.column("id"),
+                         "nlat": t.column("lat"), "nlon": t.column("lon")})
+
+    def split_refs(b: pa.Table) -> pa.Table:
+        m = pa.compute.equal(b.column("kind"), "way")
+        t = b.filter(m)
+        out = {"way_id": [], "seq": [], "node_id": [], "wtags": []}
+        for i in range(t.num_rows):
+            refs = np.frombuffer(t.column("refs")[i].as_py(), dtype=np.int64)
+            wid = t.column("id")[i].as_py()
+            tags = t.column("tags")[i].as_py()
+            for s, nid in enumerate(refs.tolist()):
+                out["way_id"].append(wid)
+                out["seq"].append(s)
+                out["node_id"].append(nid)
+                out["wtags"].append(tags if s == 0 else "")
+        return pa.table({"way_id": pa.array(out["way_id"], pa.int64()),
+                         "seq": pa.array(out["seq"], pa.int64()),
+                         "node_id": pa.array(out["node_id"], pa.int64()),
+                         "wtags": pa.array(out["wtags"], pa.string())})
+
+    nodes = ents.map_batches(split_nodes, batch_format="pyarrow")
+    refs = ents.map_batches(split_refs, batch_format="pyarrow")
+    joined = refs.join(nodes, join_type="inner", num_partitions=num_partitions,
+                       on=("node_id",))
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq")
+        pts = np.column_stack([g["nlon"].to_numpy(),
+                               tm.lat2latp(g["nlat"].to_numpy())])
+        tags = next((t for t in g["wtags"] if t), "")
+        closed = bool(len(pts) > 2 and (pts[0] == pts[-1]).all())
+        return pd.DataFrame({
+            "id": [int(g["way_id"].iloc[0])],
+            "tags": [tags],
+            "geom": [gc.pack_mls([pts])],
+            "closed": [closed],
+            "n_refs": [len(g)],
+        })
+
+    return joined.groupby("way_id").map_groups(regroup, batch_format="pandas")
+
+
+def assembled_multipolygons(path: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Relation multipolygon assembly (M9, J2): relations of
+    type=multipolygon → member ways joined on way_id → rings stitched
+    from way fragments (endpoint matching, mergeMultiPolygonWays
+    semantics) → inners assigned to the containing outer by PIP.
+    Returns rows (id, tags, geom [packed mp])."""
+    ents = entity_dataset(path, kinds=("relation",))
+
+    def explode_members(b: pa.Table) -> pa.Table:
+        out = {"rel_id": [], "way_id": [], "role": [], "rtags": []}
+        for i in range(b.num_rows):
+            tags = json.loads(b.column("tags")[i].as_py() or "{}")
+            if tags.get("type") != "multipolygon":
+                continue
+            mids = np.frombuffer(b.column("member_ids")[i].as_py(), dtype=np.int64)
+            mtypes = np.frombuffer(b.column("member_types")[i].as_py(), dtype=np.int8)
+            roles = json.loads(b.column("member_roles")[i].as_py() or "[]")
+            rid = b.column("id")[i].as_py()
+            first = True
+            for m in range(len(mids)):
+                if mtypes[m] != pbf.MEMBER_WAY:
+                    continue
+                out["rel_id"].append(rid)
+                out["way_id"].append(int(mids[m]))
+                out["role"].append(roles[m] if m < len(roles) else "")
+                out["rtags"].append(json.dumps(tags) if first else "")
+                first = False
+        return pa.table({"rel_id": pa.array(out["rel_id"], pa.int64()),
+                         "way_id": pa.array(out["way_id"], pa.int64()),
+                         "role": pa.array(out["role"], pa.string()),
+                         "rtags": pa.array(out["rtags"], pa.string())})
+
+    members = ents.map_batches(explode_members, batch_format="pyarrow")
+    ways = assembled_ways(path, num_partitions).map_batches(
+        lambda df: df[["id", "geom"]].rename(columns={"id": "wid"}),
+        batch_format="pandas")
+    joined = members.join(ways, join_type="inner", num_partitions=num_partitions,
+                          on=("way_id",), right_on=("wid",))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.render import reorder_multilinestring
+        outers = []
+        inners = []
+        for _, row in g.iterrows():
+            _, parts = gc.unpack(row["geom"])
+            (inners if row["role"] == "inner" else outers).extend(parts)
+        out_rings = [gc.close_ring(ls) for ls in reorder_multilinestring(outers)
+                     if len(ls) >= 3]
+        in_rings = [gc.close_ring(ls) for ls in reorder_multilinestring(inners)
+                    if len(ls) >= 3]
+        out_rings = [r for r in out_rings if (r[0] == r[-1]).all() and len(r) >= 4]
+        if not out_rings:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "tags": pd.Series(dtype=object),
+                                 "geom": pd.Series(dtype=object)})
+        polys = []
+        for orr in out_rings:
+            rings = [orr]
+            for ir in in_rings:
+                if gc.points_in_polygon(ir[:1, 0], ir[:1, 1], [orr])[0]:
+                    rings.append(ir)
+            polys.append(gc.correct_polygon(rings))
+        tags = next((t for t in g["rtags"] if t), "")
+        return pd.DataFrame({"id": [int(g["rel_id"].iloc[0])],
+                             "tags": [tags],
+                             "geom": [gc.pack_mp(polys)]})
+
+    return joined.groupby("rel_id").map_groups(build, batch_format="pandas")
+
+
+# --- OSM profile --------------------------------------------------------
+
+def osm_config() -> Config:
+    return Config(layers=[
+        LayerDef(name="poi", minzoom=12, maxzoom=14, combine_points=True),
+        LayerDef(name="roads", minzoom=8, maxzoom=14, simplify_below=12,
+                 simplify_level=0.0003, simplify_ratio=2.0),
+        LayerDef(name="buildings", minzoom=13, maxzoom=14),
+        LayerDef(name="landuse", minzoom=10, maxzoom=14, simplify_below=12,
+                 simplify_level=0.0003, filter_below=12, filter_area=0.02),
+    ])
+
+
+NODE_KEYS = ["amenity", "shop", "tourism", "place"]
+WAY_KEYS = ["highway", "building", "landuse", "leisure", "natural", "waterway"]
+
+
+class OsmProfile:
+    """node_function / way_function equivalents (the reference's Lua
+    entry points, docs/CONFIGURATION.md:119-188)."""
+
+    def __init__(self):
+        self.node_filter = SignificantTags(NODE_KEYS)
+        self.way_filter = SignificantTags(WAY_KEYS)
+
+    def node_function(self, node_id: int, lon: float, latp: float,
+                      tags: dict, emit: Emitter) -> None:
+        emit.Layer("poi", (lon, latp))
+        kind = next((k for k in NODE_KEYS if k in tags), "other")
+        emit.Attribute("kind", kind)
+        emit.Attribute("value", str(tags.get(kind, "")), minzoom=13)
+        if "name" in tags:
+            emit.Attribute("name", tags["name"], minzoom=13)
+        emit.MinZoom(12)
+
+    def way_function(self, way_id: int, pts: np.ndarray, closed: bool,
+                     tags: dict, emit: Emitter) -> None:
+        if "highway" in tags:
+            emit.Layer("roads", pts)
+            emit.Attribute("class", tags["highway"])
+            if "name" in tags:
+                emit.Attribute("name", tags["name"], minzoom=13)
+            major = tags["highway"] in ("motorway", "trunk", "primary", "secondary")
+            emit.MinZoom(8 if major else 12)
+            emit.ZOrder(100 if major else 10)
+        elif closed and "building" in tags:
+            emit.Layer("buildings", [[gc.close_ring(pts)]])
+            emit.MinZoom(13)
+        elif closed and any(k in tags for k in ("landuse", "leisure", "natural")):
+            emit.Layer("landuse", [[gc.close_ring(pts)]])
+            k = next(k for k in ("landuse", "leisure", "natural") if k in tags)
+            emit.Attribute("class", str(tags[k]))
+            emit.MinZoom(10)
+        elif "waterway" in tags:
+            emit.Layer("roads", pts)
+            emit.Attribute("class", "waterway")
+            emit.MinZoom(10)
+
+
+def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dataset:
+    """Entities → FEATURE_SCHEMA rows (same schema as the web path)."""
+    config = config or osm_config()
+    profile = OsmProfile()
+    known = {l.name for l in config.layers}
+
+    def nodes_to_features(b: pa.Table) -> pa.Table:
+        from ..stages.extract import FEATURE_SCHEMA
+        m = pa.compute.equal(b.column("kind"), "node")
+        t = b.filter(m)
+        out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
+                               "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
+        for i in range(t.num_rows):
+            tags = json.loads(t.column("tags")[i].as_py() or "{}")
+            if not profile.node_filter.accept(tags):
+                continue
+            emit = Emitter(known)
+            nid = t.column("id")[i].as_py()
+            lon = t.column("lon")[i].as_py()
+            latp = float(tm.lat2latp(t.column("lat")[i].as_py()))
+            profile.node_function(nid, lon, latp, tags, emit)
+            _append_features(out, emit, f"osm:node/{nid}", nid << 2)
+        return pa.table(out, schema=FEATURE_SCHEMA)
+
+    nodes = entity_dataset(path, kinds=("node",)).map_batches(
+        nodes_to_features, batch_format="pyarrow")
+
+    def ways_to_features(df: pd.DataFrame) -> pa.Table:
+        from ..stages.extract import FEATURE_SCHEMA
+        out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
+                               "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
+        for _, row in df.iterrows():
+            tags = json.loads(row["tags"] or "{}")
+            if not profile.way_filter.accept(tags):
+                continue
+            kind, parts = gc.unpack(row["geom"])
+            emit = Emitter(known)
+            profile.way_function(int(row["id"]), parts[0], bool(row["closed"]),
+                                 tags, emit)
+            _append_features(out, emit, f"osm:way/{row['id']}",
+                             (int(row["id"]) << 2) | 1)
+        return pa.table(out, schema=FEATURE_SCHEMA)
+
+    ways = assembled_ways(path).map_batches(ways_to_features, batch_format="pandas")
+
+    def rels_to_features(df: pd.DataFrame) -> pa.Table:
+        from ..stages.extract import FEATURE_SCHEMA
+        out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
+                               "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
+        for _, row in df.iterrows():
+            tags = json.loads(row["tags"] or "{}")
+            if not any(k in tags for k in ("landuse", "leisure", "natural", "water")):
+                continue
+            kind, polys = gc.unpack(row["geom"])
+            emit = Emitter(known)
+            emit.Layer("landuse", polys)
+            k = next(k for k in ("landuse", "leisure", "natural", "water") if k in tags)
+            emit.Attribute("class", str(tags[k]))
+            if "name" in tags:
+                emit.Attribute("name", tags["name"], minzoom=13)
+            emit.MinZoom(10)
+            _append_features(out, emit, f"osm:relation/{row['id']}",
+                             (int(row["id"]) << 2) | 2)
+        return pa.table(out, schema=FEATURE_SCHEMA)
+
+    rels = assembled_multipolygons(path).map_batches(rels_to_features,
+                                                     batch_format="pandas")
+    return nodes.union(ways).union(rels)
+
+
+def _append_features(out: dict, emit: Emitter, url: str, base_id: int) -> None:
+    for j, f in enumerate(emit.features):
+        out["url"].append(url)
+        out["feature_id"].append((base_id << 8) | j)
+        out["layer"].append(f.layer)
+        out["geom_type"].append(f.geom_type)
+        out["min_zoom"].append(f.min_zoom)
+        out["z_order"].append(f.z_order)
+        out["attrs"].append(f.canonical_attrs())
+        out["lon"].append(f.lon)
+        out["latp"].append(f.latp)
+        if f.geom_type == gc.POINT_:
+            out["geom"].append(b"")
+        elif f.geom_type in (gc.LINESTRING_, gc.MULTILINESTRING_):
+            out["geom"].append(gc.pack_mls(f.geom_parts))
+        else:
+            out["geom"].append(gc.pack_mp(f.geom_parts))
+
+
+def osm_tile_dataset(path: str, config: Config | None = None) -> ray.data.Dataset:
+    """monaco.pbf (or any .osm.pbf) → MVT tiles through the SAME
+    single-pass engine as the web flagship."""
+    config = config or osm_config()
+    from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
+                                 default_num_partitions)
+    feats = osm_feature_dataset(path, config)
+    geom_map = GeomMap(config)
+    assembler = TileAssembler(config)
+    nparts = default_num_partitions()
+
+    def run_geom(b):
+        return geom_map(b)
+
+    def add_pk(df):
+        return add_partition_key(df, nparts)
+
+    def run_assemble(df):
+        return assembler(df)
+
+    partials = (feats.map_batches(run_geom, batch_format="pyarrow")
+                     .map_batches(add_pk, batch_format="pandas"))
+    return partials.groupby("pk").map_groups(run_assemble, batch_format="pandas")
