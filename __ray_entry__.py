@@ -41,6 +41,12 @@ def _flagship_tiles(sf_dir: str):
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
 
 
+def _image_features(sf_dir: str):
+    from tilemaker_ray.ops.multimodal import q_image_features
+
+    return q_image_features(sf_dir)
+
+
 def _osm_monaco_tiles(sf_dir: str):
     """Rows-only: the reference's own monaco.pbf fixture through the
     same engine (PBF blob reads → ways⋈nodes join → multipolygon
@@ -85,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_topk": similarity.q_cosine_topk,
         "cosine_dup_pairs": similarity.q_cosine_dup_pairs,
         "ivf_topk": similarity.q_ivf_topk,
+        # multimodal plumbing (decode stubbed behind a deterministic
+        # fake codec; schema/actor wiring real — rows-only)
+        "image_features": _image_features,
         # flagship tiling pipeline (rows-only)
         "flagship_tiles": _flagship_tiles,
         # OSM-source pipeline on the reference's Monaco fixture (rows-only)

@@ -121,3 +121,66 @@ class TestManifest:
         atomic_write(p, b"hello")
         assert open(p, "rb").read() == b"hello"
         assert not [f for f in os.listdir(tmp_path) if "tmp" in f]
+
+
+class TestMergeJoin:
+    def test_merge_tiles_feature_union(self):
+        from tilemaker_ray import mvt
+        # old tile: one point in layer "poi"
+        tb1 = mvt.TileBuilder()
+        l1 = tb1.layer("poi")
+        l1.add_feature(mvt.GEOM_POINT, l1.encode_points([(10, 10)]), [("name", "old")])
+        old = tb1.serialize()
+        # new tile: one point in "poi", one line in "roads"
+        tb2 = mvt.TileBuilder()
+        l2 = tb2.layer("poi")
+        l2.add_feature(mvt.GEOM_POINT, l2.encode_points([(20, 20)]), [("name", "new")])
+        l3 = tb2.layer("roads")
+        l3.add_feature(mvt.GEOM_LINESTRING,
+                       l3.encode_multilinestring([[(0, 0), (5, 5)]]), [])
+        new = tb2.serialize()
+        merged = mvt.decode_tile(mvt.merge_tiles(old, new))
+        assert set(merged) == {"poi", "roads"}
+        poi = merged["poi"]["features"]
+        assert len(poi) == 2
+        assert poi[0]["tags"]["name"] == "old"  # existing first
+        assert poi[1]["tags"]["name"] == "new"
+        assert poi[0]["parts"] == [(10, 10)]
+
+    def test_merge_preserves_old_only_layer(self):
+        from tilemaker_ray import mvt
+        tb1 = mvt.TileBuilder()
+        l1 = tb1.layer("water")
+        l1.add_feature(mvt.GEOM_POLYGON,
+                       l1.encode_polygon([[(0, 0), (0, 9), (9, 9), (9, 0), (0, 0)]]), [])
+        old = tb1.serialize()
+        tb2 = mvt.TileBuilder()
+        l2 = tb2.layer("poi")
+        l2.add_feature(mvt.GEOM_POINT, l2.encode_points([(1, 1)]), [])
+        merged = mvt.decode_tile(mvt.merge_tiles(old, tb2.serialize()))
+        assert set(merged) == {"poi", "water"}
+        ring = merged["water"]["features"][0]["parts"][0]
+        assert ring[0] == ring[-1]
+
+    def test_mbtiles_merge_into(self, tmp_path):
+        import gzip
+        from tilemaker_ray import mvt
+        from tilemaker_ray.config import default_config
+        from tilemaker_ray.sinks import mbtiles
+
+        def tile_with_point(x, y, name):
+            tb = mvt.TileBuilder()
+            lb = tb.layer("poi")
+            lb.add_feature(mvt.GEOM_POINT, lb.encode_points([(x, y)]), [("name", name)])
+            return gzip.compress(tb.serialize())
+
+        p = str(tmp_path / "m.mbtiles")
+        meta = mbtiles.default_metadata(default_config())
+        mbtiles.write_mbtiles(p, [(5, 1, 1, tile_with_point(1, 1, "a"))], meta)
+        mbtiles.merge_tiles_into(p, [(5, 1, 1, tile_with_point(2, 2, "b")),
+                                     (5, 2, 2, tile_with_point(3, 3, "c"))], meta)
+        back = mbtiles.read_mbtiles(p)
+        dec = mvt.decode_tile(gzip.decompress(back[(5, 1, 1)]))
+        names = [f["tags"]["name"] for f in dec["poi"]["features"]]
+        assert names == ["a", "b"]
+        assert (5, 2, 2) in back

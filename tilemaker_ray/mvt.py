@@ -218,6 +218,45 @@ def compress_tile(data: bytes, gzip_fmt: bool = True, level: int = 6) -> bytes:
     return co.compress(data) + co.flush()
 
 
+def merge_tiles(old_data: bytes, new_data: bytes) -> bytes:
+    """Per-tile outer merge (J8, the reference's --merge: existing
+    features copied first, new appended — tile_worker.cpp:405-417,
+    ProcessLayer existingTile loop). Inputs/outputs are UNcompressed
+    tile bytes; layers matched by name, old layers with no new
+    counterpart preserved."""
+    old = decode_tile(old_data)
+    new = decode_tile(new_data)
+    tb = TileBuilder()
+    done = set()
+    # keep the new tile's layer order, injecting old features first
+    for name, nl in new.items():
+        lb = tb.layer(name, nl["version"] or 2, nl["extent"] or 4096)
+        for src in (old.get(name), nl):
+            if src is None:
+                continue
+            for f in src["features"]:
+                _reencode_feature(lb, f)
+        done.add(name)
+    for name, ol in old.items():
+        if name in done:
+            continue
+        lb = tb.layer(name, ol["version"] or 2, ol["extent"] or 4096)
+        for f in ol["features"]:
+            _reencode_feature(lb, f)
+    return tb.serialize()
+
+
+def _reencode_feature(lb: "LayerBuilder", f: dict) -> None:
+    tags = list(f["tags"].items())
+    if f["type"] == GEOM_POINT:
+        geom = lb.encode_points(f["parts"])
+    elif f["type"] == GEOM_LINESTRING:
+        geom = lb.encode_multilinestring(f["parts"])
+    else:
+        geom = lb.encode_polygon(f["parts"])
+    lb.add_feature(f["type"], geom, tags, f["id"])
+
+
 # --- minimal decoder (for tests / the merge join) -----------------------
 
 def decode_tile(data: bytes) -> dict:
