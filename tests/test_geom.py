@@ -231,3 +231,34 @@ class TestMVT:
         raw = b"x" * 1000
         gz = mvt.compress_tile(raw, gzip_fmt=True)
         assert gzip.decompress(gz) == raw
+
+
+class TestPolylabel:
+    def test_square_center(self):
+        from tilemaker_ray.geom.polylabel import polylabel
+        sq = ring((0, 0), (10, 0), (10, 10), (0, 10))
+        x, y = polylabel([sq], precision=0.01)
+        assert abs(x - 5.0) < 0.1 and abs(y - 5.0) < 0.1
+
+    def test_with_hole_avoids_hole(self):
+        from tilemaker_ray.geom.polylabel import polylabel
+        outer = ring((0, 0), (10, 0), (10, 10), (0, 10))
+        hole = ring((4, 4), (6, 4), (6, 6), (4, 6))
+        x, y = polylabel([outer, hole], precision=0.01)
+        # best point is NOT inside the hole
+        assert not (4 < x < 6 and 4 < y < 6)
+        assert core.points_in_polygon([x], [y], [outer, hole])[0]
+
+    def test_l_shape_inside(self):
+        from tilemaker_ray.geom.polylabel import polylabel
+        L = ring((0, 0), (10, 0), (10, 2), (2, 2), (2, 10), (0, 10))
+        x, y = polylabel([L], precision=0.01)
+        assert core.points_in_polygon([x], [y], [L])[0]
+
+    def test_emitter_layer_as_centroid(self):
+        from tilemaker_ray.profile import Emitter
+        e = Emitter({"places"})
+        outer = ring((0, 0), (4, 0), (4, 4), (0, 4))
+        e.LayerAsCentroid("places", [[outer]], algo="polylabel")
+        f = e.features[0]
+        assert 1.0 < f.lon < 3.0 and 1.0 < f.latp < 3.0

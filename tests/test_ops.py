@@ -76,3 +76,24 @@ def test_ivf_recall():
     m = brute.merge(ivf, on=["query_id", "vec_id"], how="inner")
     recall = len(m) / len(brute)
     assert recall >= 0.5  # nprobe=4/16 on random vectors
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact_finds_planted_duplicates():
+    """The sf documents tables have no duplicate texts (the oracle only
+    proves the empty case) — plant duplicates and run the same grouped
+    pipeline on them."""
+    import ray
+    from ray.data.aggregate import Count, Min
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": ["unique %d" % i for i in range(7)] + ["dup a", "dup a", "dup b"],
+    })
+    ds = ray.data.from_pandas(docs)
+    out = (ds.groupby("text")
+             .aggregate(Min("doc_id", alias_name="rep_doc_id"),
+                        Count(alias_name="n_dups"))).to_pandas()
+    dups = out[out.n_dups > 1].sort_values("rep_doc_id")
+    assert list(dups.rep_doc_id) == [7]
+    assert list(dups.n_dups) == [2]
+    assert (out.n_dups == 1).sum() == 8  # 7 unique + "dup b"

@@ -228,9 +228,9 @@ def assembled_multipolygons(path: str, num_partitions: int = 8) -> ray.data.Data
         from ..stages.render import reorder_multilinestring
         outers = []
         inners = []
-        for _, row in g.iterrows():
-            _, parts = gc.unpack(row["geom"])
-            (inners if row["role"] == "inner" else outers).extend(parts)
+        for role, geom in zip(g["role"].to_numpy(), g["geom"].to_numpy()):
+            _, parts = gc.unpack(geom)
+            (inners if role == "inner" else outers).extend(parts)
         out_rings = [gc.close_ring(ls) for ls in reorder_multilinestring(outers)
                      if len(ls) >= 3]
         in_rings = [gc.close_ring(ls) for ls in reorder_multilinestring(inners)
@@ -345,16 +345,16 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
         from ..stages.extract import FEATURE_SCHEMA
         out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
                                "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
-        for _, row in df.iterrows():
-            tags = json.loads(row["tags"] or "{}")
+        for wid, wtags, wgeom, wclosed in zip(
+                df["id"].to_numpy(), df["tags"].to_numpy(),
+                df["geom"].to_numpy(), df["closed"].to_numpy()):
+            tags = json.loads(wtags or "{}")
             if not profile.way_filter.accept(tags):
                 continue
-            kind, parts = gc.unpack(row["geom"])
+            kind, parts = gc.unpack(wgeom)
             emit = Emitter(known)
-            profile.way_function(int(row["id"]), parts[0], bool(row["closed"]),
-                                 tags, emit)
-            _append_features(out, emit, f"osm:way/{row['id']}",
-                             (int(row["id"]) << 2) | 1)
+            profile.way_function(int(wid), parts[0], bool(wclosed), tags, emit)
+            _append_features(out, emit, f"osm:way/{wid}", (int(wid) << 2) | 1)
         return pa.table(out, schema=FEATURE_SCHEMA)
 
     ways = assembled_ways(path).map_batches(ways_to_features, batch_format="pandas")
@@ -363,11 +363,12 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
         from ..stages.extract import FEATURE_SCHEMA
         out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
                                "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
-        for _, row in df.iterrows():
-            tags = json.loads(row["tags"] or "{}")
+        for rid, rtags, rgeom in zip(df["id"].to_numpy(), df["tags"].to_numpy(),
+                                     df["geom"].to_numpy()):
+            tags = json.loads(rtags or "{}")
             if not any(k in tags for k in ("landuse", "leisure", "natural", "water")):
                 continue
-            kind, polys = gc.unpack(row["geom"])
+            kind, polys = gc.unpack(rgeom)
             emit = Emitter(known)
             emit.Layer("landuse", polys)
             k = next(k for k in ("landuse", "leisure", "natural", "water") if k in tags)
@@ -375,8 +376,8 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
             if "name" in tags:
                 emit.Attribute("name", tags["name"], minzoom=13)
             emit.MinZoom(10)
-            _append_features(out, emit, f"osm:relation/{row['id']}",
-                             (int(row["id"]) << 2) | 2)
+            _append_features(out, emit, f"osm:relation/{rid}",
+                             (int(rid) << 2) | 2)
         return pa.table(out, schema=FEATURE_SCHEMA)
 
     rels = assembled_multipolygons(path).map_batches(rels_to_features,

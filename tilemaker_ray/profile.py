@@ -82,15 +82,19 @@ class Emitter:
         self._cur = f
         self.features.append(f)
 
-    # --- LayerAsCentroid(name)  (osm_lua_processing.cpp:697-802) ---
-    def LayerAsCentroid(self, name: str, geom) -> None:
+    # --- LayerAsCentroid(name, algo)  (osm_lua_processing.cpp:697-802) ---
+    def LayerAsCentroid(self, name: str, geom, algo: str = "polylabel") -> None:
         if isinstance(geom, tuple):
             c = geom
         elif isinstance(geom, np.ndarray):
             c = gc.centroid(geom)
         else:
-            # multipolygon: centroid of the first polygon's rings
-            c = gc.centroid(geom[0] if geom and isinstance(geom[0], list) else geom)
+            rings = geom[0] if geom and isinstance(geom[0], list) else geom
+            if algo == "polylabel":
+                from .geom.polylabel import polylabel
+                c = polylabel(rings)
+            else:
+                c = gc.centroid(rings)
         f = Feature(name, gc.POINT_)
         f.lon, f.latp = float(c[0]), float(c[1])
         self._cur = f
