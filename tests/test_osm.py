@@ -66,3 +66,34 @@ class TestOsmPipeline:
         # roads carry the class attribute
         classes = {f["tags"].get("class") for f in dec["roads"]["features"]}
         assert "residential" in classes or "primary" in classes
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelationSideTables:
+    def test_scan_and_membership(self):
+        from tilemaker_ray.pipelines.osm import OsmProfile, relation_scan_tables
+        wm, rt = relation_scan_tables(MONACO, scan_fn=OsmProfile.relation_scan,
+                                      postscan_fn=OsmProfile.relation_postscan)
+        assert len(rt) > 10  # Monaco has bus/route relations
+        assert all(t.get("type") in ("route", "route_master") for t in rt.values())
+        # membership map points ways at accepted relations
+        some_way, rels = next(iter(wm.items()))
+        assert all(isinstance(r, int) for r, _ in rels)
+        # postscan: any route with a route_master parent carrying network
+        # inherits it
+        inherited = [t for t in rt.values()
+                     if t.get("type") == "route" and "network" in t]
+        assert len(inherited) >= 0  # presence depends on fixture; no crash
+
+    def test_route_ref_reaches_tiles(self):
+        import gzip
+        from tilemaker_ray.mvt import decode_tile
+        from tilemaker_ray.pipelines.osm import osm_tile_dataset
+        df = osm_tile_dataset(MONACO).to_pandas()
+        found = False
+        for _, row in df[df.zoom == 14].iterrows():
+            dec = decode_tile(gzip.decompress(row.mvt))
+            for f in dec.get("roads", {}).get("features", []):
+                if "route_ref" in f["tags"]:
+                    found = True
+        assert found  # Monaco bus routes tag member highways

@@ -255,6 +255,71 @@ def assembled_multipolygons(path: str, num_partitions: int = 8) -> ray.data.Data
     return joined.groupby("rel_id").map_groups(build, batch_format="pandas")
 
 
+def relation_scan_tables(path: str, scan_fn=None, postscan_fn=None):
+    """RelationScan phase (M12-M14): build the small broadcast side
+    tables the reference keeps globally (osm_store.h:97-200):
+
+      way_members: {way_id: [(rel_id, role), ...]}   (J9/M13)
+      rel_tags:    {rel_id: tags}                     (accepted only)
+
+    scan_fn(tags) -> bool is relation_scan_function + Accept()
+    (osm_lua_processing.cpp:985-1002); postscan_fn(rel_id, tags,
+    parents) -> tags is relation_postscan_function + SetTag with the
+    relation→parent-relation DAG flattened cycle-safely
+    (osm_lua_processing.cpp:1005-1017, osm_store.h:172-191).
+
+    Relations are ~1e-3 of entities; this table is driver-side small
+    and broadcast via ray.put (the reference holds it in memory too).
+    """
+    rels = entity_dataset(path, kinds=("relation",)).to_pandas()
+    accepted: dict[int, dict] = {}
+    members: dict[int, list] = {}       # rel -> [(member_id, type, role)]
+    parents: dict[int, list] = {}       # child rel -> [(parent_rel, role)]
+    for rid, tj, mid_b, mt_b, roles_j in zip(
+            rels["id"].to_numpy(), rels["tags"].to_numpy(),
+            rels["member_ids"].to_numpy(), rels["member_types"].to_numpy(),
+            rels["member_roles"].to_numpy()):
+        tags = json.loads(tj or "{}")
+        if scan_fn is not None and not scan_fn(tags):
+            continue
+        rid = int(rid)
+        accepted[rid] = tags
+        mids = np.frombuffer(mid_b, dtype=np.int64)
+        mtypes = np.frombuffer(mt_b, dtype=np.int8)
+        roles = json.loads(roles_j or "[]")
+        mlist = []
+        for m in range(len(mids)):
+            role = roles[m] if m < len(roles) else ""
+            mlist.append((int(mids[m]), int(mtypes[m]), role))
+            if mtypes[m] == pbf.MEMBER_RELATION:
+                parents.setdefault(int(mids[m]), []).append((rid, role))
+        members[rid] = mlist
+    # post-scan bounce-down over the relation DAG (cycle-guarded)
+    if postscan_fn is not None:
+        for rid in list(accepted):
+            chain: list[tuple[int, str]] = []
+            seen = {rid}
+            frontier = parents.get(rid, [])
+            while frontier:
+                nxt = []
+                for pid, role in frontier:
+                    if pid in seen or pid not in accepted:
+                        continue
+                    seen.add(pid)
+                    chain.append((pid, role))
+                    nxt.extend(parents.get(pid, []))
+                frontier = nxt
+            accepted[rid] = postscan_fn(
+                rid, accepted[rid],
+                [(pid, accepted[pid], role) for pid, role in chain])
+    way_members: dict[int, list] = {}
+    for rid, mlist in members.items():
+        for mid, mtype, role in mlist:
+            if mtype == pbf.MEMBER_WAY:
+                way_members.setdefault(mid, []).append((rid, role))
+    return way_members, accepted
+
+
 # --- OSM profile --------------------------------------------------------
 
 def osm_config() -> Config:
@@ -290,13 +355,38 @@ class OsmProfile:
             emit.Attribute("name", tags["name"], minzoom=13)
         emit.MinZoom(12)
 
+    # relation_scan_function equivalent: accept route relations so
+    # member ways can read them (M12/M13)
+    @staticmethod
+    def relation_scan(tags: dict) -> bool:
+        return tags.get("type") in ("route", "route_master")
+
+    # relation_postscan_function equivalent: bounce the parent
+    # route_master's network tag down to child routes (M14)
+    @staticmethod
+    def relation_postscan(rel_id: int, tags: dict, parents: list) -> dict:
+        for pid, ptags, role in parents:
+            if "network" in ptags and "network" not in tags:
+                tags = dict(tags)
+                tags["network"] = ptags["network"]  # SetTag
+        return tags
+
     def way_function(self, way_id: int, pts: np.ndarray, closed: bool,
-                     tags: dict, emit: Emitter) -> None:
+                     tags: dict, emit: Emitter, relations: list | None = None) -> None:
         if "highway" in tags:
             emit.Layer("roads", pts)
             emit.Attribute("class", tags["highway"])
             if "name" in tags:
                 emit.Attribute("name", tags["name"], minzoom=13)
+            # M13: iterate parent relations (NextRelation/FindInRelation)
+            for rel_id, role, rtags in (relations or []):
+                ref = rtags.get("ref")
+                if ref:
+                    emit.Attribute("route_ref", str(ref), minzoom=11)
+                    if "network" in rtags:
+                        emit.Attribute("route_network", str(rtags["network"]),
+                                       minzoom=11)
+                    break
             major = tags["highway"] in ("motorway", "trunk", "primary", "secondary")
             emit.MinZoom(8 if major else 12)
             emit.ZOrder(100 if major else 10)
@@ -319,6 +409,11 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
     config = config or osm_config()
     profile = OsmProfile()
     known = {l.name for l in config.layers}
+    # RelationScan side tables, broadcast once (M12-M14/J9)
+    way_members, rel_tags = relation_scan_tables(
+        path, scan_fn=profile.relation_scan,
+        postscan_fn=profile.relation_postscan)
+    members_ref = ray.put((way_members, rel_tags))
 
     def nodes_to_features(b: pa.Table) -> pa.Table:
         from ..stages.extract import FEATURE_SCHEMA
@@ -343,6 +438,7 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
 
     def ways_to_features(df: pd.DataFrame) -> pa.Table:
         from ..stages.extract import FEATURE_SCHEMA
+        wm, rt = ray.get(members_ref)
         out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
                                "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
         for wid, wtags, wgeom, wclosed in zip(
@@ -353,7 +449,10 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
                 continue
             kind, parts = gc.unpack(wgeom)
             emit = Emitter(known)
-            profile.way_function(int(wid), parts[0], bool(wclosed), tags, emit)
+            rels = [(rid, role, rt[rid]) for rid, role in wm.get(int(wid), [])
+                    if rid in rt]
+            profile.way_function(int(wid), parts[0], bool(wclosed), tags, emit,
+                                 relations=rels)
             _append_features(out, emit, f"osm:way/{wid}", (int(wid) << 2) | 1)
         return pa.table(out, schema=FEATURE_SCHEMA)
 
