@@ -185,7 +185,8 @@ def assembled_ways(path: str, num_partitions: int = 8) -> ray.data.Dataset:
     return joined.groupby("way_id").map_groups(regroup, batch_format="pandas")
 
 
-def assembled_multipolygons(path: str, num_partitions: int = 8) -> ray.data.Dataset:
+def assembled_multipolygons(path: str, num_partitions: int = 8,
+                            ways_ds: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Relation multipolygon assembly (M9, J2): relations of
     type=multipolygon → member ways joined on way_id → rings stitched
     from way fragments (endpoint matching, mergeMultiPolygonWays
@@ -218,7 +219,9 @@ def assembled_multipolygons(path: str, num_partitions: int = 8) -> ray.data.Data
                          "rtags": pa.array(out["rtags"], pa.string())})
 
     members = ents.map_batches(explode_members, batch_format="pyarrow")
-    ways = assembled_ways(path, num_partitions).map_batches(
+    if ways_ds is None:
+        ways_ds = assembled_ways(path, num_partitions)
+    ways = ways_ds.map_batches(
         lambda df: df[["id", "geom"]].rename(columns={"id": "wid"}),
         batch_format="pandas")
     joined = members.join(ways, join_type="inner", num_partitions=num_partitions,
@@ -456,7 +459,11 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
             _append_features(out, emit, f"osm:way/{wid}", (int(wid) << 2) | 1)
         return pa.table(out, schema=FEATURE_SCHEMA)
 
-    ways = assembled_ways(path).map_batches(ways_to_features, batch_format="pandas")
+    # materialize assembled ways once: both the way features and the
+    # relation multipolygon assembly consume them (avoids running the
+    # ways⋈nodes join twice)
+    ways_ds = assembled_ways(path).materialize()
+    ways = ways_ds.map_batches(ways_to_features, batch_format="pandas")
 
     def rels_to_features(df: pd.DataFrame) -> pa.Table:
         from ..stages.extract import FEATURE_SCHEMA
@@ -479,8 +486,8 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
                              (int(rid) << 2) | 2)
         return pa.table(out, schema=FEATURE_SCHEMA)
 
-    rels = assembled_multipolygons(path).map_batches(rels_to_features,
-                                                     batch_format="pandas")
+    rels = assembled_multipolygons(path, ways_ds=ways_ds).map_batches(
+        rels_to_features, batch_format="pandas")
     return nodes.union(ways).union(rels)
 
 
