@@ -25,7 +25,9 @@ def entry() -> Any:
     from tilemaker_ray.pipelines.flagship import tile_dataset
 
     pages = pages_path(rows_for_sf("/root/testdata/sf0.001"))
-    return tile_dataset(pages)
+    # with_joins exercises the full north-star: geocode -> broadcast
+    # point-in-polygon / kNN joins -> tile assignment -> MVT
+    return tile_dataset(pages, with_joins=True)
 
 
 def _flagship_tiles(sf_dir: str):
@@ -45,6 +47,18 @@ def _image_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_image_features
 
     return q_image_features(sf_dir)
+
+
+def _flagship_joined_tiles(sf_dir: str):
+    """Rows-only: flagship WITH the broadcast spatial-join stage
+    (region tagging via STRtree PIP + kNN inside the extractor)."""
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    from tilemaker_ray.pipelines.flagship import tile_dataset
+
+    pages = pages_path(rows_for_sf(sf_dir))
+    df = tile_dataset(pages, with_joins=True).to_pandas()
+    out = df[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
 
 
 def _osm_monaco_tiles(sf_dir: str):
@@ -96,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         # flagship tiling pipeline (rows-only)
         "flagship_tiles": _flagship_tiles,
+        "flagship_joined_tiles": _flagship_joined_tiles,
         # OSM-source pipeline on the reference's Monaco fixture (rows-only)
         "osm_monaco_tiles": _osm_monaco_tiles,
     }

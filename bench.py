@@ -72,6 +72,15 @@ def run_bench() -> dict:
         fn(sf_dir)
         queries[name] = round(time.time() - t0, 3)
 
+    # joined flagship + OSM fixture pipeline walls
+    t0 = time.time()
+    tile_dataset(pages, with_joins=True).count()
+    queries["flagship_joined"] = round(time.time() - t0, 3)
+    from tilemaker_ray.pipelines.osm import osm_tile_dataset
+    t0 = time.time()
+    osm_tile_dataset("/root/reference/test/monaco.pbf").count()
+    queries["osm_monaco"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "flagship pages→MVT wall sec (+ operator suite)",
