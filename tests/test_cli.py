@@ -1,0 +1,35 @@
+"""CLI surface (python -m tilemaker_ray) — subprocess-driven so the
+CLI owns its own Ray session like a real invocation."""
+
+import subprocess
+import sys
+
+import pytest
+
+
+def run_cli(*args):
+    return subprocess.run([sys.executable, "-m", "tilemaker_ray", *args],
+                          capture_output=True, text=True, cwd="/root/repo",
+                          timeout=280)
+
+
+class TestCli:
+    def test_help(self):
+        r = run_cli("--help")
+        assert r.returncode == 0
+        assert "--input" in r.stdout and "--output" in r.stdout
+
+    def test_missing_input_errors(self):
+        r = run_cli("--output", "/tmp/x.mbtiles")
+        assert r.returncode != 0
+        assert "--input" in r.stderr
+
+    def test_monaco_to_mbtiles(self, tmp_path):
+        out = str(tmp_path / "m.mbtiles")
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", out, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        from tilemaker_ray.sinks.mbtiles import read_mbtiles, read_metadata
+        tiles = read_mbtiles(out)
+        assert len(tiles) >= 10
+        assert read_metadata(out)["format"] == "pbf"

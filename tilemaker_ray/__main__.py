@@ -1,0 +1,143 @@
+"""CLI — the reference UX (`tilemaker --input X --output Y --config Z`,
+options_parser.cpp:18-46) on the Ray Data engine:
+
+    python -m tilemaker_ray --input monaco.osm.pbf --output tiles.mbtiles
+    python -m tilemaker_ray --input pages_dir/ --output tiles.pmtiles --joins
+    python -m tilemaker_ray --input pages_dir/ --output tiles_dir/ --resume
+
+Input is a .osm.pbf file OR a directory of web-page parquet. Output
+container chosen by extension (.mbtiles / .pmtiles / directory of
+z/x/y .pbf). Reference flags without a Ray-side meaning (--store,
+--compact, --shard-stores, node compression) are accepted and ignored
+with a note — the object store replaces the memory-management knobs
+(SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tilemaker_ray",
+        description="Convert .osm.pbf or web-page parquet into vector tiles")
+    ap.add_argument("--input", required=True,
+                    help="source .osm.pbf file or pages parquet directory")
+    ap.add_argument("--output", required=True,
+                    help="target directory or .mbtiles/.pmtiles file")
+    ap.add_argument("--config", default="",
+                    help="layer config JSON (default: built-in schema)")
+    ap.add_argument("--bbox", default="", help="minlon,minlat,maxlon,maxlat")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge with existing .mbtiles (overwrites otherwise)")
+    ap.add_argument("--joins", action="store_true",
+                    help="enable the broadcast spatial-join stage (web input)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resumable run with checkpoint manifest (dir output)")
+    ap.add_argument("--threads", type=int, default=0,
+                    help="Ray CPUs (0 = all available)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    # accepted-but-inert reference flags (memory knobs the object store replaces)
+    for flag in ("--store", "--fast", "--compact", "--no-compress-nodes",
+                 "--no-compress-ways", "--materialize-geometries",
+                 "--shard-stores", "--skip-integrity"):
+        ap.add_argument(flag, nargs="?", const=True, default=None,
+                        help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+
+    if not os.path.exists(args.input):
+        print(f"error: input not found: {args.input}", file=sys.stderr)
+        return 2
+    if not args.input.endswith(".pbf") and not os.path.isdir(args.input):
+        print(f"error: input must be a .osm.pbf file or a parquet directory: "
+              f"{args.input}", file=sys.stderr)
+        return 2
+
+    import ray
+    if not ray.is_initialized():
+        kwargs = {}
+        if args.threads:
+            kwargs["num_cpus"] = args.threads
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import Config, default_config
+
+    t0 = time.time()
+    is_pbf = args.input.endswith(".pbf")
+    if args.config:
+        config = Config.from_json(args.config)
+    elif is_pbf:
+        from .pipelines.osm import osm_config
+        config = osm_config()
+    else:
+        config = default_config()
+
+    if not args.quiet:
+        print(f"Reading {'OSM pbf' if is_pbf else 'pages parquet'}: {args.input}")
+
+    if args.resume and not _is_container(args.output):
+        from .pipelines.resumable import run_resumable
+        stats = run_resumable(args.input, args.output, config)
+        if not args.quiet:
+            print(f"Resumable run: {stats}")
+        ray.shutdown()
+        return 0
+
+    if is_pbf:
+        from .pipelines.osm import osm_tile_dataset
+        tiles = osm_tile_dataset(args.input, config)
+    else:
+        from .pipelines.flagship import tile_dataset
+        tiles = tile_dataset(args.input, config, with_joins=args.joins)
+
+    df = tiles.to_pandas()
+    if not args.quiet:
+        print(f"{len(df)} tiles rendered in {time.time() - t0:.1f}s")
+
+    bounds = tuple(float(x) for x in args.bbox.split(",")) if args.bbox \
+        else (-180.0, -85.06, 180.0, 85.06)
+    rows = list(zip(df.zoom, df.tile_x, df.tile_y, df.mvt))
+    from .sinks import mbtiles as mb
+    meta = mb.default_metadata(config, bounds)
+    if args.output.endswith(".mbtiles"):
+        if args.merge:
+            n = mb.merge_tiles_into(args.output, rows, meta)
+        else:
+            n = mb.write_mbtiles(args.output, rows, meta)
+        what = "mbtiles"
+    elif args.output.endswith(".pmtiles"):
+        from .sinks.pmtiles import write_pmtiles
+        n = write_pmtiles(args.output, rows,
+                          {"name": config.project_name,
+                           "vector_layers": json.loads(meta["json"])["vector_layers"]},
+                          config.start_zoom, config.end_zoom, bounds)
+        what = "pmtiles"
+    else:
+        from .sinks.zxy import write_zxy_batch, write_metadata_json
+        os.makedirs(args.output, exist_ok=True)
+        write_zxy_batch(df, args.output)
+        write_metadata_json(args.output, meta)
+        n = len(df)
+        what = "z/x/y dir"
+    if not args.quiet:
+        print(f"Wrote {n} tiles to {what} {args.output} "
+              f"[total {time.time() - t0:.1f}s]")
+    ray.shutdown()
+    return 0
+
+
+def _is_container(path: str) -> bool:
+    return path.endswith(".mbtiles") or path.endswith(".pmtiles")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
