@@ -262,3 +262,25 @@ class TestPolylabel:
         e.LayerAsCentroid("places", [[outer]], algo="polylabel")
         f = e.features[0]
         assert 1.0 < f.lon < 3.0 and 1.0 < f.latp < 3.0
+
+
+class TestRemoveSpikes:
+    def test_spike_removed(self):
+        # square with a zero-area spike sticking out of the top edge
+        r = np.array([[0., 0.], [10., 0.], [10., 10.], [5., 10.],
+                      [5., 15.], [5., 10.], [0., 10.], [0., 0.]])
+        out = core.remove_spikes_ring(r)
+        assert [5.0, 15.0] not in out.tolist()
+        assert abs(abs(core.ring_signed_area(out)) - 100.0) < 1e-9
+
+    def test_clean_ring_unchanged(self):
+        r = ring((0, 0), (10, 0), (10, 10), (0, 10))
+        out = core.remove_spikes_ring(r)
+        np.testing.assert_array_equal(out, r)
+
+    def test_cascading_spikes(self):
+        # spike whose removal exposes a second collinear reversal
+        r = np.array([[0., 0.], [10., 0.], [10., 10.], [5., 10.],
+                      [5., 14.], [5., 15.], [5., 10.], [0., 10.], [0., 0.]])
+        out = core.remove_spikes_ring(r)
+        assert abs(abs(core.ring_signed_area(out)) - 100.0) < 1e-9

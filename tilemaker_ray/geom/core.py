@@ -316,6 +316,42 @@ def polyline_covered_by_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> boo
     return True
 
 
+def remove_spikes_ring(ring: np.ndarray) -> np.ndarray:
+    """boost::geometry::remove_spikes on a closed ring: drop vertices
+    where the boundary reverses along the same line (zero-area spike) —
+    collinear with direction reversal. Iterates to a fixed point
+    (removing one spike can expose another)."""
+    r = ring[:-1] if len(ring) > 1 and (ring[0] == ring[-1]).all() else ring
+    changed = True
+    while changed and len(r) > 3:
+        changed = False
+        keep = np.ones(len(r), dtype=bool)
+        n = len(r)
+        for i in range(n):
+            a = r[(i - 1) % n]
+            b = r[i]
+            c = r[(i + 1) % n]
+            ab = b - a
+            bc = c - b
+            cross = ab[0] * bc[1] - ab[1] * bc[0]
+            dot = ab[0] * bc[0] + ab[1] * bc[1]
+            if cross == 0.0 and dot < 0.0:
+                keep[i] = False
+                changed = True
+        if changed:
+            r = r[keep]
+    return close_ring(r)
+
+
+def remove_spikes_mp(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    out = []
+    for rings in polys:
+        rr = [remove_spikes_ring(r) for r in rings]
+        if len(rr[0]) >= 4:
+            out.append([rr[0]] + [r for r in rr[1:] if len(r) >= 4])
+    return out
+
+
 def geom_bbox(arrs) -> tuple[float, float, float, float]:
     """(minx, miny, maxx, maxy) over ndarray or nested lists of them."""
     if isinstance(arrs, np.ndarray):

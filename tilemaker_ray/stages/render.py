@@ -370,6 +370,8 @@ class TileRenderer:
                 scaled = simplify_vis_multipolygon(scaled, lvl)
             else:
                 scaled = simplify_multipolygon(scaled, lvl)
+            # writeMultiPolygon runs remove_spikes after simplify
+            scaled = gc.remove_spikes_mp(scaled)
         rings_out = []
         for poly in scaled:
             outer_pts = _ring_pts(poly[0])

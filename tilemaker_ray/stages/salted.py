@@ -172,6 +172,7 @@ class GeomStage(TileRenderer):
                         scaled = simplify_vis_multipolygon(scaled, lvl)
                     else:
                         scaled = simplify_multipolygon(scaled, lvl)
+                    scaled = gc.remove_spikes_mp(scaled)
                 rings_out = []
                 for poly in scaled:
                     op = _ring_pts(poly[0])
