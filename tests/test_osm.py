@@ -97,3 +97,21 @@ class TestRelationSideTables:
                 if "route_ref" in f["tags"]:
                     found = True
         assert found  # Monaco bus routes tag member highways
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_combine_polygons_below():
+    """buildings combine below z14: fewer features at z13 than distinct
+    building polygons in the same area, same count at z14."""
+    import gzip
+    from tilemaker_ray.mvt import decode_tile
+    from tilemaker_ray.pipelines.osm import osm_tile_dataset
+    df = osm_tile_dataset(MONACO).to_pandas()
+    z13 = df[df.zoom == 13].sort_values("n_features", ascending=False).iloc[0]
+    dec13 = decode_tile(gzip.decompress(z13.mvt))
+    feats13 = dec13.get("buildings", {}).get("features", [])
+    # combined: multipolygon features with many parts
+    parts13 = sum(len(f["parts"]) for f in feats13)
+    assert parts13 > len(feats13)  # combining actually happened
+    # untagged buildings are all compatible -> collapse to few features
+    assert len(feats13) < parts13 / 2

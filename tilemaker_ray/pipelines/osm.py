@@ -330,7 +330,8 @@ def osm_config() -> Config:
         LayerDef(name="poi", minzoom=12, maxzoom=14, combine_points=True),
         LayerDef(name="roads", minzoom=8, maxzoom=14, simplify_below=12,
                  simplify_level=0.0003, simplify_ratio=2.0),
-        LayerDef(name="buildings", minzoom=13, maxzoom=14),
+        LayerDef(name="buildings", minzoom=13, maxzoom=14,
+                 combine_polygons_below=14),
         LayerDef(name="landuse", minzoom=10, maxzoom=14, simplify_below=12,
                  simplify_level=0.0003, filter_below=12, filter_area=0.02),
     ])

@@ -392,6 +392,17 @@ class TileAssembler:
                     n += 1
             else:
                 rings = unpack_int_parts(blobs[i])
+                if zoom < ld.combine_polygons_below:
+                    # ProcessObjects' combine-polygons loop
+                    # (tile_worker.cpp:351-361) minus the union_many
+                    # dissolve: compatible consecutive polygons merge
+                    # into one multipolygon FEATURE (one attribute set);
+                    # overlaps are left un-dissolved — MVT fills use the
+                    # nonzero rule, so the visual result matches; byte
+                    # size is slightly larger than a true union.
+                    while k + 1 < len(sel) and _compat(gt, zo, at, i, sel[k + 1]):
+                        k += 1
+                        rings.extend(unpack_int_parts(blobs[sel[k]]))
                 if rings:
                     lb.add_feature(mvt.GEOM_POLYGON, lb.encode_polygon(rings),
                                    self._tags(at[i], zoom),
