@@ -199,3 +199,55 @@ class TestRayPipeline:
         a = df.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
         b = df2.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestZ15Lossy:
+    def test_point_beyond_base_zoom(self):
+        from tilemaker_ray.config import Config, LayerDef
+        cfg = Config(layers=[LayerDef(name="places", minzoom=0, maxzoom=16)],
+                     base_zoom=14, end_zoom=16)
+        lon, lat = 7.42, 43.73
+        latp = float(tm.lat2latp(lat))
+        t = pa.table({
+            "url": ["u"], "feature_id": pa.array([7], pa.uint64()),
+            "layer": ["places"], "geom_type": pa.array([gc.POINT_], pa.uint8()),
+            "min_zoom": pa.array([14], pa.uint8()), "z_order": pa.array([0], pa.int16()),
+            "attrs": ["[]"], "lon": [lon], "latp": [latp], "geom": [b""],
+        })
+        df = assign_tiles_batch(t).to_pandas()
+        r = TileRenderer(cfg, compress=False)
+        out = r(df)
+        # exactly one tile per zoom 14..16 (empty z15/z16 siblings dropped)
+        for z in (14, 15, 16):
+            zt = out[out.zoom == z]
+            assert len(zt) == 1, f"z{z}: {len(zt)}"
+            # the child tile contains the point per direct tile math
+            assert int(zt.iloc[0].tile_x) == int(tm.lon2tilex(lon, z))
+            assert int(zt.iloc[0].tile_y) == int(tm.latp2tiley(latp, z))
+
+    def test_area_clips_at_z15(self):
+        from tilemaker_ray.config import Config, LayerDef
+        from tilemaker_ray.mvt import decode_tile
+        cfg = Config(layers=[LayerDef(name="areas", minzoom=0, maxzoom=15)],
+                     base_zoom=14, end_zoom=15)
+        # small polygon inside one z14 tile
+        lon0, lat0 = 7.42, 43.73
+        latp0 = float(tm.lat2latp(lat0))
+        ring = gc.close_ring(np.array([
+            [lon0, latp0], [lon0 + 0.004, latp0],
+            [lon0 + 0.004, latp0 + 0.004], [lon0, latp0 + 0.004]]))
+        t = pa.table({
+            "url": ["u"], "feature_id": pa.array([9], pa.uint64()),
+            "layer": ["areas"], "geom_type": pa.array([gc.POLYGON_], pa.uint8()),
+            "min_zoom": pa.array([14], pa.uint8()), "z_order": pa.array([0], pa.int16()),
+            "attrs": ["[]"], "lon": [float("nan")], "latp": [float("nan")],
+            "geom": [gc.pack_mp([[ring]])],
+        })
+        df = assign_tiles_batch(t).to_pandas()
+        r = TileRenderer(cfg, compress=False)
+        out = r(df[df.z6x != LOWZOOM])
+        z15 = out[out.zoom == 15]
+        assert 1 <= len(z15) <= 9  # only children actually touched
+        for _, row in z15.iterrows():
+            dec = decode_tile(row.mvt)
+            assert dec["areas"]["features"]

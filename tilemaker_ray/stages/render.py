@@ -132,29 +132,55 @@ class TileRenderer:
         small_idx = np.nonzero(~g.large)[0]
         large_idx = np.nonzero(g.large)[0]
         for zoom in range(zmin, zmax + 1):
-            shift = base - zoom
             vis_small = small_idx[g.min_zoom[small_idx] <= zoom]
-            ztx = g.tx[vis_small] >> shift
-            zty = g.ty[vis_small] >> shift
+            if zoom <= base:
+                shift = base - zoom
+                up = 0
+                ztx = g.tx[vis_small] >> shift
+                zty = g.ty[vis_small] >> shift
+            else:
+                # zoom > base: LOSSY derivation from the base-zoom cover
+                # (tile_coordinates_set.h:31-45 z15+ semantics) — every
+                # child of a covered base tile is a candidate; tiles
+                # whose features clip to nothing are dropped below
+                shift = 0
+                up = zoom - base
+                ztx = g.tx[vis_small]
+                zty = g.ty[vis_small]
             # run-slicing: lexsort by (ztx, zty), contiguous runs = tiles
             order = np.lexsort((zty, ztx))
             ztx, zty = ztx[order], zty[order]
             vis_sorted = vis_small[order]
+            tile_map = {}
             if len(ztx):
                 boundary = np.nonzero((np.diff(ztx) != 0) | (np.diff(zty) != 0))[0] + 1
                 starts = np.concatenate([[0], boundary])
                 ends = np.concatenate([boundary, [len(ztx)]])
-                tile_map = {(int(ztx[s]), int(zty[s])): vis_sorted[s:e]
-                            for s, e in zip(starts, ends)}
-            else:
-                tile_map = {}
-            # large features: add their covered tiles (range ∩ whatever)
+                if up == 0:
+                    tile_map = {(int(ztx[s]), int(zty[s])): vis_sorted[s:e]
+                                for s, e in zip(starts, ends)}
+                else:
+                    kk = 1 << up
+                    for s, e in zip(starts, ends):
+                        bx, by = int(ztx[s]) << up, int(zty[s]) << up
+                        idxs = vis_sorted[s:e]
+                        for dx in range(kk):
+                            for dy in range(kk):
+                                tile_map[(bx + dx, by + dy)] = idxs
+            # large features: add their covered tiles (range ∩ subtree)
             vis_large = large_idx[g.min_zoom[large_idx] <= zoom]
             for i in vis_large:
-                x0 = max(g.rng[i, 0], glo[0]) >> shift
-                x1 = min(g.rng[i, 1], ghi[0]) >> shift
-                y0 = max(g.rng[i, 2], glo[1]) >> shift
-                y1 = min(g.rng[i, 3], ghi[1]) >> shift
+                if up == 0:
+                    x0 = max(g.rng[i, 0], glo[0]) >> shift
+                    x1 = min(g.rng[i, 1], ghi[0]) >> shift
+                    y0 = max(g.rng[i, 2], glo[1]) >> shift
+                    y1 = min(g.rng[i, 3], ghi[1]) >> shift
+                else:
+                    kk = 1 << up
+                    x0 = max(g.rng[i, 0], glo[0]) << up
+                    x1 = ((min(g.rng[i, 1], ghi[0]) + 1) << up) - 1
+                    y0 = max(g.rng[i, 2], glo[1]) << up
+                    y1 = ((min(g.rng[i, 3], ghi[1]) + 1) << up) - 1
                 for xx in range(x0, x1 + 1):
                     for yy in range(y0, y1 + 1):
                         key = (xx, yy)
@@ -267,6 +293,13 @@ class TileRenderer:
                 continue
             gt = g.geom_type[i]
             if gt == gc.POINT_:
+                # clip-box check: cleans the z>base lossy index's false
+                # positives (tile_data.h:28-39 semantics); at z<=base a
+                # point's own tile always contains it
+                if not (bbox.clip_minx <= g.lon[i] <= bbox.clip_maxx
+                        and bbox.clip_miny <= g.latp[i] <= bbox.clip_maxy):
+                    k += 1
+                    continue
                 pts = [self._scale_point(g, i, bbox)]
                 while (k + 1 < len(sel) and ld.combine_points
                        and _compatible(g, i, sel[k + 1])):

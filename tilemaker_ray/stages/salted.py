@@ -132,6 +132,10 @@ class GeomStage(TileRenderer):
             gt = g.geom_type[i]
             pts_blob = None
             if gt == gc.POINT_:
+                # clean z>base lossy false positives (see render.py)
+                if not (bbox.clip_minx <= g.lon[i] <= bbox.clip_maxx
+                        and bbox.clip_miny <= g.latp[i] <= bbox.clip_maxy):
+                    continue
                 pts_blob = pack_int_parts([[self._scale_point(g, i, bbox)]])
             elif gt in (gc.LINESTRING_, gc.MULTILINESTRING_):
                 mls = self._clipped_mls(g, i, bbox, state)
