@@ -236,9 +236,10 @@ ORACLES = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
-          SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS session_id
           FROM g
         )
         SELECT user_id, session_id, count(*) AS n_events,
