@@ -184,3 +184,42 @@ class TestMergeJoin:
         names = [f["tags"]["name"] for f in dec["poi"]["features"]]
         assert names == ["a", "b"]
         assert (5, 2, 2) in back
+
+    def test_pmtiles_merge(self, tmp_path):
+        import gzip
+        from tilemaker_ray import mvt
+        from tilemaker_ray.sinks import pmtiles as pmt
+
+        def tile_with_point(x, y, name):
+            tb = mvt.TileBuilder()
+            lb = tb.layer("poi")
+            lb.add_feature(mvt.GEOM_POINT, lb.encode_points([(x, y)]), [("name", name)])
+            return gzip.compress(tb.serialize())
+
+        p = str(tmp_path / "m.pmtiles")
+        pmt.write_pmtiles(p, [(5, 1, 1, tile_with_point(1, 1, "a")),
+                              (5, 3, 3, tile_with_point(9, 9, "keep"))], {})
+        pmt.merge_pmtiles(p, [(5, 1, 1, tile_with_point(2, 2, "b")),
+                              (5, 2, 2, tile_with_point(3, 3, "c"))], {})
+        rd = pmt.read_pmtiles(p)
+        by_zxy = {pmt.tileid_to_zxy(t): d for t, d in rd["tiles"].items()}
+        dec = mvt.decode_tile(gzip.decompress(by_zxy[(5, 1, 1)]))
+        names = [f["tags"]["name"] for f in dec["poi"]["features"]]
+        assert names == ["a", "b"]          # old first, then new
+        assert (5, 2, 2) in by_zxy          # brand-new tile added
+        # untouched existing tile carried over intact
+        dec_keep = mvt.decode_tile(gzip.decompress(by_zxy[(5, 3, 3)]))
+        assert dec_keep["poi"]["features"][0]["tags"]["name"] == "keep"
+
+    def test_pmtiles_compression_header_byte(self, tmp_path):
+        import struct
+        from tilemaker_ray.sinks import pmtiles as pmt
+        p = str(tmp_path / "n.pmtiles")
+        pmt.write_pmtiles(p, [(0, 0, 0, b"raw-bytes")], {},
+                          tile_compression=pmt.COMPRESSION_NONE)
+        with open(p, "rb") as f:
+            raw = f.read(128)
+        # header layout: magic(7)+ver(1)+11*u64+3*u8 → tile_compression
+        # is the second u8 after the counts block
+        tile_comp = raw[8 + 11 * 8 + 1 + 1]
+        assert tile_comp == pmt.COMPRESSION_NONE

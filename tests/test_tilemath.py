@@ -128,3 +128,11 @@ def test_fill_covered_tiles():
     assert (4, 2) in ts and (4, 3) in ts
     # single-y columns unchanged
     assert sum(1 for t in ts if t[0] == 5) == 1
+
+
+def test_fill_covered_tiles_column_zero():
+    # Regression (ADVICE r1): a ring in tile column x=0 must not gain
+    # spurious tiles y=-1..first_y from the -2 sentinel matching x==0.
+    ts = {(0, 5), (0, 7)}
+    tm.fill_covered_tiles(ts)
+    assert ts == {(0, 5), (0, 6), (0, 7)}

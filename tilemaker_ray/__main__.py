@@ -99,34 +99,47 @@ def main(argv=None) -> int:
         from .pipelines.flagship import tile_dataset
         tiles = tile_dataset(args.input, config, with_joins=args.joins)
 
-    df = tiles.to_pandas()
-    if not args.quiet:
-        print(f"{len(df)} tiles rendered in {time.time() - t0:.1f}s")
-
     bounds = tuple(float(x) for x in args.bbox.split(",")) if args.bbox \
         else (-180.0, -85.06, 180.0, 85.06)
-    rows = list(zip(df.zoom, df.tile_x, df.tile_y, df.mvt))
+
+    def tile_rows():
+        # stream blobs off the object store into the single-writer
+        # container pack — only one batch resident at a time (the old
+        # to_pandas() + list(zip) held every MVT blob twice on the
+        # driver; ADVICE r1)
+        for b in tiles.iter_batches(batch_format="pandas", batch_size=4096):
+            yield from zip(b["zoom"], b["tile_x"], b["tile_y"], b["mvt"])
+
     from .sinks import mbtiles as mb
     meta = mb.default_metadata(config, bounds)
     if args.output.endswith(".mbtiles"):
         if args.merge:
-            n = mb.merge_tiles_into(args.output, rows, meta)
+            n = mb.merge_tiles_into(args.output, tile_rows(), meta,
+                                    compress=config.compress)
         else:
-            n = mb.write_mbtiles(args.output, rows, meta)
+            n = mb.write_mbtiles(args.output, tile_rows(), meta)
         what = "mbtiles"
     elif args.output.endswith(".pmtiles"):
-        from .sinks.pmtiles import write_pmtiles
-        n = write_pmtiles(args.output, rows,
-                          {"name": config.project_name,
-                           "vector_layers": json.loads(meta["json"])["vector_layers"]},
-                          config.start_zoom, config.end_zoom, bounds)
+        from .sinks import pmtiles as pmt
+        comp = {"gzip": pmt.COMPRESSION_GZIP,
+                "none": pmt.COMPRESSION_NONE}.get(config.compress,
+                                                  pmt.COMPRESSION_UNKNOWN)
+        pm_meta = {"name": config.project_name,
+                   "vector_layers": json.loads(meta["json"])["vector_layers"]}
+        if args.merge:
+            n = pmt.merge_pmtiles(args.output, tile_rows(), pm_meta,
+                                  config.start_zoom, config.end_zoom, bounds,
+                                  compress=config.compress,
+                                  tile_compression=comp)
+        else:
+            n = pmt.write_pmtiles(args.output, tile_rows(), pm_meta,
+                                  config.start_zoom, config.end_zoom, bounds,
+                                  tile_compression=comp)
         what = "pmtiles"
     else:
-        from .sinks.zxy import write_zxy_batch, write_metadata_json
+        from .sinks.zxy import write_zxy, write_metadata_json
         os.makedirs(args.output, exist_ok=True)
-        write_zxy_batch(df, args.output)
-        write_metadata_json(args.output, meta)
-        n = len(df)
+        n = write_zxy(tiles, args.output, meta)
         what = "z/x/y dir"
     if not args.quiet:
         print(f"Wrote {n} tiles to {what} {args.output} "

@@ -116,7 +116,10 @@ class Config:
             mvt_version=s.get("mvt_version", 2),
             include_ids=s.get("include_ids", False),
             combine_below=s.get("combine_below", 0),
-            compress="gzip" if s.get("compress", "gzip") in (True, "gzip") else "none",
+            compress={True: "gzip", False: "none"}.get(
+                s.get("compress", "gzip"),
+                s.get("compress") if s.get("compress") in ("gzip", "deflate", "none")
+                else "none"),
             high_resolution=s.get("high_resolution", False),
         )
 

@@ -218,6 +218,12 @@ def compress_tile(data: bytes, gzip_fmt: bool = True, level: int = 6) -> bytes:
     return co.compress(data) + co.flush()
 
 
+def decompress_tile(data: bytes) -> bytes:
+    """Inverse of compress_tile for either wrapper: wbits=32+15 lets
+    zlib auto-detect gzip vs raw-zlib (deflate) headers."""
+    return zlib.decompress(data, 32 + zlib.MAX_WBITS)
+
+
 def merge_tiles(old_data: bytes, new_data: bytes) -> bytes:
     """Per-tile outer merge (J8, the reference's --merge: existing
     features copied first, new appended — tile_worker.cpp:405-417,

@@ -495,7 +495,10 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
 def _append_features(out: dict, emit: Emitter, url: str, base_id: int) -> None:
     for j, f in enumerate(emit.features):
         out["url"].append(url)
-        out["feature_id"].append((base_id << 8) | j)
+        # mix the emission index into the typed OSM id without letting
+        # j spill into base_id bits (j=0 keeps the plain shifted id)
+        out["feature_id"].append(
+            ((base_id << 8) ^ (j * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF)
         out["layer"].append(f.layer)
         out["geom_type"].append(f.geom_type)
         out["min_zoom"].append(f.min_zoom)

@@ -68,25 +68,30 @@ def read_metadata(path: str) -> dict[str, str]:
 
 
 def merge_tiles_into(path: str, tiles, metadata: dict[str, str],
-                     gzip_fmt: bool = True) -> int:
+                     compress: str = "gzip") -> int:
     """--merge semantics (mbtiles.cpp:127-151 + tile_worker.cpp:487-490):
     for each incoming tile, if the container already has (z,x,y), the
-    existing features are merged in (old first) instead of replaced."""
-    import gzip as _gz
-
+    existing features are merged in (old first) instead of replaced.
+    `compress` is the blob encoding ("gzip" | "deflate" | "none");
+    incoming tiles stream through one at a time (the existing container
+    is held in memory — merge reads the whole target by design)."""
     from .. import mvt as _mvt
+    packed = compress != "none"
     existing = read_mbtiles(path) if os.path.exists(path) else {}
-    merged = []
-    for row in tiles:
-        z, x, y, data = row[0], row[1], row[2], row[3]
-        old = existing.get((int(z), int(x), int(y)))
-        if old is not None:
-            old_raw = _gz.decompress(old) if gzip_fmt else old
-            new_raw = _gz.decompress(data) if gzip_fmt else data
-            out = _mvt.merge_tiles(old_raw, new_raw)
-            data = _mvt.compress_tile(out, gzip_fmt=gzip_fmt) if gzip_fmt else out
-        merged.append((z, x, y, data))
-    return write_mbtiles(path, merged, metadata, merge=True)
+
+    def merged():
+        for row in tiles:
+            z, x, y, data = row[0], row[1], row[2], row[3]
+            old = existing.get((int(z), int(x), int(y)))
+            if old is not None:
+                old_raw = _mvt.decompress_tile(old) if packed else old
+                new_raw = _mvt.decompress_tile(data) if packed else data
+                out = _mvt.merge_tiles(old_raw, new_raw)
+                data = _mvt.compress_tile(out, gzip_fmt=compress == "gzip") \
+                    if packed else out
+            yield (z, x, y, data)
+
+    return write_mbtiles(path, merged(), metadata, merge=True)
 
 
 def default_metadata(config, bounds=(-180.0, -85.06, 180.0, 85.06)) -> dict[str, str]:

@@ -24,6 +24,8 @@ LEAF_DIRECTORY_SIZE = 10_000_000
 TINY_LENGTH = 100
 TINY_MAX_SIZE = 10000
 
+COMPRESSION_UNKNOWN = 0
+COMPRESSION_NONE = 1
 COMPRESSION_GZIP = 2
 TILETYPE_MVT = 1
 
@@ -94,7 +96,8 @@ def _gz(data: bytes) -> bytes:
 def write_pmtiles(path: str, tiles, metadata: dict,
                   min_zoom: int = 0, max_zoom: int = 14,
                   bounds=(-180.0, -85.06, 180.0, 85.06),
-                  tiles_already_compressed: bool = True) -> int:
+                  tiles_already_compressed: bool = True,
+                  tile_compression: int = COMPRESSION_GZIP) -> int:
     """tiles: iterable of (zoom, x, y, mvt_gzip_bytes). Written in
     Hilbert-tileid order with RLE + tiny-tile dedup."""
     items = sorted((zxy_to_tileid(int(z), int(x), int(y)), bytes(d))
@@ -194,8 +197,11 @@ def write_pmtiles(path: str, tiles, metadata: dict,
         header += struct.pack("<Q", n_entries)           # entries
         header += struct.pack("<Q", n_written)           # contents
         header += struct.pack("<B", 0)                   # clustered=false (ref)
-        header += struct.pack("<B", COMPRESSION_GZIP)
-        header += struct.pack("<B", COMPRESSION_GZIP)
+        header += struct.pack("<B", COMPRESSION_GZIP)  # internal (dirs/meta)
+        # tile_compression reflects the blobs actually written: the CLI
+        # threads config.compress through (gzip→2, none→1, deflate→0
+        # "unknown" — pmtiles has no raw-deflate code). ADVICE r1.
+        header += struct.pack("<B", tile_compression)
         header += struct.pack("<B", TILETYPE_MVT)
         header += struct.pack("<B", min_zoom)
         header += struct.pack("<B", max_zoom)
@@ -212,6 +218,48 @@ def write_pmtiles(path: str, tiles, metadata: dict,
 
 
 # --- reader (for tests / merge) -----------------------------------------
+
+def merge_pmtiles(path: str, tiles, metadata: dict,
+                  min_zoom: int = 0, max_zoom: int = 14,
+                  bounds=(-180.0, -85.06, 180.0, 85.06),
+                  compress: str = "gzip",
+                  tile_compression: int = COMPRESSION_GZIP) -> int:
+    """--merge for .pmtiles, mirroring mbtiles merge_tiles_into
+    (tile_worker.cpp:487-490 semantics): incoming tiles whose (z,x,y)
+    already exists get the existing features merged in (old first);
+    untouched existing tiles are carried over. PMTiles is a clustered
+    single-file archive, so the merge rewrites the file (the existing
+    archive is fully decoded first — no in-place append exists)."""
+    import os
+
+    from .. import mvt as _mvt
+    packed = compress != "none"
+    existing: dict[tuple[int, int, int], bytes] = {}
+    if os.path.exists(path):
+        rd = read_pmtiles(path)
+        for tid, data in rd["tiles"].items():
+            existing[tileid_to_zxy(tid)] = data
+
+    def merged():
+        seen = set()
+        for row in tiles:
+            z, x, y, data = int(row[0]), int(row[1]), int(row[2]), bytes(row[3])
+            old = existing.get((z, x, y))
+            if old is not None:
+                old_raw = _mvt.decompress_tile(old) if packed else old
+                new_raw = _mvt.decompress_tile(data) if packed else data
+                out = _mvt.merge_tiles(old_raw, new_raw)
+                data = _mvt.compress_tile(out, gzip_fmt=compress == "gzip") \
+                    if packed else out
+            seen.add((z, x, y))
+            yield (z, x, y, data)
+        for (z, x, y), data in existing.items():
+            if (z, x, y) not in seen:
+                yield (z, x, y, data)
+
+    return write_pmtiles(path, merged(), metadata, min_zoom, max_zoom,
+                         bounds, tile_compression=tile_compression)
+
 
 def _read_varint(data: bytes, i: int) -> tuple[int, int]:
     shift = v = 0

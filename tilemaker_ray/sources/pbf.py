@@ -300,28 +300,30 @@ def block_nodes(pb: PrimitiveBlock):
     lat_deg = NANO * (pb.lat_offset + pb.granularity * lat)
     lon_deg = NANO * (pb.lon_offset + pb.granularity * lon)
     tags: list[dict] = []
-    for kv in pb.nodes["keys_vals"]:
+    # Pad per group: a group with omitted keys_vals (valid per the PBF
+    # spec) contributes one empty dict per node, so tags from a later
+    # group never shift onto the wrong nodes (ADVICE r1).
+    for group_ids, kv in zip(pb.nodes["id"], pb.nodes["keys_vals"]):
         if len(kv) == 0:
-            tags.extend({} for _ in range(0))
+            tags.extend({} for _ in range(len(group_ids)))
             continue
         # kv stream: k,v,k,v,...,0 per node
+        n_before = len(tags)
         cur: dict = {}
-        count = 0
         i = 0
         while i < len(kv):
             if kv[i] == 0:
                 tags.append(cur)
                 cur = {}
-                count += 1
                 i += 1
             else:
                 k = pb.strings[int(kv[i])].decode()
                 val = pb.strings[int(kv[i + 1])].decode()
                 cur[k] = val
                 i += 2
-    # blocks where keys_vals is empty/omitted → all nodes untagged
-    while len(tags) < len(ids):
-        tags.append({})
+        # trailing nodes of this group with no kv entries at all
+        while len(tags) - n_before < len(group_ids):
+            tags.append({})
     return ids, lat_deg, lon_deg, tags
 
 

@@ -76,8 +76,11 @@ class PageFeatureExtractor:
             base_id = hash_url(urls[i])
             for j, f in enumerate(emit.features):
                 out["url"].append(urls[i])
-                # 36-bit-style object id: url hash + emission index
-                out["feature_id"].append((base_id & 0xFFFFFFFFFFFFFF00) | (j & 0xFF))
+                # full 64-bit url hash mixed with the emission index
+                # (golden-ratio odd constant keeps ids distinct per j
+                # without discarding hash bits — ADVICE r1)
+                out["feature_id"].append(
+                    base_id ^ ((j * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF))
                 out["layer"].append(f.layer)
                 out["geom_type"].append(f.geom_type)
                 out["min_zoom"].append(f.min_zoom)

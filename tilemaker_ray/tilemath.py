@@ -269,7 +269,11 @@ def fill_covered_tiles(tile_set: set[tuple[int, int]]) -> None:
     """coordinates.cpp:52-67 — for each x, fill the y-range between the
     smallest and largest marked y (interior fill for polygon rings)."""
     tiles = sorted(tile_set)
-    prev_x, prev_y = 0, -2
+    # prev_x starts as None (no "previous column"): the reference's
+    # uint32 sentinel prevY=(uint32)-2 relies on unsigned wrap so the
+    # first column never fills; a literal -2 here would spuriously fill
+    # y=-1..first_y for tile column x==0 (ADVICE r1, medium).
+    prev_x, prev_y = None, 0
     for tile_x, tile_y in tiles:
         if tile_x == prev_x:
             for fill_y in range(prev_y + 1, tile_y):
