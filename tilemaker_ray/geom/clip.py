@@ -85,10 +85,28 @@ def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[np.nda
 
 
 def clip_multipolygon(polys: list[list[np.ndarray]], minx, miny, maxx, maxy) -> list[list[np.ndarray]]:
+    """fast_clip each polygon; when Sutherland–Hodgman leaves a
+    self-intersection (concave rings bridged across box corners), retry
+    with the exact sweep-line intersection against the box — the
+    reference's fallback at tile_data.cpp:330-346."""
+    from . import boolops
     out = []
     for rings in polys:
         c = clip_polygon(rings, minx, miny, maxx, maxy)
-        if c is not None:
+        if c is None:
+            continue
+        if boolops.rings_self_intersect(c):
+            subj = [[[(float(x), float(y)) for x, y in
+                      close_ring(np.asarray(r, dtype=np.float64))]
+                     for r in rings]]
+            box = [[[(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)]]]
+            for poly in boolops.intersection(subj, box):
+                # boolops emits CCW exteriors; engine convention is
+                # boost-correct (outer CW in y-up) — reverse each ring
+                conv = [np.asarray(r[::-1], dtype=np.float64) for r in poly]
+                if len(conv[0]) >= 4:
+                    out.append(conv)
+        else:
             out.append(c)
     return out
 

@@ -125,6 +125,29 @@ def correct_polygon(rings: list[np.ndarray]) -> list[np.ndarray]:
     return out
 
 
+def correct_geometry(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """CorrectGeometry (osm_lua_processing.h:160-186): after winding /
+    closure correction, a polygon that still self-intersects is
+    dissolved with make_valid (geom.cpp:138-145, geometry/correct.hpp
+    semantics — implemented as the even-odd overlay in geom.boolops)."""
+    from . import boolops
+    out = []
+    for rings in polys:
+        if boolops.rings_self_intersect(rings):
+            fixed = boolops.make_valid(
+                [[[(float(x), float(y)) for x, y in np.asarray(r)]
+                  for r in rings]])
+            for poly in fixed:
+                # boolops emits CCW exteriors; engine convention is
+                # boost-correct (outer CW in y-up) — reverse each ring
+                conv = [np.asarray(r[::-1], dtype=np.float64) for r in poly]
+                if len(conv[0]) >= 4:
+                    out.append(conv)
+        else:
+            out.append(rings)
+    return out
+
+
 def spherical_area(polys: list[list[np.ndarray]], lat_of=None) -> float:
     """Spherical multipolygon area in m², summed per polygon
     (osm_lua_processing.cpp:509-520). Rings are (lon, latp); latp is
@@ -308,11 +331,46 @@ def polygon_intersects_polygon(a: list[np.ndarray], b: list[np.ndarray]) -> bool
     return _rings_segments_hit(a[0], b)
 
 
-def polyline_covered_by_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> bool:
-    """Approximation of geom::covered_by for our join stage: all vertices
-    inside-or-on and no proper edge crossing into the exterior."""
-    if not points_in_polygon(pts[:, 0], pts[:, 1], rings).all():
+def _segments_properly_cross(pts: np.ndarray, ring: np.ndarray) -> bool:
+    """Any proper (interior-to-interior) crossing between the polyline's
+    segments and the ring's edges?  Vectorized orientation test;
+    touching at endpoints / collinear contact does not count."""
+    a, b = pts[:-1], pts[1:]
+    if len(ring) > 1 and (ring[0] == ring[-1]).all():
+        c, d = ring[:-1], ring[1:]
+    else:
+        c, d = ring, np.roll(ring, -1, axis=0)
+    if len(a) == 0 or len(c) == 0:
         return False
+
+    def orient(p, q, r):
+        # sign of cross((q-p), (r-p)); p,q (n,2) vs r (m,2) → (n,m)
+        return np.sign((q[:, 0] - p[:, 0])[:, None] * (r[None, :, 1] - p[:, 1][:, None])
+                       - (q[:, 1] - p[:, 1])[:, None] * (r[None, :, 0] - p[:, 0][:, None]))
+
+    o1 = orient(a, b, c)
+    o2 = orient(a, b, d)
+    o3 = orient(c, d, a).T
+    o4 = orient(c, d, b).T
+    return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+
+
+def polyline_covered_by_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> bool:
+    """geom::covered_by(linestring, polygon) exact form
+    (osm_lua_processing.cpp:393-407): every vertex inside-or-on, no
+    segment properly crossing the boundary, and every segment midpoint
+    inside-or-on (catches exits through a polygon vertex).  Replaces
+    the round-1 vertex-only approximation, which passed lines whose
+    segments leave a concave region between two interior vertices."""
+    if not points_in_polygon_inclusive(pts[:, 0], pts[:, 1], rings).all():
+        return False
+    for ring in rings:
+        if _segments_properly_cross(pts, ring):
+            return False
+    if len(pts) > 1:
+        mids = 0.5 * (pts[:-1] + pts[1:])
+        if not points_in_polygon_inclusive(mids[:, 0], mids[:, 1], rings).all():
+            return False
     return True
 
 

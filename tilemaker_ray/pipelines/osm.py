@@ -250,6 +250,9 @@ def assembled_multipolygons(path: str, num_partitions: int = 8,
                 if gc.points_in_polygon(ir[:1, 0], ir[:1, 1], [orr])[0]:
                     rings.append(ir)
             polys.append(gc.correct_polygon(rings))
+        # CorrectGeometry (osm_lua_processing.h:160-186): dissolve any
+        # relation polygon that still self-intersects
+        polys = gc.correct_geometry(polys)
         tags = next((t for t in g["rtags"] if t), "")
         return pd.DataFrame({"id": [int(g["rel_id"].iloc[0])],
                              "tags": [tags],
@@ -511,7 +514,9 @@ def _append_features(out: dict, emit: Emitter, url: str, base_id: int) -> None:
         elif f.geom_type in (gc.LINESTRING_, gc.MULTILINESTRING_):
             out["geom"].append(gc.pack_mls(f.geom_parts))
         else:
-            out["geom"].append(gc.pack_mp(f.geom_parts))
+            # CorrectGeometry at emission (osm_lua_processing.h:160-186):
+            # self-intersecting way/relation polygons dissolve here
+            out["geom"].append(gc.pack_mp(gc.correct_geometry(f.geom_parts)))
 
 
 def osm_tile_dataset(path: str, config: Config | None = None) -> ray.data.Dataset:

@@ -21,8 +21,10 @@ false positives. The sentinel LOWZOOM group renders zooms 0..5.
 Hot-path note: per-tile work uses numpy run-slicing over a lexsorted
 (tile_x, tile_y) order — no per-tile pandas filtering.
 
-Divergence (round 1): combine_polygons_below (polygon unioning,
-geom.cpp:150-169) is not implemented — needs polygon boolean ops.
+combine_polygons_below (polygon union dissolve, geom.cpp:150-169) is
+implemented in the two-stage assembler (salted._dissolve_int_rings via
+geom/boolops.union_many) — the production path for both pipelines; this
+one-stage renderer leaves polygon groups un-combined.
 """
 
 from __future__ import annotations

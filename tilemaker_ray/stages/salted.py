@@ -398,15 +398,15 @@ class TileAssembler:
                 rings = unpack_int_parts(blobs[i])
                 if zoom < ld.combine_polygons_below:
                     # ProcessObjects' combine-polygons loop
-                    # (tile_worker.cpp:351-361) minus the union_many
-                    # dissolve: compatible consecutive polygons merge
-                    # into one multipolygon FEATURE (one attribute set);
-                    # overlaps are left un-dissolved — MVT fills use the
-                    # nonzero rule, so the visual result matches; byte
-                    # size is slightly larger than a true union.
+                    # (tile_worker.cpp:351-361): compatible consecutive
+                    # polygons collect into one group, then dissolve
+                    # with union_many (geom.cpp:150-169).
+                    group = [rings]
                     while k + 1 < len(sel) and _compat(gt, zo, at, i, sel[k + 1]):
                         k += 1
-                        rings.extend(unpack_int_parts(blobs[sel[k]]))
+                        group.append(unpack_int_parts(blobs[sel[k]]))
+                    if len(group) > 1:
+                        rings = _dissolve_int_rings(group)
                 if rings:
                     lb.add_feature(mvt.GEOM_POLYGON, lb.encode_polygon(rings),
                                    self._tags(at[i], zoom),
@@ -432,6 +432,57 @@ class TileAssembler:
 
 def _compat(gt, zo, at, i, j) -> bool:
     return gt[i] == gt[j] and zo[i] == zo[j] and at[i] == at[j]
+
+
+# past this many total points, fall back to concatenation: the dissolve
+# is O(n log n) per sweep but Python-costly, and giant low-zoom groups
+# (coastline unions) render identically under the MVT nonzero fill rule
+_DISSOLVE_MAX_POINTS = 20000
+
+
+def _dissolve_int_rings(group: list[list[list[tuple[int, int]]]]
+                        ) -> list[list[tuple[int, int]]]:
+    """union_many over compatible polygon features' tile-int rings
+    (tile_worker.cpp:351-361 + geom.cpp:150-169).  Each feature's flat
+    ring list is treated as one even-odd polygon; the merged output is
+    re-flattened (exterior, holes, exterior, ...) with MVT winding
+    (positive shoelace = exterior in tile y-down coords) and rounded
+    back to the integer grid."""
+    from ..geom import boolops
+
+    total = sum(len(r) for feat in group for r in feat)
+    if total > _DISSOLVE_MAX_POINTS:
+        return [r for feat in group for r in feat]
+    merged = boolops.union_many([[feat] for feat in group])
+    out: list[list[tuple[int, int]]] = []
+    for poly in merged:
+        poly_rings = []
+        for ri, ring in enumerate(poly):
+            ir = [(int(round(x)), int(round(y))) for x, y in ring]
+            ded = [ir[0]]
+            for p in ir[1:]:
+                if p != ded[-1]:
+                    ded.append(p)
+            if ded[0] != ded[-1]:
+                ded.append(ded[0])
+            if len(ded) < 4:
+                if ri == 0:
+                    poly_rings = None
+                    break
+                continue  # degenerate hole: drop
+            a = sum(x0 * y1 - x1 * y0
+                    for (x0, y0), (x1, y1) in zip(ded, ded[1:]))
+            if a == 0 or (ri == 0) != (a > 0):
+                # collapsed by rounding (or winding flipped): exterior
+                # gone ⇒ drop the polygon, hole gone ⇒ drop the ring
+                if ri == 0:
+                    poly_rings = None
+                    break
+                continue
+            poly_rings.append(ded)
+        if poly_rings:
+            out.extend(poly_rings)
+    return out
 
 
 def _empty_out() -> pd.DataFrame:

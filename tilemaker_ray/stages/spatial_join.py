@@ -11,9 +11,10 @@ __init__ (STRtree of bboxes + a coarse-cell membership prefilter at
 CELL_ZOOM, mirroring the z15 bitmap's "false positives cleaned by the
 exact predicate" semantics, shp_mem_tiles.cpp:58-127).
 
-AreaIntersecting is exact for CONVEX region polygons (Sutherland-
-Hodgman convex clip + spherical area); the general boolean-op case is
-a documented round-1 divergence.
+AreaIntersecting is exact for all region shapes: convex regions take
+the O(n) Sutherland-Hodgman convex clip, concave regions the exact
+sweep-line intersection (geom.boolops).  CoveredBy uses the exact
+segment-crossing test (geom.core.polyline_covered_by_polygon).
 """
 
 from __future__ import annotations
@@ -53,10 +54,16 @@ class PolygonIndex:
         keep = [c for c in cand if self.cells[c] & cells]
         return np.asarray(keep, dtype=np.int64)
 
-    def _geom_cells(self, pts: np.ndarray) -> set[tuple[int, int]]:
-        x = tm.lon2tilex(pts[:, 0], self.cell_zoom).astype(np.int64)
-        y = tm.latp2tiley(pts[:, 1], self.cell_zoom).astype(np.int64)
-        return set(zip(x.tolist(), y.tolist()))
+    def _geom_cells(self, pts: np.ndarray,
+                    fill: bool = False) -> set[tuple[int, int]]:
+        """Supercover cells of the probe geometry's edges (+ interior
+        fill for polygon probes).  Vertex-only sampling would miss a
+        region smaller than a cell sitting between two probe vertices."""
+        cs: set[tuple[int, int]] = set()
+        tm.insert_intermediate_tiles(pts[:, 0], pts[:, 1], self.cell_zoom, cs)
+        if fill:
+            tm.fill_covered_tiles(cs)
+        return cs
 
     # --- per-geometry probes (exact predicate after prefilter) ---
     def find_intersecting(self, geom_type: int, pts) -> list[int]:
@@ -74,7 +81,7 @@ class PolygonIndex:
         bbox = gc.geom_bbox(arrs)
         cells = set()
         for a in arrs:
-            cells |= self._geom_cells(a)
+            cells |= self._geom_cells(a, fill=geom_type == gc.POLYGON_)
         cand = self._candidates(bbox, cells)
         out = []
         for c in cand:
@@ -109,20 +116,38 @@ class PolygonIndex:
 
     def area_intersecting(self, rings: list[np.ndarray]) -> float:
         """Σ spherical area (m²) of polygon ∩ each matching region
-        (osm_lua_processing.cpp:435-453). Exact for the convex region
-        layer."""
+        (osm_lua_processing.cpp:435-453).  Convex regions use the O(n)
+        convex clip; concave regions fall back to the exact sweep-line
+        intersection (geom.boolops) — J5 general case."""
+        from ..geom import boolops
         cand = self.find_intersecting(gc.POLYGON_, rings[0])
         total = 0.0
         for c in cand:
             clip = self.regions[c]["ring"]
-            # convex clip expects CCW clip ring
-            if gc.ring_signed_area(clip) < 0:
-                clip = clip[::-1]
-            piece = clip_ring_convex(rings[0], clip)
-            if len(piece) >= 3:
-                closed = gc.close_ring(piece)
-                total += abs(gc.spherical_area([[closed]]))
+            if self._is_convex(c):
+                if gc.ring_signed_area(clip) < 0:  # convex clip wants CCW
+                    clip = clip[::-1]
+                piece = clip_ring_convex(rings[0], clip)
+                if len(piece) >= 3:
+                    total += abs(gc.spherical_area([[gc.close_ring(piece)]]))
+            else:
+                subj = [[[(float(x), float(y)) for x, y in rings[0]]]]
+                cmp_ = [[[(float(x), float(y)) for x, y in clip]]]
+                for poly in boolops.intersection(subj, cmp_):
+                    piece = [np.asarray(r, dtype=np.float64) for r in poly]
+                    total += abs(gc.spherical_area([piece]))
         return total
+
+    def _is_convex(self, c: int) -> bool:
+        flag = self.regions[c].get("_convex")
+        if flag is None:
+            ring = self.regions[c]["ring"]
+            r = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+            v = np.diff(np.vstack([r, r[:2]]), axis=0)
+            cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+            flag = bool((cross >= 0).all() or (cross <= 0).all())
+            self.regions[c]["_convex"] = flag
+        return flag
 
     def nearest(self, lon: float, latp: float, k: int = 1) -> list[int]:
         """kNN by bbox distance then refined by true ring distance —
