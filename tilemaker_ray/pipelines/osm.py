@@ -65,63 +65,89 @@ class SignificantTags:
 
 # --- entity datasets ----------------------------------------------------
 
+_ENTITY_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("id", pa.int64()),
+    ("lat", pa.float64()),
+    ("lon", pa.float64()),
+    ("tags", pa.string()),
+    ("refs", pa.binary()),
+    ("member_ids", pa.binary()),
+    ("member_types", pa.binary()),
+    ("member_roles", pa.string()),
+])
+
+
 def _parse_blocks(path: str, kinds: tuple[str, ...]):
+    """One blob → one Arrow table.  Node columns go in as whole numpy
+    arrays (zero-copy into Arrow) — the round-1 per-node Python appends
+    were the parse bottleneck at 1e9 nodes."""
     def parse(batch: pa.Table) -> pa.Table:
-        out_rows = {"kind": [], "id": [], "lat": [], "lon": [],
-                    "tags": [], "refs": [], "member_ids": [],
-                    "member_types": [], "member_roles": []}
+        tables = []
         for off, ln in zip(batch["offset"].to_pylist(), batch["length"].to_pylist()):
             data = pbf.read_blob_at(path, off, ln)
             pb = pbf.parse_primitive_block(data)
-            if "node" in kinds:
+            if "node" in kinds and pb.nodes["id"]:
                 ids, lat, lon, tags = pbf.block_nodes(pb)
-                for i in range(len(ids)):
-                    out_rows["kind"].append("node")
-                    out_rows["id"].append(int(ids[i]))
-                    out_rows["lat"].append(float(lat[i]))
-                    out_rows["lon"].append(float(lon[i]))
-                    out_rows["tags"].append(json.dumps(tags[i]) if tags[i] else "")
-                    out_rows["refs"].append(b"")
-                    out_rows["member_ids"].append(b"")
-                    out_rows["member_types"].append(b"")
-                    out_rows["member_roles"].append("")
-            if "way" in kinds:
+                n = len(ids)
+                tables.append(pa.table({
+                    "kind": pa.array(["node"] * n, pa.string()),
+                    "id": pa.array(ids.astype(np.int64, copy=False)),
+                    "lat": pa.array(lat),
+                    "lon": pa.array(lon),
+                    "tags": pa.array([json.dumps(t) if t else "" for t in tags],
+                                     pa.string()),
+                    "refs": pa.nulls(n, pa.binary()).fill_null(b""),
+                    "member_ids": pa.nulls(n, pa.binary()).fill_null(b""),
+                    "member_types": pa.nulls(n, pa.binary()).fill_null(b""),
+                    "member_roles": pa.nulls(n, pa.string()).fill_null(""),
+                }, schema=_ENTITY_SCHEMA))
+            if "way" in kinds and pb.ways:
+                rows = {"id": [], "tags": [], "refs": []}
                 for w in pb.ways:
-                    out_rows["kind"].append("way")
-                    out_rows["id"].append(int(w["id"]))
-                    out_rows["lat"].append(float("nan"))
-                    out_rows["lon"].append(float("nan"))
+                    rows["id"].append(int(w["id"]))
                     t = pbf.way_tags(pb, w)
-                    out_rows["tags"].append(json.dumps(t) if t else "")
-                    out_rows["refs"].append(w["refs"].astype(np.int64).tobytes())
-                    out_rows["member_ids"].append(b"")
-                    out_rows["member_types"].append(b"")
-                    out_rows["member_roles"].append("")
-            if "relation" in kinds:
+                    rows["tags"].append(json.dumps(t) if t else "")
+                    rows["refs"].append(w["refs"].astype(np.int64).tobytes())
+                n = len(rows["id"])
+                tables.append(pa.table({
+                    "kind": pa.array(["way"] * n, pa.string()),
+                    "id": pa.array(rows["id"], pa.int64()),
+                    "lat": pa.nulls(n, pa.float64()).fill_null(float("nan")),
+                    "lon": pa.nulls(n, pa.float64()).fill_null(float("nan")),
+                    "tags": pa.array(rows["tags"], pa.string()),
+                    "refs": pa.array(rows["refs"], pa.binary()),
+                    "member_ids": pa.nulls(n, pa.binary()).fill_null(b""),
+                    "member_types": pa.nulls(n, pa.binary()).fill_null(b""),
+                    "member_roles": pa.nulls(n, pa.string()).fill_null(""),
+                }, schema=_ENTITY_SCHEMA))
+            if "relation" in kinds and pb.relations:
+                rows = {"id": [], "tags": [], "member_ids": [],
+                        "member_types": [], "member_roles": []}
                 for r in pb.relations:
-                    out_rows["kind"].append("relation")
-                    out_rows["id"].append(int(r["id"]))
-                    out_rows["lat"].append(float("nan"))
-                    out_rows["lon"].append(float("nan"))
+                    rows["id"].append(int(r["id"]))
                     t = {pb.strings[int(k)].decode(): pb.strings[int(v)].decode()
                          for k, v in zip(r["keys"], r["vals"])}
-                    out_rows["tags"].append(json.dumps(t) if t else "")
-                    out_rows["refs"].append(b"")
-                    out_rows["member_ids"].append(r["memids"].astype(np.int64).tobytes())
-                    out_rows["member_types"].append(r["types"].astype(np.int8).tobytes())
-                    out_rows["member_roles"].append(json.dumps(
+                    rows["tags"].append(json.dumps(t) if t else "")
+                    rows["member_ids"].append(r["memids"].astype(np.int64).tobytes())
+                    rows["member_types"].append(r["types"].astype(np.int8).tobytes())
+                    rows["member_roles"].append(json.dumps(
                         [pb.strings[int(s)].decode() for s in r["roles_sid"]]))
-        return pa.table({
-            "kind": pa.array(out_rows["kind"], pa.string()),
-            "id": pa.array(out_rows["id"], pa.int64()),
-            "lat": pa.array(out_rows["lat"], pa.float64()),
-            "lon": pa.array(out_rows["lon"], pa.float64()),
-            "tags": pa.array(out_rows["tags"], pa.string()),
-            "refs": pa.array(out_rows["refs"], pa.binary()),
-            "member_ids": pa.array(out_rows["member_ids"], pa.binary()),
-            "member_types": pa.array(out_rows["member_types"], pa.binary()),
-            "member_roles": pa.array(out_rows["member_roles"], pa.string()),
-        })
+                n = len(rows["id"])
+                tables.append(pa.table({
+                    "kind": pa.array(["relation"] * n, pa.string()),
+                    "id": pa.array(rows["id"], pa.int64()),
+                    "lat": pa.nulls(n, pa.float64()).fill_null(float("nan")),
+                    "lon": pa.nulls(n, pa.float64()).fill_null(float("nan")),
+                    "tags": pa.array(rows["tags"], pa.string()),
+                    "refs": pa.nulls(n, pa.binary()).fill_null(b""),
+                    "member_ids": pa.array(rows["member_ids"], pa.binary()),
+                    "member_types": pa.array(rows["member_types"], pa.binary()),
+                    "member_roles": pa.array(rows["member_roles"], pa.string()),
+                }, schema=_ENTITY_SCHEMA))
+        if not tables:
+            return _ENTITY_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
     return parse
 
 
@@ -133,69 +159,169 @@ def entity_dataset(path: str, kinds=("node", "way", "relation")) -> ray.data.Dat
                           batch_size=1)
 
 
-def assembled_ways(path: str, num_partitions: int = 8) -> ray.data.Dataset:
-    """Ways with coordinates via the J1 hash join:
-    explode refs → join nodes on node_id → regroup in ref order.
-    Returns rows (id, tags, geom [packed mls], closed)."""
-    ents = entity_dataset(path, kinds=("node", "way"))
+NODE_STORE_SHARDS = 16
 
-    def split_nodes(b: pa.Table) -> pa.Table:
-        m = pa.compute.equal(b.column("kind"), "node")
-        t = b.filter(m)
-        return pa.table({"node_id": t.column("id"),
-                         "nlat": t.column("lat"), "nlon": t.column("lon")})
 
-    def split_refs(b: pa.Table) -> pa.Table:
+@ray.remote(num_cpus=0)  # memory holder: must not starve task CPUs on
+class _NodeShardCollector:  # small clusters (16 collectors vs 4 CPUs)
+    """Accumulates one shard of the node store during the node read
+    pass, then seals it into sorted plasma arrays."""
+
+    def __init__(self):
+        self.ids: list[np.ndarray] = []
+        self.lats: list[np.ndarray] = []
+        self.lons: list[np.ndarray] = []
+
+    def add(self, ids, lat, lon) -> int:
+        self.ids.append(np.asarray(ids, dtype=np.int64))
+        self.lats.append(np.asarray(lat, dtype=np.float64))
+        self.lons.append(np.asarray(lon, dtype=np.float64))
+        return len(ids)
+
+    def seal(self):
+        if not self.ids:
+            return (np.empty(0, np.int64), np.empty(0), np.empty(0))
+        ids = np.concatenate(self.ids)
+        order = np.argsort(ids, kind="stable")
+        out = (ids[order], np.concatenate(self.lats)[order],
+               np.concatenate(self.lons)[order])
+        self.ids = self.lats = self.lons = []
+        return out
+
+
+def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
+    """ST2 (sorted_node_store.cpp semantics) on Ray: one streaming pass
+    shards (node_id, lat, lon) by id-hash into collector actors; each
+    shard seals into sorted plasma arrays.  Returns the shard
+    ObjectRefs (driver never materializes the store).  Readers ray.get
+    the refs once per actor — plasma shares one copy per machine."""
+    collectors = [_NodeShardCollector.remote() for _ in range(num_shards)]
+
+    def feed(batch: pa.Table) -> pa.Table:
+        pending = []
+        for off, ln in zip(batch["offset"].to_pylist(),
+                           batch["length"].to_pylist()):
+            pb = pbf.parse_primitive_block(pbf.read_blob_at(path, off, ln))
+            if not pb.nodes["id"]:
+                continue
+            ids = np.concatenate(pb.nodes["id"]).astype(np.int64, copy=False)
+            lat = pbf.NANO * (pb.lat_offset + pb.granularity *
+                              np.concatenate(pb.nodes["lat"]))
+            lon = pbf.NANO * (pb.lon_offset + pb.granularity *
+                              np.concatenate(pb.nodes["lon"]))
+            shard = ids % num_shards
+            for k in np.unique(shard):
+                m = shard == k
+                pending.append(collectors[int(k)].add.remote(
+                    ids[m], lat[m], lon[m]))
+        if pending:
+            ray.get(pending)  # backpressure: block until shard acks
+        return pa.table({"blocks": pa.array([batch.num_rows], pa.int64())})
+
+    offs = [{"offset": o, "length": l} for o, l, t in pbf.blob_offsets(path)
+            if t == "OSMData"]
+    ray.data.from_items(offs).map_batches(
+        feed, batch_format="pyarrow", batch_size=4).count()
+    # seal in parallel; task-return refs are driver-owned, so the
+    # collector actors can be killed afterwards (without the kill,
+    # repeated builds leak 16 idle actor processes per run)
+    refs = [c.seal.remote() for c in collectors]
+    ray.wait(refs, num_returns=len(refs), fetch_local=False)
+    for c in collectors:
+        ray.kill(c)
+    return refs
+
+
+class WayAssembler:
+    """Per-actor node-store reader (ST3 way assembly): vectorized
+    np.searchsorted gather of every way's refs against the sorted
+    shards.  No shuffle: ways stay in their parse partitions — this
+    replaced the round-1 refs-explode → hash join → per-way map_groups
+    chain (two all-to-alls and one 1-row DataFrame per way)."""
+
+    def __init__(self, shard_refs, num_shards: int = NODE_STORE_SHARDS):
+        shards = ray.get(list(shard_refs))
+        self.sids = [s[0] for s in shards]
+        self.slat = [s[1] for s in shards]
+        self.slon = [s[2] for s in shards]
+        self.num_shards = num_shards
+
+    def lookup(self, refs: np.ndarray):
+        """(lat, lon, found) for an array of node ids."""
+        lat = np.full(len(refs), np.nan)
+        lon = np.full(len(refs), np.nan)
+        shard = refs % self.num_shards
+        for k in np.unique(shard):
+            m = shard == k
+            ids = self.sids[int(k)]
+            if len(ids) == 0:
+                continue
+            idx = np.searchsorted(ids, refs[m])
+            idx_c = np.minimum(idx, len(ids) - 1)
+            ok = ids[idx_c] == refs[m]
+            sub_lat = np.where(ok, self.slat[int(k)][idx_c], np.nan)
+            sub_lon = np.where(ok, self.slon[int(k)][idx_c], np.nan)
+            lat[m] = sub_lat
+            lon[m] = sub_lon
+        return lat, lon, ~np.isnan(lat)
+
+    def __call__(self, b: pa.Table) -> pd.DataFrame:
         m = pa.compute.equal(b.column("kind"), "way")
         t = b.filter(m)
-        out = {"way_id": [], "seq": [], "node_id": [], "wtags": []}
-        for i in range(t.num_rows):
-            refs = np.frombuffer(t.column("refs")[i].as_py(), dtype=np.int64)
-            wid = t.column("id")[i].as_py()
-            tags = t.column("tags")[i].as_py()
-            for s, nid in enumerate(refs.tolist()):
-                out["way_id"].append(wid)
-                out["seq"].append(s)
-                out["node_id"].append(nid)
-                out["wtags"].append(tags if s == 0 else "")
-        return pa.table({"way_id": pa.array(out["way_id"], pa.int64()),
-                         "seq": pa.array(out["seq"], pa.int64()),
-                         "node_id": pa.array(out["node_id"], pa.int64()),
-                         "wtags": pa.array(out["wtags"], pa.string())})
-
-    nodes = ents.map_batches(split_nodes, batch_format="pyarrow")
-    refs = ents.map_batches(split_refs, batch_format="pyarrow")
-    joined = refs.join(nodes, join_type="inner", num_partitions=num_partitions,
-                       on=("node_id",))
-
-    def regroup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq")
-        pts = np.column_stack([g["nlon"].to_numpy(),
-                               tm.lat2latp(g["nlat"].to_numpy())])
-        tags = next((t for t in g["wtags"] if t), "")
-        closed = bool(len(pts) > 2 and (pts[0] == pts[-1]).all())
+        ids_out, tags_out, geoms, closed, n_refs = [], [], [], [], []
+        if t.num_rows:
+            ref_arrays = [np.frombuffer(r.as_py(), dtype=np.int64)
+                          for r in t.column("refs")]
+            lens = np.array([len(r) for r in ref_arrays], dtype=np.int64)
+            all_refs = np.concatenate(ref_arrays) if ref_arrays else \
+                np.empty(0, np.int64)
+            lat, lon, ok = self.lookup(all_refs)
+            latp = tm.lat2latp(lat)
+            wids = t.column("id").to_numpy()
+            wtags = t.column("tags").to_pylist()
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            for i, (s, ln) in enumerate(zip(starts, lens)):
+                e = s + ln
+                good = ok[s:e]
+                pts = np.column_stack([lon[s:e][good], latp[s:e][good]])
+                if len(pts) < 2:
+                    continue  # refs outside the extract — skip (ref:
+                    # pbf_processor.cpp discards ways w/ missing nodes)
+                ids_out.append(int(wids[i]))
+                tags_out.append(wtags[i])
+                geoms.append(gc.pack_mls([pts]))
+                closed.append(bool(len(pts) > 2 and (pts[0] == pts[-1]).all()))
+                n_refs.append(len(pts))
         return pd.DataFrame({
-            "id": [int(g["way_id"].iloc[0])],
-            "tags": [tags],
-            "geom": [gc.pack_mls([pts])],
-            "closed": [closed],
-            "n_refs": [len(g)],
+            "id": np.array(ids_out, dtype=np.int64),
+            "tags": pd.Series(tags_out, dtype=object),
+            "geom": pd.Series(geoms, dtype=object),
+            "closed": np.array(closed, dtype=bool),
+            "n_refs": np.array(n_refs, dtype=np.int64),
         })
 
-    return joined.groupby("way_id").map_groups(regroup, batch_format="pandas")
+
+def assembled_ways(path: str, num_partitions: int = 8,
+                   node_store=None) -> ray.data.Dataset:
+    """Ways with coordinates (J1): node-store gather, not a join.
+    Returns rows (id, tags, geom [packed mls], closed)."""
+    if node_store is None:
+        node_store = build_node_store(path)
+    ways = entity_dataset(path, kinds=("way",))
+    return ways.map_batches(WayAssembler, batch_format="pyarrow",
+                            fn_constructor_args=(node_store,),
+                            concurrency=(1, 8))
 
 
-def assembled_multipolygons(path: str, num_partitions: int = 8,
-                            ways_ds: ray.data.Dataset | None = None) -> ray.data.Dataset:
-    """Relation multipolygon assembly (M9, J2): relations of
-    type=multipolygon → member ways joined on way_id → rings stitched
-    from way fragments (endpoint matching, mergeMultiPolygonWays
-    semantics) → inners assigned to the containing outer by PIP.
-    Returns rows (id, tags, geom [packed mp])."""
+def multipolygon_members(path: str) -> dict[int, list[tuple[int, str, str]]]:
+    """Driver-side scan of multipolygon relations (relations are the
+    smallest entity class): {way_id: [(rel_id, role, rtags_json)]}.
+    Broadcast via ray.put — the way→relation assignment then happens
+    map-side, replacing the round-1 hash join whose fixed shuffle cost
+    dwarfed the tiny member table."""
     ents = entity_dataset(path, kinds=("relation",))
-
-    def explode_members(b: pa.Table) -> pa.Table:
-        out = {"rel_id": [], "way_id": [], "role": [], "rtags": []}
+    members: dict[int, list[tuple[int, str, str]]] = {}
+    for b in ents.iter_batches(batch_format="pyarrow"):
         for i in range(b.num_rows):
             tags = json.loads(b.column("tags")[i].as_py() or "{}")
             if tags.get("type") != "multipolygon":
@@ -203,29 +329,45 @@ def assembled_multipolygons(path: str, num_partitions: int = 8,
             mids = np.frombuffer(b.column("member_ids")[i].as_py(), dtype=np.int64)
             mtypes = np.frombuffer(b.column("member_types")[i].as_py(), dtype=np.int8)
             roles = json.loads(b.column("member_roles")[i].as_py() or "[]")
-            rid = b.column("id")[i].as_py()
-            first = True
+            rid = int(b.column("id")[i].as_py())
+            rtags = json.dumps(tags)
             for m in range(len(mids)):
                 if mtypes[m] != pbf.MEMBER_WAY:
                     continue
-                out["rel_id"].append(rid)
-                out["way_id"].append(int(mids[m]))
-                out["role"].append(roles[m] if m < len(roles) else "")
-                out["rtags"].append(json.dumps(tags) if first else "")
-                first = False
-        return pa.table({"rel_id": pa.array(out["rel_id"], pa.int64()),
-                         "way_id": pa.array(out["way_id"], pa.int64()),
-                         "role": pa.array(out["role"], pa.string()),
-                         "rtags": pa.array(out["rtags"], pa.string())})
+                members.setdefault(int(mids[m]), []).append(
+                    (rid, roles[m] if m < len(roles) else "", rtags))
+    return members
 
-    members = ents.map_batches(explode_members, batch_format="pyarrow")
+
+def assembled_multipolygons(path: str, num_partitions: int = 8,
+                            ways_ds: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """Relation multipolygon assembly (M9, J2): member ways tagged
+    map-side from the broadcast member table, one groupby(rel_id) to
+    co-locate each relation's fragments, rings stitched from way
+    fragments (endpoint matching, mergeMultiPolygonWays semantics) →
+    inners assigned to the containing outer by PIP.
+    Returns rows (id, tags, geom [packed mp])."""
+    members_ref = ray.put(multipolygon_members(path))
     if ways_ds is None:
         ways_ds = assembled_ways(path, num_partitions)
-    ways = ways_ds.map_batches(
-        lambda df: df[["id", "geom"]].rename(columns={"id": "wid"}),
-        batch_format="pandas")
-    joined = members.join(ways, join_type="inner", num_partitions=num_partitions,
-                          on=("way_id",), right_on=("wid",))
+
+    def tag_members(df: pd.DataFrame) -> pd.DataFrame:
+        members = ray.get(members_ref)
+        out = {"rel_id": [], "role": [], "rtags": [], "geom": []}
+        for wid, geom in zip(df["id"].to_numpy(), df["geom"].to_numpy()):
+            for rid, role, rtags in members.get(int(wid), ()):
+                out["rel_id"].append(rid)
+                out["role"].append(role)
+                out["rtags"].append(rtags)
+                out["geom"].append(geom)
+        return pd.DataFrame({
+            "rel_id": np.array(out["rel_id"], dtype=np.int64),
+            "role": pd.Series(out["role"], dtype=object),
+            "rtags": pd.Series(out["rtags"], dtype=object),
+            "geom": pd.Series(out["geom"], dtype=object),
+        })
+
+    joined = ways_ds.map_batches(tag_members, batch_format="pandas")
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
         from ..stages.render import reorder_multilinestring
@@ -424,7 +566,11 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
 
     def nodes_to_features(b: pa.Table) -> pa.Table:
         from ..stages.extract import FEATURE_SCHEMA
-        m = pa.compute.equal(b.column("kind"), "node")
+        # M2 prefilter, vectorized: untagged nodes can never emit — drop
+        # them before the per-entity Python loop (the loop over 1e9
+        # mostly-untagged nodes is otherwise the extraction bottleneck)
+        m = pa.compute.and_(pa.compute.equal(b.column("kind"), "node"),
+                            pa.compute.not_equal(b.column("tags"), ""))
         t = b.filter(m)
         out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
                                "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
@@ -448,6 +594,9 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
         wm, rt = ray.get(members_ref)
         out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
                                "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
+        # M2 prefilter: untagged ways never emit (relation members are
+        # consumed separately via assembled_multipolygons)
+        df = df[df["tags"].to_numpy() != ""]
         for wid, wtags, wgeom, wclosed in zip(
                 df["id"].to_numpy(), df["tags"].to_numpy(),
                 df["geom"].to_numpy(), df["closed"].to_numpy()):

@@ -440,6 +440,35 @@ def _compat(gt, zo, at, i, j) -> bool:
 _DISSOLVE_MAX_POINTS = 20000
 
 
+def _bbox_overlap_clusters(group) -> list[list[int]]:
+    """Union-find over feature bbox overlaps (x-sorted sweep): only
+    features whose bboxes touch can need dissolving."""
+    boxes = []
+    for feat in group:
+        xs = [p[0] for r in feat for p in r]
+        ys = [p[1] for r in feat for p in r]
+        boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    parent = list(range(len(group)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    order = sorted(range(len(group)), key=lambda i: boxes[i][0])
+    for oi, i in enumerate(order):
+        for j in order[oi + 1:]:
+            if boxes[j][0] > boxes[i][2]:
+                break
+            if boxes[j][1] <= boxes[i][3] and boxes[j][3] >= boxes[i][1]:
+                parent[find(i)] = find(j)
+    clusters: dict[int, list[int]] = {}
+    for i in range(len(group)):
+        clusters.setdefault(find(i), []).append(i)
+    return list(clusters.values())
+
+
 def _dissolve_int_rings(group: list[list[list[tuple[int, int]]]]
                         ) -> list[list[tuple[int, int]]]:
     """union_many over compatible polygon features' tile-int rings
@@ -447,13 +476,31 @@ def _dissolve_int_rings(group: list[list[list[tuple[int, int]]]]
     ring list is treated as one even-odd polygon; the merged output is
     re-flattened (exterior, holes, exterior, ...) with MVT winding
     (positive shoelace = exterior in tile y-down coords) and rounded
-    back to the integer grid."""
+    back to the integer grid.
+
+    Fast path: features whose bboxes don't touch any other feature
+    can't overlap — only bbox-overlap clusters go through the sweep."""
     from ..geom import boolops
 
-    total = sum(len(r) for feat in group for r in feat)
-    if total > _DISSOLVE_MAX_POINTS:
-        return [r for feat in group for r in feat]
-    merged = boolops.union_many([[feat] for feat in group])
+    clusters = _bbox_overlap_clusters(group)
+    out_feats: list = []
+    to_union: list = []
+    for cl in clusters:
+        if len(cl) == 1:
+            out_feats.extend(group[cl[0]])
+        else:
+            sub = [group[i] for i in cl]
+            total = sum(len(r) for feat in sub for r in feat)
+            if total > _DISSOLVE_MAX_POINTS:
+                for feat in sub:
+                    out_feats.extend(feat)
+            else:
+                to_union.append(sub)
+    if not to_union:
+        return out_feats
+    merged = []
+    for sub in to_union:
+        merged.extend(boolops.union_many([[feat] for feat in sub]))
     out: list[list[tuple[int, int]]] = []
     for poly in merged:
         poly_rings = []
@@ -482,7 +529,7 @@ def _dissolve_int_rings(group: list[list[list[tuple[int, int]]]]
             poly_rings.append(ded)
         if poly_rings:
             out.extend(poly_rings)
-    return out
+    return out_feats + out
 
 
 def _empty_out() -> pd.DataFrame:
