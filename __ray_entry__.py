@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": similarity.q_cosine_topk,
         "cosine_dup_pairs": similarity.q_cosine_dup_pairs,
+        "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
         "ivf_topk": similarity.q_ivf_topk,
         # multimodal plumbing (decode stubbed behind a deterministic
         # fake codec; schema/actor wiring real — rows-only)

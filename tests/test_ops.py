@@ -97,3 +97,37 @@ def test_dedup_exact_finds_planted_duplicates():
     assert list(dups.rep_doc_id) == [7]
     assert list(dups.n_dups) == [2]
     assert (out.n_dups == 1).sum() == 8  # 7 unique + "dup b"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_langid_fingerprint_minhash_oracles(con):
+    """The round-2 generated-SQL oracles match bit/row-exactly."""
+    for name in ("simhash", "langid", "fingerprint", "minhash_pairs"):
+        check(name, con)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_recall_complete(con):
+    """The minhash_pairs oracle is the exact n²-Jaccard: valid only
+    while LSH recall is complete on the synthetic data — assert it."""
+    import __ray_entry__ as E
+    from tilemaker_ray.ops.dedup import _minhash_pairs_oracle_sql
+    mine = E.queries()["minhash_pairs"](SF)
+    exp = con.sql(_minhash_pairs_oracle_sql()).df()
+    assert set(map(tuple, mine.values.tolist())) == \
+        set(map(tuple, exp.values.tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_dup_ivf_recall():
+    """The approximate IVF near-dup path keeps usable recall vs the
+    exact blocked all-pairs (these 'dups' sit at cosine ≈0.45-0.51 —
+    far pairs — so recall < 1 is expected; assert a floor)."""
+    import __ray_entry__ as E
+    exact = E.queries()["cosine_dup_pairs"](SF)
+    approx = E.queries()["cosine_dup_pairs_ivf"](SF)
+    se = set(map(tuple, exact.values.tolist()))
+    sa = set(map(tuple, approx.values.tolist()))
+    assert not (sa - se)  # no false positives: exact verify per bucket
+    if se:
+        assert len(sa & se) / len(se) >= 0.5

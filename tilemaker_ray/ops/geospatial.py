@@ -141,24 +141,26 @@ class PipJoiner:
         self.rect_ids = self.rects.rect_id.to_numpy()
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        eid = b.column("event_id").to_numpy()
+        eid = b.column("event_id").to_numpy().astype(np.int64)
         lon = b.column("lon").to_numpy()
         latp = tm.lat2latp(b.column("lat").to_numpy())
-        out_e = []
-        out_r = []
-        for k in range(len(eid)):
-            cands = self.tree.query(lon[k], latp[k], lon[k], latp[k])
-            for c in cands:
-                if gc.points_in_polygon_inclusive([lon[k]], [latp[k]], self.rings[c])[0]:
-                    out_e.append(int(eid[k]))
-                    out_r.append(int(self.rect_ids[c]))
-        return pa.table({"event_id": pa.array(out_e, pa.int64()),
-                         "rect_id": pa.array(out_r, pa.int64())})
+        # rectangle containment is one inclusive interval broadcast —
+        # the round-1 per-point STRtree probe + ring PIP loop was pure
+        # Python overhead for an axis-aligned layer (VERDICT r1 #7)
+        bx = self.boxes
+        inside = ((lon[:, None] >= bx[None, :, 0]) &
+                  (lon[:, None] <= bx[None, :, 2]) &
+                  (latp[:, None] >= bx[None, :, 1]) &
+                  (latp[:, None] <= bx[None, :, 3]))
+        pi, ri = np.nonzero(inside)
+        return pa.table({"event_id": pa.array(eid[pi]),
+                         "rect_id": pa.array(self.rect_ids[ri].astype(np.int64))})
 
 
 def q_pip_join(sf_dir: str) -> pd.DataFrame:
     ds = _event_points(sf_dir)
-    out = ds.map_batches(PipJoiner, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(PipJoiner, batch_format="pyarrow",
+                         concurrency=(1, 8))
     return out.to_pandas()
 
 
@@ -223,7 +225,8 @@ class KnnJoiner:
 
 def q_knn(sf_dir: str) -> pd.DataFrame:
     ds = _event_points(sf_dir)
-    partials = ds.map_batches(KnnJoiner, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(KnnJoiner, batch_format="pyarrow",
+                              concurrency=(1, 8))
     df = partials.to_pandas()  # small: queries × k × n_batches
     df = df.sort_values(["query_id", "d2", "event_id"], kind="stable")
     df["rank"] = df.groupby("query_id").cumcount() + 1

@@ -90,7 +90,7 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
             return b.filter(pa.array(mask))
 
     flt = joined.map_batches(SemiFilter, fn_constructor_kwargs={"ref": building},
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow", concurrency=(1, 8))
     top = flt.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
     df = top.to_pandas()[["l_orderkey", "revenue"]]
     df = df.rename(columns={"l_orderkey": "o_orderkey"})
@@ -117,7 +117,7 @@ def q_nation_customer_count(sf_dir: str) -> pd.DataFrame:
             return pa.table({"n_name": pa.array(names, pa.string())})
 
     out = (cust.map_batches(MapNation, fn_constructor_kwargs={"ref": nmap},
-                            batch_format="pyarrow", concurrency=2)
+                            batch_format="pyarrow", concurrency=(1, 8))
                .groupby("n_name").aggregate(Count(alias_name="n_customers")))
     return out.to_pandas().sort_values("n_name").reset_index(drop=True)
 
