@@ -7,11 +7,12 @@ from tilemaker_ray.ops import multimodal as mm
 class TestDecode:
     def test_fake_codec_deterministic(self):
         t = mm.synth_image_table(5)
-        p = t.column("payload")[0].as_py()
+        i = t.column("media_type").to_pylist().index("image/fake")
+        p = t.column("payload")[i].as_py()
         a = mm.decode_image(p, "image/fake")
         b = mm.decode_image(p, "image/fake")
         np.testing.assert_array_equal(a, b)
-        assert a.shape == (t.column("height")[0].as_py(), t.column("width")[0].as_py())
+        assert a.shape == (t.column("height")[i].as_py(), t.column("width")[i].as_py())
 
     def test_unknown_codec_raises(self):
         with pytest.raises(NotImplementedError, match="codec"):
@@ -39,3 +40,42 @@ class TestPipeline:
         assert len(df) == 200
         assert df.embedding.map(len).eq(mm.FEATURE_DIM).all()
         assert df.mean_luma.between(100, 155).all()  # uniform pixels ≈ 127.5
+
+
+class TestRealCodecs:
+    def test_bmp_gray_roundtrip(self):
+        from tilemaker_ray.ops.multimodal import decode_bmp, encode_bmp_gray
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (13, 17), dtype=np.uint8)  # odd width → padding
+        assert (decode_bmp(encode_bmp_gray(img)) == img).all()
+
+    def test_bmp_24bit(self):
+        from tilemaker_ray.ops.multimodal import decode_bmp
+        import struct
+        # 2x2 24-bit BMP: solid red / green / blue / white, bottom-up
+        w = h = 2
+        row = lambda px: b"".join(bytes(p) for p in px) + b"\x00" * 2  # pad to 8
+        pix = row([(0, 0, 255), (0, 255, 0)]) + row([(255, 0, 0), (255, 255, 255)])
+        # rows bottom-up: first row is the BOTTOM row
+        hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+        hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        img = decode_bmp(hdr + pix)
+        assert img.shape == (2, 2)
+        # top row = second stored row: blue(29), white(255)
+        assert img[0, 0] == 29 and img[0, 1] == 255
+        assert img[1, 0] == 76 and img[1, 1] == 150  # red, green lumas
+
+    def test_pgm_ppm(self):
+        from tilemaker_ray.ops.multimodal import decode_pnm, encode_pgm
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+        assert (decode_pnm(encode_pgm(img)) == img).all()
+        ppm = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+        out = decode_pnm(ppm)
+        assert out.shape == (1, 2) and out[0, 0] == 76 and out[0, 1] == 29
+
+    def test_mixed_media_pipeline(self, ray_session):
+        from tilemaker_ray.ops.multimodal import image_feature_dataset
+        df = image_feature_dataset(60).to_pandas()
+        assert len(df) == 60
+        assert df["embedding"].map(len).eq(32).all()

@@ -569,24 +569,127 @@ def multipolygon_area(mp) -> float:
     return sum(_ring_signed_area(r) for poly in mp for r in poly)
 
 
+_SELF_INTERSECT_VEC_MAX = 512  # segments; above → sorted sweep
+
+
 def rings_self_intersect(rings) -> bool:
     """Does any non-adjacent segment pair of this polygon's rings
     intersect (crossing, T-junction, point-touch or collinear overlap)?
     Approximates boost ``is_valid`` failure_self_intersections /
     failure_intersecting_interiors for the fast_clip fallback decision
-    (tile_data.cpp:330-346).  Sorted sweep over x-intervals."""
-    segs = []       # (minx, maxx, miny, maxy, a, b, ring_id, seg_id)
+    (tile_data.cpp:330-346).  Small polygons (the hot-path case) use a
+    fully vectorized n² predicate; large ones a sorted x-sweep."""
+    import numpy as np
+
+    # tiny polygons (the overwhelmingly common case: synthetic boxes,
+    # buildings) take a plain Python pair loop — numpy broadcast setup
+    # costs more than the 6-50 pair tests themselves
+    total_pts = sum(len(r) for r in rings)
+    if total_pts <= 24:
+        return _self_intersect_tiny(rings)
+
+    seg_a, seg_b, ring_id, seg_id, ring_len = [], [], [], [], []
     for rid, ring in enumerate(rings):
+        pts = np.asarray(ring, dtype=np.float64)
+        if len(pts) and not (pts[0] == pts[-1]).all():
+            pts = np.vstack([pts, pts[:1]])
+        a, b = pts[:-1], pts[1:]
+        keep = (a != b).any(axis=1)
+        m = len(a)
+        seg_a.append(a[keep])
+        seg_b.append(b[keep])
+        idx = np.flatnonzero(keep)
+        ring_id.append(np.full(len(idx), rid))
+        seg_id.append(idx)
+        ring_len.append(np.full(len(idx), m))
+    if not seg_a:
+        return False
+    A = np.concatenate(seg_a)
+    B = np.concatenate(seg_b)
+    rid = np.concatenate(ring_id)
+    sid = np.concatenate(seg_id)
+    rln = np.concatenate(ring_len)
+    n = len(A)
+    if n < 2:
+        return False
+    if n > _SELF_INTERSECT_VEC_MAX:
+        return _self_intersect_sweep(A, B, rid, sid, rln)
+
+    # adjacency mask: same ring and consecutive (or ring-closing) pair
+    same = rid[:, None] == rid[None, :]
+    d = np.abs(sid[:, None] - sid[None, :])
+    adjacent = same & ((d <= 1) | (d == rln[:, None] - 1))
+
+    def orient(p, q, r):
+        # sign of cross(q-p, r-p): p,q (n,1,2) broadcast vs r (1,n,2)
+        return np.sign((q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+                       - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0]))
+
+    A1, B1 = A[:, None, :], B[:, None, :]
+    C1, D1 = A[None, :, :], B[None, :, :]
+    o1 = orient(A1, B1, C1)
+    o2 = orient(A1, B1, D1)
+    o3 = orient(C1, D1, A1)
+    o4 = orient(C1, D1, B1)
+    proper = (o1 * o2 < 0) & (o3 * o4 < 0)
+
+    # touching / collinear: an endpoint of one segment lying on the
+    # other (orientation 0 + bbox containment)
+    lo = np.minimum(A, B)
+    hi = np.maximum(A, B)
+
+    def on_other(o, lo_s, hi_s, p):
+        return (o == 0) & (p[..., 0] >= lo_s[..., 0]) & \
+               (p[..., 0] <= hi_s[..., 0]) & \
+               (p[..., 1] >= lo_s[..., 1]) & (p[..., 1] <= hi_s[..., 1])
+
+    lo1, hi1 = lo[:, None, :], hi[:, None, :]
+    lo2, hi2 = lo[None, :, :], hi[None, :, :]
+    touch = (on_other(o1, lo1, hi1, C1) | on_other(o2, lo1, hi1, D1) |
+             on_other(o3, lo2, hi2, A1) | on_other(o4, lo2, hi2, B1))
+    hit = (proper | touch) & ~adjacent
+    # only the upper triangle (pairs once)
+    return bool(np.triu(hit, 1).any())
+
+
+def _self_intersect_tiny(rings) -> bool:
+    segs = []
+    for r_i, ring in enumerate(rings):
         pts = [(float(p[0]), float(p[1])) for p in ring]
         if pts and pts[0] != pts[-1]:
             pts.append(pts[0])
         m = len(pts) - 1
         for i in range(m):
-            a, b = pts[i], pts[i + 1]
-            if a == b:
+            if pts[i] != pts[i + 1]:
+                segs.append((pts[i], pts[i + 1], r_i, i, m))
+    n = len(segs)
+    for i in range(n):
+        a, b, r1, s1, m1 = segs[i]
+        for j in range(i + 1, n):
+            c, d, r2, s2, m2 = segs[j]
+            if r1 == r2:
+                dd = abs(s1 - s2)
+                if dd <= 1 or dd == m1 - 1:
+                    continue
+            if max(a[0], b[0]) < min(c[0], d[0]) or \
+               min(a[0], b[0]) > max(c[0], d[0]) or \
+               max(a[1], b[1]) < min(c[1], d[1]) or \
+               min(a[1], b[1]) > max(c[1], d[1]):
                 continue
-            segs.append((min(a[0], b[0]), max(a[0], b[0]),
-                         min(a[1], b[1]), max(a[1], b[1]), a, b, rid, i, m))
+            k, _, _ = _segment_intersection(a, b, c, d)
+            if k:
+                return True
+    return False
+
+
+def _self_intersect_sweep(A, B, rid, sid, rln) -> bool:
+    segs = []
+    for i in range(len(A)):
+        a = (float(A[i, 0]), float(A[i, 1]))
+        b = (float(B[i, 0]), float(B[i, 1]))
+        segs.append((min(a[0], b[0]), max(a[0], b[0]),
+                     min(a[1], b[1]), max(a[1], b[1]), a, b,
+                     int(rid[i]), int(sid[i]), int(rln[i])))
     segs.sort(key=lambda s: s[0])
     n = len(segs)
     for i in range(n):
@@ -599,7 +702,7 @@ def rings_self_intersect(rings) -> bool:
                 continue
             if s1[6] == s2[6]:  # same ring: skip consecutive segments
                 d = abs(s1[7] - s2[7])
-                if d == 1 or d == s1[8] - 1:
+                if d <= 1 or d == s1[8] - 1:
                     continue
             k, _, _ = _segment_intersection(s1[4], s1[5], s2[4], s2[5])
             if k:

@@ -66,6 +66,16 @@ def fast_clip_ring(ring: np.ndarray, minx: float, miny: float, maxx: float, maxy
     return np.array(pts, dtype=np.float64).reshape(-1, 2)
 
 
+def polygon_inside_box(rings, minx, miny, maxx, maxy) -> bool:
+    """All vertices within the box — clipping is then the identity."""
+    for r in rings:
+        a = np.asarray(r)
+        if not (a[:, 0].min() >= minx and a[:, 0].max() <= maxx and
+                a[:, 1].min() >= miny and a[:, 1].max() <= maxy):
+            return False
+    return True
+
+
 def clip_polygon(rings: list[np.ndarray], minx, miny, maxx, maxy) -> list[np.ndarray] | None:
     """fast_clip(Polygon&) (geom.cpp:229-241): clip outer; empty ⇒ gone;
     clip inners, drop empties. Then boost-style correct (close + winding)."""
@@ -92,6 +102,13 @@ def clip_multipolygon(polys: list[list[np.ndarray]], minx, miny, maxx, maxy) -> 
     from . import boolops
     out = []
     for rings in polys:
+        if polygon_inside_box(rings, minx, miny, maxx, maxy):
+            # identity clip: skip Sutherland–Hodgman AND the validity
+            # probe (input polygons are assumed valid)
+            c = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
+            if len(c[0]) >= 4:
+                out.append([c[0]] + [r for r in c[1:] if len(r) >= 4])
+            continue
         c = clip_polygon(rings, minx, miny, maxx, maxy)
         if c is None:
             continue
@@ -211,6 +228,15 @@ def clip_linestring_tilemaker(ls: np.ndarray, clip_box, ext_box) -> list[np.ndar
     intersect the clippingBox, then intersect the runs with the
     extendBox."""
     cminx, cminy, cmaxx, cmaxy = clip_box
+    # early out: fully inside the clip box → identity (every segment
+    # then intersects the clip box, so no splits, and the extend box —
+    # a superset — can't cut either).  The common case for small
+    # features at high zoom; skips the per-segment Python scan.
+    x = ls[:, 0]
+    y = ls[:, 1]
+    if (x.min() >= cminx and x.max() <= cmaxx and
+            y.min() >= cminy and y.max() <= cmaxy):
+        return [ls] if len(ls) > 1 else []
     runs: list[np.ndarray] = []
     start = 0
     for i in range(1, len(ls)):

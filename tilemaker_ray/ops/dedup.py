@@ -36,6 +36,7 @@ from .text import content_hash64
 NUM_PERM = 64
 NUM_BANDS = 16  # 4 rows per band
 SHINGLE_K = 3  # word shingles
+MINHASH_LOCAL_BUCKET_LIMIT = 2_000_000  # sketch rows; above → groupby
 
 
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
@@ -165,12 +166,15 @@ class MinHasher:
         with np.errstate(over="ignore"):
             bh = (seg * self.band_mix[None, None, :]).sum(axis=2)
             bh ^= bh >> np.uint64(33)
+            # fold the band index into the hash: ONE small-int exchange
+            # key instead of a 2-column sort (the single-int-key lesson
+            # from the flagship shuffle, BASELINE.md)
+            bh = (bh * np.uint64(16) +
+                  np.arange(NUM_BANDS, dtype=np.uint64)[None, :])
             bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         doc = np.repeat(ids.astype(np.int64), NUM_BANDS)
-        band = np.tile(np.arange(NUM_BANDS, dtype=np.int64), n)
         return pa.table({"doc_id": pa.array(doc),
-                         "band": pa.array(band),
-                         "band_hash": pa.array(bh.reshape(-1))})
+                         "bucket_key": pa.array(bh.reshape(-1))})
 
 
 def jaccard(a: str, b: str, k: int = SHINGLE_K) -> float:
@@ -206,11 +210,38 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
                              "doc_b": pd.Series(out_b, dtype="int64")})
 
-    pairs = (bands.groupby(["band", "band_hash"])
-                  .map_groups(bucket_pairs, batch_format="pandas")
-                  .groupby(["doc_a", "doc_b"])
-                  .aggregate(Count(alias_name="n_buckets")))
-    pdf = pairs.to_pandas()  # unique candidate PAIRS only (tiny)
+    # Size-adaptive bucketing.  The band sketch is ~16 ints per doc
+    # (≈1% of the text bytes): below the threshold the all-to-all
+    # groupby costs 10-100x the data it moves, so the sketch is pulled
+    # and bucketed locally (vectorized); above it, the distributed
+    # single-int-key groupby runs — the 100 TB path.
+    if ds.count() * NUM_BANDS <= MINHASH_LOCAL_BUCKET_LIMIT:
+        bdf = bands.to_pandas()
+        kb = bdf["bucket_key"].to_numpy()
+        doc = bdf["doc_id"].to_numpy()
+        order = np.argsort(kb, kind="stable")
+        kb_s, doc_s = kb[order], doc[order]
+        cut = np.flatnonzero(kb_s[1:] != kb_s[:-1]) + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(kb_s)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = np.unique(doc_s[s:e])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        pdf = pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                            "doc_b": pd.Series(out_b, dtype="int64")}
+                           ).drop_duplicates()
+    else:
+        pairs = (bands.groupby("bucket_key")
+                      .map_groups(bucket_pairs, batch_format="pandas"))
+        # candidate pairs are small by LSH construction: dedup on the
+        # driver is O(candidates), the same order as the verify below
+        pdf = pairs.to_pandas().drop_duplicates()
     empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                           "doc_b": pd.Series(dtype="int64")})
     if len(pdf) == 0:

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this container): `decode_image` raises NotImplementedError unless the
-deterministic fake codec is selected. Everything around them — schema,
-batch sizing for large binary payloads, actor signature, broadcast
-model weights, output layout — is real and tested, so swapping in a
-real codec (PIL/torchvision/ffmpeg) is a one-function change.
+Decode kernels: BMP (24-bit / 8-bit paletted) and PGM/PPM are REAL
+pure-numpy decoders of the public formats; compressed formats
+(jpeg/webp — no codec libraries in this container) use the
+deterministic fake codec and raise NotImplementedError otherwise, the
+marked swap-in point for PIL/torchvision/ffmpeg.  Everything around
+them — schema, batch sizing for large binary payloads, actor
+signature, broadcast model weights, output layout — is real and
+tested.
 
 Scale notes: binary payloads make rows wide; stages use small
 batch_size and pyarrow format so blocks stay within worker heaps and
@@ -36,29 +38,121 @@ FEATURE_DIM = 32
 
 
 def synth_image_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake 'encoded images': header (w, h) + seeded
-    bytes. Stands in for real webp/jpeg payloads in tests/benches."""
+    """Deterministic 'encoded images', mixing REAL formats (BMP, PGM —
+    decoded by the pure-numpy codecs below) with the fake codec that
+    stands in for jpeg/webp payloads."""
     rng = np.random.default_rng(seed)
     rows = {"doc_id": [], "media_type": [], "payload": [], "width": [], "height": []}
     for i in range(n):
         w = int(rng.integers(16, 128))
         h = int(rng.integers(16, 128))
-        body = rng.bytes(w * h // 4)
+        kind = i % 3
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            payload = encode_bmp_gray(img)
+            mt = "image/bmp"
+        elif kind == 1:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            payload = encode_pgm(img)
+            mt = "image/x-portable-graymap"
+        else:
+            payload = struct.pack("<II", w, h) + rng.bytes(w * h // 4)
+            mt = "image/fake"
         rows["doc_id"].append(i)
-        rows["media_type"].append("image/fake")
-        rows["payload"].append(struct.pack("<II", w, h) + body)
+        rows["media_type"].append(mt)
+        rows["payload"].append(payload)
         rows["width"].append(w)
         rows["height"].append(h)
     return pa.table(rows, schema=IMAGE_SCHEMA)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real BMP decode (public BITMAPINFOHEADER format, pure numpy):
+    uncompressed (BI_RGB) 24-bit RGB or 8-bit paletted/grayscale,
+    bottom-up or top-down rows, 4-byte row padding.  Returns (h, w)
+    uint8 grayscale (BT.601 luma for RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=pix_off).reshape(h, row_bytes)
+    if not top_down:
+        raw = raw[::-1]
+    if bpp == 24:
+        bgr = raw[:, :w * 3].reshape(h, w, 3).astype(np.float32)
+        luma = (0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1]
+                + 0.299 * bgr[:, :, 2])
+        return np.clip(np.rint(luma), 0, 255).astype(np.uint8)
+    if bpp == 8:
+        # palette: 4-byte BGRX entries after the info header
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
+                            offset=14 + hdr_size).reshape(n_colors, 4)
+        pal_luma = np.clip(np.rint(
+            0.114 * pal[:, 0].astype(np.float32)
+            + 0.587 * pal[:, 1] + 0.299 * pal[:, 2]), 0, 255).astype(np.uint8)
+        return pal_luma[raw[:, :w]]
+    raise NotImplementedError(f"BMP bpp={bpp}")
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse P5/P6 header: (magic, w, h, maxval, data_offset)."""
+    tokens = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i:i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # single whitespace after maxval
+    return tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3]), i
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Real PGM (P5) / PPM (P6) decode — pure numpy, 8-bit maxval."""
+    magic, w, h, maxval, off = _pnm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM")
+    if magic == b"P5":
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h,
+                             offset=off).reshape(h, w).copy()
+    if magic == b"P6":
+        rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                            offset=off).reshape(h, w, 3).astype(np.float32)
+        luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        return np.clip(np.rint(luma), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"PNM magic {magic!r}")
+
+
 def decode_image(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an encoded image to (h, w) uint8 grayscale.
 
-    Real codecs are NOT available in this environment. The
-    deterministic fake codec ("image/fake") reproduces a stable pixel
-    array from the payload bytes; any other media type raises — the
-    marked swap-in point for PIL/libjpeg."""
+    Real pure-numpy codecs: BMP (24-bit RGB / 8-bit paletted) and
+    PGM/PPM.  The deterministic fake codec ("image/fake") stands in
+    for formats whose codecs aren't in this container (jpeg/webp);
+    those raise NotImplementedError — the marked swap-in point for
+    PIL/libjpeg."""
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
+    if media_type in ("image/x-portable-graymap", "image/x-portable-pixmap"):
+        return decode_pnm(payload)
     if media_type == "image/fake":
         w, h = struct.unpack_from("<II", payload, 0)
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
@@ -66,6 +160,26 @@ def decode_image(payload: bytes, media_type: str) -> np.ndarray:
         return rng.integers(0, 256, (h, w), dtype=np.uint8)
     raise NotImplementedError(
         f"no codec for {media_type}: install PIL/ffmpeg and extend decode_image")
+
+
+def encode_bmp_gray(img: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale BMP writer (test/synth helper)."""
+    h, w = img.shape
+    row_bytes = (w + 3) & ~3
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    pix_off = 14 + 40 + len(pal)
+    size = pix_off + row_bytes * h
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, pix_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                       row_bytes * h, 2835, 2835, 256, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = img[::-1]  # bottom-up
+    return hdr + pal + rows.tobytes()
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
 class ImageFeaturizer:

@@ -93,5 +93,10 @@ class PageFeatureExtractor:
                 elif f.geom_type in (gc.LINESTRING_, gc.MULTILINESTRING_):
                     out["geom"].append(gc.pack_mls(f.geom_parts))
                 else:
-                    out["geom"].append(gc.pack_mp(f.geom_parts))
+                    # CorrectGeometry at emission (the reference's
+                    # osm_lua_processing.h:160-186 semantics): dissolve
+                    # self-intersecting polygons once here so every
+                    # downstream stage can assume valid input
+                    out["geom"].append(
+                        gc.pack_mp(gc.correct_geometry(f.geom_parts)))
         return pa.table(out, schema=FEATURE_SCHEMA)
