@@ -33,3 +33,22 @@ class TestCli:
         tiles = read_mbtiles(out)
         assert len(tiles) >= 10
         assert read_metadata(out)["format"] == "pbf"
+
+    def test_monaco_to_pmtiles_and_merge(self, tmp_path):
+        """pmtiles write + a second --merge run over the same archive:
+        counts stay identical (merged features, not duplicated tiles)."""
+        out = str(tmp_path / "m.pmtiles")
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", out, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        from tilemaker_ray.sinks.pmtiles import read_pmtiles
+        first = read_pmtiles(out)
+        assert len(first["tiles"]) >= 10
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", out, "--merge", "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        merged = read_pmtiles(out)
+        assert set(merged["tiles"]) == set(first["tiles"])
+        # merged tiles hold old+new features → strictly larger blobs
+        t0 = sorted(first["tiles"])[0]
+        assert len(merged["tiles"][t0]) > len(first["tiles"][t0])

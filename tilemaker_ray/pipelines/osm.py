@@ -369,11 +369,11 @@ def assembled_multipolygons(path: str, num_partitions: int = 8,
 
     joined = ways_ds.map_batches(tag_members, batch_format="pandas")
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
+    def build_one(rel_id: int, roles, geoms, rtags_arr):
         from ..stages.render import reorder_multilinestring
         outers = []
         inners = []
-        for role, geom in zip(g["role"].to_numpy(), g["geom"].to_numpy()):
+        for role, geom in zip(roles, geoms):
             _, parts = gc.unpack(geom)
             (inners if role == "inner" else outers).extend(parts)
         out_rings = [gc.close_ring(ls) for ls in reorder_multilinestring(outers)
@@ -382,9 +382,7 @@ def assembled_multipolygons(path: str, num_partitions: int = 8,
                     if len(ls) >= 3]
         out_rings = [r for r in out_rings if (r[0] == r[-1]).all() and len(r) >= 4]
         if not out_rings:
-            return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                 "tags": pd.Series(dtype=object),
-                                 "geom": pd.Series(dtype=object)})
+            return None
         polys = []
         for orr in out_rings:
             rings = [orr]
@@ -395,12 +393,40 @@ def assembled_multipolygons(path: str, num_partitions: int = 8,
         # CorrectGeometry (osm_lua_processing.h:160-186): dissolve any
         # relation polygon that still self-intersects
         polys = gc.correct_geometry(polys)
-        tags = next((t for t in g["rtags"] if t), "")
-        return pd.DataFrame({"id": [int(g["rel_id"].iloc[0])],
-                             "tags": [tags],
-                             "geom": [gc.pack_mp(polys)]})
+        tags = next((t for t in rtags_arr if t), "")
+        return (int(rel_id), tags, gc.pack_mp(polys))
 
-    return joined.groupby("rel_id").map_groups(build, batch_format="pandas")
+    def build_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """All relations of one pk partition, numpy run-slicing over a
+        rel_id sort — one DataFrame per PARTITION, not per relation
+        (per-group 1-row frames are fatal at 1e7 relations)."""
+        order = np.argsort(g["rel_id"].to_numpy(), kind="stable")
+        rel = g["rel_id"].to_numpy()[order]
+        roles = g["role"].to_numpy()[order]
+        geoms = g["geom"].to_numpy()[order]
+        rtags = g["rtags"].to_numpy()[order]
+        bounds = np.flatnonzero(rel[1:] != rel[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(rel)]])
+        ids, tags_out, geoms_out = [], [], []
+        for s, e in zip(starts, ends):
+            r = build_one(rel[s], roles[s:e], geoms[s:e], rtags[s:e])
+            if r is not None:
+                ids.append(r[0])
+                tags_out.append(r[1])
+                geoms_out.append(r[2])
+        return pd.DataFrame({"id": np.array(ids, dtype=np.int64),
+                             "tags": pd.Series(tags_out, dtype=object),
+                             "geom": pd.Series(geoms_out, dtype=object)})
+
+    def add_rel_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pk"] = (df["rel_id"].to_numpy() % num_partitions).astype(np.int32)
+        return df
+
+    return (joined.map_batches(add_rel_pk, batch_format="pandas")
+                  .groupby("pk")
+                  .map_groups(build_partition, batch_format="pandas"))
 
 
 def relation_scan_tables(path: str, scan_fn=None, postscan_fn=None):
