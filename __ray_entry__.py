@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance": relational.q_supplier_balance,
         # training-data ops: text analysis
         "token_count": text.q_token_count,
+        "token_count_bpe": text.q_token_count_bpe,
         "quality_score": text.q_quality_score,
         "langid": text.q_langid,
         "fingerprint": text.q_fingerprint,

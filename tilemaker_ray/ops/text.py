@@ -31,6 +31,33 @@ def q_token_count(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(counts, batch_format="pyarrow").to_pandas()
 
 
+# GPT-2-style pre-tokenizer shape (words with contractions, digit
+# chunks of ≤3, single punctuation) restricted to RE2-compatible
+# syntax so the DuckDB oracle matches Python's re exactly
+BPE_PATTERN = r"[A-Za-z]+(?:'[a-z]+)?|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token count per document: compiled-regex findall per
+    batch (the regex compiles once per actor — ST1 pattern)."""
+    import re
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class BpeCounter:
+        def __init__(self):
+            self.rx = re.compile(BPE_PATTERN)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            findall = self.rx.findall
+            n = [len(findall(t)) for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(BpeCounter, batch_format="pyarrow",
+                          concurrency=(1, 8)).to_pandas()
+
+
 def q_quality_score(sf_dir: str) -> pd.DataFrame:
     """Quality heuristics: stopword ratio (fixed list), mean token
     length — rounded to 6 decimals for oracle comparison."""
@@ -161,6 +188,12 @@ ORACLES = {
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                length(text) AS n_chars
+        FROM documents
+    """,
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))
+                   AS n_bpe_tokens
         FROM documents
     """,
     "quality_score": """
