@@ -131,3 +131,65 @@ def test_cosine_dup_ivf_recall():
     assert not (sa - se)  # no false positives: exact verify per bucket
     if se:
         assert len(sa & se) / len(se) >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_block_pair_dups_off_diagonal():
+    """ADVICE r2: off-diagonal tiles must keep pairs whose SMALLER id
+    lives in the LATER block (non-monotonic ids across blocks)."""
+    import pyarrow as pa
+    import ray
+    from tilemaker_ray.ops.similarity import _block_pair_dups
+
+    def blk(ids, mat):
+        m = np.asarray(mat, np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), m.shape[1])
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "emb": emb})
+
+    # block A holds ids {10, 11}; block B holds ids {2, 3} — all four
+    # vectors identical, so every cross pair is a dup.  The round-2
+    # va < vb filter dropped ALL of these (va in {10,11} > vb in {2,3}).
+    v = [1.0, 0.0, 0.0]
+    a = blk([10, 11], [v, v])
+    b = blk([2, 3], [v, v])
+    va, vb = ray.get(_block_pair_dups.remote(a, b, False, 0.9))
+    got = set(zip(va.tolist(), vb.tolist()))
+    assert got == {(2, 10), (2, 11), (3, 10), (3, 11)}
+    # diagonal tile: strict upper triangle only
+    va, vb = ray.get(_block_pair_dups.remote(a, a, True, 0.9))
+    assert set(zip(va.tolist(), vb.tolist())) == {(10, 11)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_dup_ivf_scale_properties():
+    """VERDICT r2 #1 done-criteria: recall >=0.95 vs exact at sf0.1, and
+    the max bucket FRACTION shrinks as n grows (centroids ∝ sqrt(n)), so
+    no bucket group approaches O(n) — with an id-only shuffle the group
+    bytes stay tiny either way."""
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.1"
+    exact = E.queries()["cosine_dup_pairs"](sf)
+    approx = E.queries()["cosine_dup_pairs_ivf"](sf)
+    se = set(map(tuple, exact.values.tolist()))
+    sa = set(map(tuple, approx.values.tolist()))
+    assert not (sa - se)
+    assert se and len(sa & se) / len(se) >= 0.95
+
+    # bucket-size bound: simulate assignment at n and 10n on synthetic
+    # near-orthogonal vectors with the production constants
+    from tilemaker_ray.ops.similarity import _n_centroids, DUP_ASSIGN_PROBE
+    rng = np.random.default_rng(3)
+    fracs = []
+    for n in (2000, 20000):
+        k = _n_centroids(n)
+        probe = min(k, DUP_ASSIGN_PROBE)
+        x = rng.standard_normal((n, 32))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        c = x[rng.choice(n, k, replace=False)]
+        sims = x @ c.T
+        top = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
+        counts = np.bincount(top.reshape(-1), minlength=k)
+        fracs.append(counts.max() / n)
+    assert fracs[1] < fracs[0]  # finer partitioning at larger n
+    assert fracs[1] < 0.25      # no bucket holds a quarter of the data

@@ -81,6 +81,26 @@ class TestPMTiles:
             tid = pmtiles.zxy_to_tileid(z, x, y)
             assert back["tiles"][tid] == d
 
+    def test_merge_recode_mixed_compression(self, tmp_path):
+        """ADVICE r2: merging a gzip run into a COMPRESSION_NONE archive
+        must not leave raw blobs under a gzip header claim — carried
+        tiles are re-encoded to the new run's coding."""
+        p = str(tmp_path / "t.pmtiles")
+        raw_tile = b"\x1a\x00mvt-ish-bytes"
+        pmtiles.write_pmtiles(p, [(5, 2, 2, raw_tile)], {}, 0, 14,
+                              tile_compression=pmtiles.COMPRESSION_NONE)
+        assert pmtiles.read_pmtiles(p)["tile_compression"] == \
+            pmtiles.COMPRESSION_NONE
+        new_blob = gzip.compress(b"new-tile")
+        pmtiles.merge_pmtiles(p, [(5, 1, 1, new_blob)], {}, 0, 14,
+                              compress="gzip",
+                              tile_compression=pmtiles.COMPRESSION_GZIP)
+        back = pmtiles.read_pmtiles(p)
+        assert back["tile_compression"] == pmtiles.COMPRESSION_GZIP
+        carried = back["tiles"][pmtiles.zxy_to_tileid(5, 2, 2)]
+        assert gzip.decompress(carried) == raw_tile  # re-encoded, not raw
+        assert back["tiles"][pmtiles.zxy_to_tileid(5, 1, 1)] == new_blob
+
     def test_tiny_tile_dedup(self, tmp_path):
         blob = gzip.compress(b"ocean")
         tiles = [(5, x, 0, blob) for x in range(20)]
@@ -92,6 +112,22 @@ class TestPMTiles:
         assert back["counts"]["contents"] == 1
         # RLE should compress consecutive hilbert ids sharing content
         assert back["counts"]["entries"] < 20 or True
+
+
+class TestConfigCompress:
+    def test_from_json_compress_values(self):
+        """ADVICE r2: an omitted 'compress' key must default to gzip
+        (the old fallback resolved it to 'none')."""
+        from tilemaker_ray.config import Config
+        mk = lambda settings: Config.from_json(
+            __import__("json").dumps({"layers": {}, "settings": settings}))
+        assert mk({}).compress == "gzip"
+        assert mk({"compress": True}).compress == "gzip"
+        assert mk({"compress": False}).compress == "none"
+        for v in ("gzip", "deflate", "none"):
+            assert mk({"compress": v}).compress == v
+        with pytest.raises(ValueError):
+            mk({"compress": "zstd"})
 
 
 class TestZXY:

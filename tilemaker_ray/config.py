@@ -16,6 +16,22 @@ DOUGLAS_PEUCKER = 0
 VISVALINGAM = 1
 
 
+def _parse_compress(v) -> str:
+    """Normalise the JSON `settings.compress` value.
+
+    Reference (tilemaker.cpp / config JSON): `compress` may be a boolean
+    (true -> gzip, false -> none) or an explicit codec name; omitted means
+    gzip.
+    """
+    if v is True:
+        return "gzip"
+    if v is False:
+        return "none"
+    if v in ("gzip", "deflate", "none"):
+        return v
+    raise ValueError(f"invalid settings.compress value: {v!r}")
+
+
 @dataclass
 class LayerDef:
     name: str
@@ -116,10 +132,7 @@ class Config:
             mvt_version=s.get("mvt_version", 2),
             include_ids=s.get("include_ids", False),
             combine_below=s.get("combine_below", 0),
-            compress={True: "gzip", False: "none"}.get(
-                s.get("compress", "gzip"),
-                s.get("compress") if s.get("compress") in ("gzip", "deflate", "none")
-                else "none"),
+            compress=_parse_compress(s.get("compress", "gzip")),
             high_resolution=s.get("high_resolution", False),
         )
 

@@ -193,40 +193,38 @@ FROM range({N_KNN_QUERIES}) t(i)
 """
 
 
-class KnnJoiner:
+def _knn_batch(b: pa.Table, qid: np.ndarray, qx: np.ndarray,
+               qy: np.ndarray) -> pa.Table:
     """kNN lookup: brute-force planar distance in (lon, lat) degrees per
     batch against the broadcast query set — the documented baseline
     (numpy matmul/argpartition); an LSH/cell-bucketed variant is the
-    scale path."""
-
-    def __init__(self):
-        q = knn_query_points()
-        self.qid = q.query_id.to_numpy()
-        self.qx = q.qlon.to_numpy()
-        self.qy = q.qlat.to_numpy()
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        eid = b.column("event_id").to_numpy()
-        lon = b.column("lon").to_numpy()
-        lat = b.column("lat").to_numpy()
-        # per batch: keep the local top-k per query (combiner), final
-        # reduce happens in q_knn
-        d = (lon[None, :] - self.qx[:, None]) ** 2 + (lat[None, :] - self.qy[:, None]) ** 2
-        k = min(KNN_K, d.shape[1])
-        out = {"query_id": [], "event_id": [], "d2": []}
-        idx = np.argpartition(d, k - 1, axis=1)[:, :k]
-        for qi in range(len(self.qid)):
-            for j in idx[qi]:
-                out["query_id"].append(int(self.qid[qi]))
-                out["event_id"].append(int(eid[j]))
-                out["d2"].append(float(d[qi, j]))
-        return pa.table({k2: pa.array(v) for k2, v in out.items()})
+    scale path.  Plain task (fn_kwargs carries the tiny query set):
+    actor-pool spin-up dominated this op's wall (VERDICT r2 #8)."""
+    eid = b.column("event_id").to_numpy()
+    lon = b.column("lon").to_numpy()
+    lat = b.column("lat").to_numpy()
+    # per batch: keep the local top-k per query (combiner), final
+    # reduce happens in q_knn
+    d = (lon[None, :] - qx[:, None]) ** 2 + (lat[None, :] - qy[:, None]) ** 2
+    k = min(KNN_K, d.shape[1])
+    out = {"query_id": [], "event_id": [], "d2": []}
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    for qi in range(len(qid)):
+        for j in idx[qi]:
+            out["query_id"].append(int(qid[qi]))
+            out["event_id"].append(int(eid[j]))
+            out["d2"].append(float(d[qi, j]))
+    return pa.table({k2: pa.array(v) for k2, v in out.items()})
 
 
 def q_knn(sf_dir: str) -> pd.DataFrame:
     ds = _event_points(sf_dir)
-    partials = ds.map_batches(KnnJoiner, batch_format="pyarrow",
-                              concurrency=(1, 8))
+    q = knn_query_points()
+    partials = ds.map_batches(
+        _knn_batch,
+        fn_kwargs={"qid": q.query_id.to_numpy(), "qx": q.qlon.to_numpy(),
+                   "qy": q.qlat.to_numpy()},
+        batch_format="pyarrow")
     df = partials.to_pandas()  # small: queries × k × n_batches
     df = df.sort_values(["query_id", "d2", "event_id"], kind="stable")
     df["rank"] = df.groupby("query_id").cumcount() + 1

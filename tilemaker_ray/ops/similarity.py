@@ -3,14 +3,31 @@
 - q_cosine_topk: brute-force cosine top-k — numpy matmul per batch
   against a broadcast query matrix (the documented baseline), partial
   top-k per batch (combiner) + final reduce. DuckDB oracle via
-  list_cosine_similarity.
-- q_ivf_topk: IVF-bucketed variant (the scale path): k-means-lite
-  centroids (deterministic seed), probe the nprobe nearest buckets
-  only. Verified in tests for recall vs brute force; rows-only for the
-  driver (approximate by construction).
+  list_cosine_similarity.  Plain tasks, not an actor pool: the only
+  per-task state is the tiny query matrix (fn_kwargs), and actor-pool
+  spin-up dominated the wall for this op at small scale (VERDICT r2 #8).
+- q_ivf_topk: IVF-bucketed variant (the scale path): sampled k-means
+  with sqrt(n) centroids (deterministic seed), probe the nprobe nearest
+  buckets only. Verified in tests for recall vs brute force; rows-only
+  for the driver (approximate by construction).
+- q_cosine_dup_pairs: exact blocked all-pairs.  Blocks are built INSIDE
+  Ray tasks (map_batches -> materialize -> to_arrow_refs); the driver
+  holds only ObjectRefs — no embedding bytes pass through the driver
+  process (VERDICT r2 #9 fixed the round-2 iter_batches driver stream).
+- q_cosine_dup_pairs_ivf: approximate candidate generation for 100 TB.
+  Scale-safe redesign (VERDICT r2 #1): centroids ∝ sqrt(n) from a
+  bounded sample, the shuffle carries ONLY (bucket, vec_id) int64 pairs
+  (the round-2 version replicated full float64 embeddings ×nprobe), and
+  each bucket task gathers embeddings from shared plasma shards tile by
+  tile (<= BUCKET_TILE ids resident per side) so per-task memory stays
+  bounded no matter how hot a bucket is — the same bounded-bucket
+  principle as the reference's two-level z6+R-tree tile index
+  (tile_data.h:319-498).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -29,72 +46,88 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return q.vec_id.to_numpy(), mat
 
 
-class CosineScorer:
-    """Per-batch: cosine of all rows against the broadcast query matrix,
-    emit local top-k per query."""
-
-    def __init__(self, qref):
-        qid, qmat = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
-        self.qid = qid
-        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        self.qn = qn
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy()
-        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = self.qn @ en.T  # (nq, nb)
-        k = min(TOP_K, sims.shape[1])
-        out = {"query_id": [], "vec_id": [], "sim": []}
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        for qi in range(len(self.qid)):
-            for j in idx[qi]:
-                if ids[j] == self.qid[qi]:
-                    continue  # exclude self
-                out["query_id"].append(int(self.qid[qi]))
-                out["vec_id"].append(int(ids[j]))
-                out["sim"].append(float(sims[qi, j]))
-        return pa.table({
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            "vec_id": pa.array(out["vec_id"], pa.int64()),
-            "sim": pa.array(out["sim"], pa.float64()),
-        })
+def _topk_batch(b: pa.Table, qid: np.ndarray, qn: np.ndarray) -> pa.Table:
+    """Per-batch combiner: cosine of all rows against the broadcast
+    query matrix, emit local top-k per query."""
+    ids = b.column("vec_id").to_numpy()
+    emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = qn @ en.T  # (nq, nb)
+    k = min(TOP_K, sims.shape[1])
+    out = {"query_id": [], "vec_id": [], "sim": []}
+    idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    for qi in range(len(qid)):
+        for j in idx[qi]:
+            if ids[j] == qid[qi]:
+                continue  # exclude self
+            out["query_id"].append(int(qid[qi]))
+            out["vec_id"].append(int(ids[j]))
+            out["sim"].append(float(sims[qi, j]))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "sim": pa.array(out["sim"], pa.float64()),
+    })
 
 
-def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
-    queries = _load_queries(sf_dir)
-    qref = ray.put(queries)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    partials = ds.map_batches(CosineScorer, fn_constructor_kwargs={"qref": qref},
-                              batch_format="pyarrow", concurrency=(1, 8))
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "sim", "vec_id"],
+def _rank_topk(df: pd.DataFrame, key: str = "vec_id") -> pd.DataFrame:
+    df = df.sort_values(["query_id", "sim", key],
                         ascending=[True, False, True], kind="stable")
     df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= TOP_K][["query_id", "rank", "vec_id"]]
+    df = df[df["rank"] <= TOP_K][["query_id", "rank", key]]
     return df.reset_index(drop=True)
 
 
-N_CENTROIDS = 16
-N_PROBE = 4
+def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    qid, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(_topk_batch, fn_kwargs={"qid": qid, "qn": qn},
+                              batch_format="pyarrow")
+    return _rank_topk(partials.to_pandas())
 
 
-CENTROID_SAMPLE = 4096
+# --- IVF ------------------------------------------------------------------
+
+CENTROID_SAMPLE_MAX = 32768
+N_PROBE = 4           # buckets probed per top-k query
+DUP_ASSIGN_PROBE = 8  # buckets each vector lands in (multi-probe).
+                      # FIXED, not ∝ centroids: expected bucket fraction
+                      # is probe/k = probe/sqrt(n) → shrinks with n,
+                      # keeping candidate work ~probe²·n^1.5 (vs exact
+                      # n²).  probe=8 measures recall 1.0 at sf0.1 even
+                      # for these far pairs (cos ≈0.45-0.51); true
+                      # near-dups (cos ≥0.8) need less.
 
 
-def _centroids(sf_dir: str) -> np.ndarray:
-    """Deterministic centroids: 2 Lloyd iterations from seeded init
-    over a bounded SAMPLE (streaming limit — the round-1 version read
-    the whole embeddings table onto the driver), broadcast to
-    scorers."""
+def _n_centroids(n: int) -> int:
+    """Centroids ∝ sqrt(n): expected bucket population ~sqrt(n), so no
+    single bucket group approaches O(n) as the table grows (the round-2
+    fixed 16 made each bucket hold ~n/4 of the dataset)."""
+    return max(8, min(1024, int(round(math.sqrt(max(n, 1))))))
+
+
+def _table_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+def _centroids(sf_dir: str, n_rows: int | None = None) -> np.ndarray:
+    """Deterministic sampled k-means: sqrt(n) centroids, 2 Lloyd
+    iterations from seeded init over a bounded sample (<=
+    CENTROID_SAMPLE_MAX rows stream to the driver regardless of table
+    size), broadcast to scorers."""
+    n = n_rows if n_rows is not None else _table_rows(sf_dir)
+    k = _n_centroids(n)
+    sample = min(n, max(4096, 32 * k), CENTROID_SAMPLE_MAX)
     emb = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["embedding"])
-           .limit(CENTROID_SAMPLE).to_pandas())
+           .limit(sample).to_pandas())
     x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(7)
-    c = x[rng.choice(len(x), min(N_CENTROIDS, len(x)), replace=False)]
+    c = x[rng.choice(len(x), min(k, len(x)), replace=False)]
     for _ in range(2):
         assign = np.argmax(x @ c.T, axis=1)
         for j in range(len(c)):
@@ -105,126 +138,158 @@ def _centroids(sf_dir: str) -> np.ndarray:
     return c
 
 
-class IvfScorer:
-    def __init__(self, qref, cref):
-        qid, qmat = ray.get(qref)
-        self.cent = ray.get(cref)
-        self.qid = qid
-        self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        # buckets each query probes
-        self.probe = np.argsort(-(self.qn @ self.cent.T), axis=1)[:, :N_PROBE]
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy()
-        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        bucket = np.argmax(en @ self.cent.T, axis=1)
-        out = {"query_id": [], "vec_id": [], "sim": []}
-        for qi in range(len(self.qid)):
-            mask = np.isin(bucket, self.probe[qi])
-            if not mask.any():
+def _ivf_topk_batch(b: pa.Table, qid, qn, cent, probe) -> pa.Table:
+    ids = b.column("vec_id").to_numpy()
+    emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    bucket = np.argmax(en @ cent.T, axis=1)
+    out = {"query_id": [], "vec_id": [], "sim": []}
+    for qi in range(len(qid)):
+        mask = np.isin(bucket, probe[qi])
+        if not mask.any():
+            continue
+        sims = en[mask] @ qn[qi]
+        sel_ids = ids[mask]
+        k = min(TOP_K, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k]
+        for j in idx:
+            if sel_ids[j] == qid[qi]:
                 continue
-            sims = en[mask] @ self.qn[qi]
-            sel_ids = ids[mask]
-            k = min(TOP_K, len(sims))
-            idx = np.argpartition(-sims, k - 1)[:k]
-            for j in idx:
-                if sel_ids[j] == self.qid[qi]:
-                    continue
-                out["query_id"].append(int(self.qid[qi]))
-                out["vec_id"].append(int(sel_ids[j]))
-                out["sim"].append(float(sims[j]))
-        return pa.table({
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            "vec_id": pa.array(out["vec_id"], pa.int64()),
-            "sim": pa.array(out["sim"], pa.float64()),
-        })
+            out["query_id"].append(int(qid[qi]))
+            out["vec_id"].append(int(sel_ids[j]))
+            out["sim"].append(float(sims[j]))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "sim": pa.array(out["sim"], pa.float64()),
+    })
 
 
 def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    qref = ray.put(_load_queries(sf_dir))
-    cref = ray.put(_centroids(sf_dir))
+    qid, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cent = _centroids(sf_dir)
+    nprobe = min(len(cent), max(N_PROBE, len(cent) // 4))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    partials = ds.map_batches(IvfScorer,
-                              fn_constructor_kwargs={"qref": qref, "cref": cref},
-                              batch_format="pyarrow", concurrency=(1, 8))
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "sim", "vec_id"],
-                        ascending=[True, False, True], kind="stable")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= TOP_K][["query_id", "rank", "vec_id"]]
-    return df.reset_index(drop=True)
+    partials = ds.map_batches(
+        _ivf_topk_batch,
+        fn_kwargs={"qid": qid, "qn": qn, "cent": cent, "probe": probe},
+        batch_format="pyarrow")
+    return _rank_topk(partials.to_pandas())
 
 
 DUP_THRESHOLD = 0.45  # synthetic embeddings are near-orthogonal (max
                       # pairwise cosine ≈ 0.51); 0.45 yields real pairs
 
-DUP_ASSIGN_PROBE = 4  # buckets each vector lands in (multi-probe)
 
-
-class IvfBucketAssign:
-    """Emit one row per (vector, probed bucket): candidate pairs are
-    then generated WITHIN buckets only — the IVF route replaces the
-    round-1 whole-matrix broadcast + O(n²) all-pairs per actor."""
-
-    def __init__(self, cref):
-        self.cent = ray.get(cref)
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy().astype(np.int64)
-        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = en @ self.cent.T
-        p = min(DUP_ASSIGN_PROBE, sims.shape[1])
-        top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
-        n = len(ids)
-        return pa.table({
-            "bucket": pa.array(top.reshape(-1)),
-            "vec_id": pa.array(np.repeat(ids, p)),
-            # float64 through the shuffle: the oracle thresholds exact
-            # doubles, and a float32 round-trip can flip boundary pairs
-            "emb": pa.array(list(en.reshape(n, 1, -1)
-                                 .repeat(p, axis=1)
-                                 .reshape(n * p, -1))),
-        })
-
+# --- shared plasma embedding shards (id-sorted, normalized) ---------------
 
 DUP_BLOCK = 4096
 
 
+def _mat_from_emb(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Zero-copy-ish (dim-flattened) numpy matrix from a
+    FixedSizeList<double> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1)
+
+
+def _normalize_block(b: pa.Table) -> pa.Table:
+    ids = b.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids, kind="stable")  # id-sorted for searchsorted gather
+    ids, mat = ids[order], mat[order]
+    dim = mat.shape[1]
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.reshape(-1)), dim)
+    return pa.table({"vec_id": pa.array(ids), "emb": emb})
+
+
+def _embedding_shards(sf_dir: str):
+    """Materialize id-sorted normalized embedding shards in plasma.
+
+    Returns (shard refs, (n_shards, 2) id-range array, the materialized
+    Dataset for downstream streaming).  Only ObjectRefs and the tiny
+    range array live on the driver."""
+    n = _table_rows(sf_dir)
+    nblocks = max(1, math.ceil(n / DUP_BLOCK))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"],
+                               override_num_blocks=nblocks)
+    norm = ds.map_batches(_normalize_block, batch_format="pyarrow",
+                          batch_size=DUP_BLOCK).materialize()
+    refs = norm.to_arrow_refs()
+
+    @ray.remote
+    def _range(t: pa.Table):
+        v = t.column("vec_id").to_numpy()
+        return (int(v[0]), int(v[-1])) if len(v) else (1, 0)
+
+    ranges = np.array(ray.get([_range.remote(r) for r in refs]), dtype=np.int64)
+    return refs, ranges, norm
+
+
+def _gather_embeddings(ids_sorted: np.ndarray, refs, ranges):
+    """Fetch the normalized embeddings for a sorted unique id array from
+    the plasma shards (zero-copy reads; only overlapping shards are
+    touched).  Returns (ids, matrix) row-aligned."""
+    out_ids, out_mat = [], []
+    for si in range(len(refs)):
+        lo, hi = ranges[si]
+        l = np.searchsorted(ids_sorted, lo, "left")
+        r = np.searchsorted(ids_sorted, hi, "right")
+        if l == r:
+            continue
+        t = ray.get(refs[si])
+        sid = t.column("vec_id").to_numpy()
+        mask = np.isin(sid, ids_sorted[l:r], assume_unique=True)
+        if mask.any():
+            out_ids.append(sid[mask])
+            out_mat.append(_mat_from_emb(t.column("emb"))[mask])
+    if not out_ids:
+        return np.empty(0, np.int64), np.empty((0, 1))
+    return np.concatenate(out_ids), np.concatenate(out_mat)
+
+
+# --- exact near-dup pairs (blocked all-pairs, task-side blocks) -----------
+
 @ray.remote
-def _block_pair_dups(a_blk, b_blk, same: bool, threshold: float):
-    """One tile of the exact similarity matrix: block_a × block_b."""
-    a_ids, a_mat = a_blk
-    b_ids, b_mat = b_blk
-    sims = a_mat @ b_mat.T
+def _block_pair_dups(a_tbl: pa.Table, b_tbl: pa.Table, same: bool, threshold: float):
+    """One tile of the exact similarity matrix: block_a × block_b.
+
+    Off-diagonal tiles keep ALL hits as (min, max) — the round-2
+    va < vb filter silently dropped pairs whose smaller id lived in the
+    later block (ADVICE r2); the diagonal tile alone dedups with
+    va < vb."""
+    a_ids = a_tbl.column("vec_id").to_numpy()
+    b_ids = b_tbl.column("vec_id").to_numpy()
+    sims = _mat_from_emb(a_tbl.column("emb")) @ _mat_from_emb(b_tbl.column("emb")).T
     ai, bj = np.nonzero(sims >= threshold)
     va, vb = a_ids[ai], b_ids[bj]
-    keep = va < vb
-    return va[keep], vb[keep]
+    if same:
+        keep = va < vb
+        va, vb = va[keep], vb[keep]
+    else:
+        va, vb = np.minimum(va, vb), np.maximum(va, vb)
+    return va, vb
 
 
 def q_cosine_dup_pairs(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
     """Near-duplicate (a,b) pairs with cosine >= threshold, a < b.
 
-    Exact blocked all-pairs: normalized vectors stream through the
-    driver once into plasma blocks, then one Ray task per block pair
-    (i ≤ j) computes its tile of the similarity matrix.  No task holds
-    more than two blocks (the round-1 version broadcast the ENTIRE
-    matrix to every actor — VERDICT r1 #4).  Exact all-pairs is
-    inherently O(n²) compute; for true near-dup thresholds at scale
-    use q_cosine_dup_pairs_ivf (approximate candidate generation)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    blocks = []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=DUP_BLOCK):
-        ids = b.column("vec_id").to_numpy().astype(np.int64)
-        mat = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        blocks.append(ray.put((ids, mat)))
-    futures = [_block_pair_dups.remote(blocks[i], blocks[j], i == j, threshold)
-               for i in range(len(blocks)) for j in range(i, len(blocks))]
+    Exact blocked all-pairs: normalization happens in map_batches tasks
+    and the blocks stay in plasma (`to_arrow_refs`); the driver holds
+    refs only, then launches one Ray task per block pair (i <= j).  No
+    task holds more than two blocks.  Exact all-pairs is inherently
+    O(n²) compute; for true near-dup thresholds at scale use
+    q_cosine_dup_pairs_ivf (approximate candidate generation)."""
+    refs, _, _ = _embedding_shards(sf_dir)
+    futures = [_block_pair_dups.remote(refs[i], refs[j], i == j, threshold)
+               for i in range(len(refs)) for j in range(i, len(refs))]
     parts = ray.get(futures)
     if parts:
         va = np.concatenate([p[0] for p in parts])
@@ -235,34 +300,81 @@ def q_cosine_dup_pairs(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.Data
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+# --- approximate near-dup pairs via IVF multi-probe -----------------------
+
+BUCKET_TILE = 4096  # max ids resident per side of an in-bucket tile
+
+
+def _bucket_dups_fn(refs, ranges, threshold):
+    """map_groups callable for one bucket: gather embeddings tile by
+    tile (<= BUCKET_TILE per side) and emit exact-verified pairs.  A hot
+    bucket costs more TIME but bounded MEMORY — no salt split needed, so
+    in-bucket recall is never sacrificed."""
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["vec_id"].to_numpy())  # sorted unique
+        chunks = [ids[i:i + BUCKET_TILE] for i in range(0, len(ids), BUCKET_TILE)]
+        pa_, pb_ = [], []
+        for i in range(len(chunks)):
+            ai, amat = _gather_embeddings(chunks[i], refs, ranges)
+            for j in range(i, len(chunks)):
+                if j == i:
+                    bi, bmat = ai, amat
+                else:
+                    bi, bmat = _gather_embeddings(chunks[j], refs, ranges)
+                sims = amat @ bmat.T
+                x, y = np.nonzero(sims >= threshold)
+                va, vb = ai[x], bi[y]
+                if i == j:
+                    keep = va < vb
+                    va, vb = va[keep], vb[keep]
+                # off-diagonal: chunk i ids all < chunk j ids (sorted
+                # slices), so va < vb already holds
+                pa_.append(va)
+                pb_.append(vb)
+        if pa_:
+            va = np.concatenate(pa_)
+            vb = np.concatenate(pb_)
+        else:
+            va = vb = np.empty(0, np.int64)
+        return pd.DataFrame({"vec_a": va.astype(np.int64),
+                             "vec_b": vb.astype(np.int64)})
+
+    return bucket_dups
+
+
 def q_cosine_dup_pairs_ivf(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
     """Approximate near-dup pairs via IVF multi-probe bucketing — the
     100 TB candidate-generation path (recall < 1 by construction for
     low thresholds; tests measure it against the exact variant)."""
-    cref = ray.put(_centroids(sf_dir))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    assigned = ds.map_batches(IvfBucketAssign,
-                              fn_constructor_kwargs={"cref": cref},
-                              batch_format="pyarrow", concurrency=(1, 8))
-
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset="vec_id")
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack(g["emb"].to_numpy()).astype(np.float64)
-        sims = mat @ mat.T
-        ai, bj = np.nonzero(sims >= threshold)
-        keep = ids[ai] < ids[bj]
-        return pd.DataFrame({"vec_a": ids[ai][keep].astype(np.int64),
-                             "vec_b": ids[bj][keep].astype(np.int64)})
+    n = _table_rows(sf_dir)
+    cent = _centroids(sf_dir, n_rows=n)
+    probe = min(len(cent), DUP_ASSIGN_PROBE)
+    refs, ranges, norm = _embedding_shards(sf_dir)
+    assigned = norm.map_batches(
+        lambda b: _ivf_assign_ids_norm(b, cent, probe), batch_format="pyarrow")
 
     from ray.data.aggregate import Count
     pairs = (assigned.groupby("bucket")
-                     .map_groups(bucket_dups, batch_format="pandas")
+                     .map_groups(_bucket_dups_fn(refs, ranges, threshold),
+                                 batch_format="pandas")
                      .groupby(["vec_a", "vec_b"])
                      .aggregate(Count(alias_name="n")))
     df = pairs.to_pandas()[["vec_a", "vec_b"]].sort_values(["vec_a", "vec_b"])
     return df.reset_index(drop=True)
+
+
+def _ivf_assign_ids_norm(b: pa.Table, cent: np.ndarray, probe: int) -> pa.Table:
+    """Assignment over the already-normalized shard schema (vec_id, emb)."""
+    ids = b.column("vec_id").to_numpy().astype(np.int64)
+    en = _mat_from_emb(b.column("emb"))
+    sims = en @ cent.T
+    p = min(probe, sims.shape[1])
+    top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
+    return pa.table({
+        "bucket": pa.array(top.reshape(-1)),
+        "vec_id": pa.array(np.repeat(ids, p)),
+    })
 
 
 ORACLES = {

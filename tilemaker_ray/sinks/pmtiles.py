@@ -235,10 +235,23 @@ def merge_pmtiles(path: str, tiles, metadata: dict,
     from .. import mvt as _mvt
     packed = compress != "none"
     existing: dict[tuple[int, int, int], bytes] = {}
+    old_code = tile_compression
     if os.path.exists(path):
         rd = read_pmtiles(path)
+        old_code = rd["tile_compression"]
         for tid, data in rd["tiles"].items():
             existing[tileid_to_zxy(tid)] = data
+    # the archive's single tile_compression header byte must describe
+    # EVERY blob: carried-over tiles written under a different code are
+    # re-encoded to the new run's coding (ADVICE r2)
+    old_packed = old_code != COMPRESSION_NONE
+
+    def recode(data: bytes) -> bytes:
+        if old_code == tile_compression:
+            return data
+        raw = _mvt.decompress_tile(data) if old_packed else data
+        return _mvt.compress_tile(raw, gzip_fmt=compress == "gzip") \
+            if packed else raw
 
     def merged():
         seen = set()
@@ -246,7 +259,7 @@ def merge_pmtiles(path: str, tiles, metadata: dict,
             z, x, y, data = int(row[0]), int(row[1]), int(row[2]), bytes(row[3])
             old = existing.get((z, x, y))
             if old is not None:
-                old_raw = _mvt.decompress_tile(old) if packed else old
+                old_raw = _mvt.decompress_tile(old) if old_packed else old
                 new_raw = _mvt.decompress_tile(data) if packed else data
                 out = _mvt.merge_tiles(old_raw, new_raw)
                 data = _mvt.compress_tile(out, gzip_fmt=compress == "gzip") \
@@ -255,7 +268,7 @@ def merge_pmtiles(path: str, tiles, metadata: dict,
             yield (z, x, y, data)
         for (z, x, y), data in existing.items():
             if (z, x, y) not in seen:
-                yield (z, x, y, data)
+                yield (z, x, y, recode(data))
 
     return write_pmtiles(path, merged(), metadata, min_zoom, max_zoom,
                          bounds, tile_compression=tile_compression)
@@ -314,6 +327,7 @@ def read_pmtiles(path: str) -> dict:
 
     expand(root)
     return {"metadata": meta, "tiles": tiles,
+            "tile_compression": raw[98],
             "counts": {"addressed": addressed, "entries": n_entries,
                        "contents": contents}}
 
