@@ -43,6 +43,12 @@ def _flagship_tiles(sf_dir: str):
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
 
 
+def _flagship_point_counts(sf_dir: str):
+    from tilemaker_ray.pipelines.flagship import q_flagship_point_counts
+
+    return q_flagship_point_counts(sf_dir)
+
+
 def _image_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_image_features
 
@@ -110,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode stubbed behind a deterministic
         # fake codec; schema/actor wiring real — rows-only)
         "image_features": _image_features,
+        # flagship engine path with an exact SQL oracle (points slice:
+        # extract actors → tile assign → pk shuffle → O3 sort +
+        # feature_limit + combine_points assembly; VERDICT r2 #6)
+        "flagship_point_counts": _flagship_point_counts,
         # flagship tiling pipeline (rows-only)
         "flagship_tiles": _flagship_tiles,
         "flagship_joined_tiles": _flagship_joined_tiles,
@@ -127,4 +137,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
+    # the flagship-points oracle reads the synthetic pages parquet: the
+    # driver compares at sf0.01 ⇒ 20k rows; pages_path materializes (or
+    # reuses) the deterministic table and returns its directory
+    from tilemaker_ray.pipelines.flagship import flagship_points_oracle_sql
+    from tilemaker_ray.sources.pages import pages_path
+    out["flagship_point_counts"] = flagship_points_oracle_sql(pages_path(20_000))
     return out

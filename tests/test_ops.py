@@ -134,6 +134,23 @@ def test_cosine_dup_ivf_recall():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_flagship_point_counts_oracle(con):
+    """The full flagship engine path (extract actors → assign → pk
+    shuffle → O3 sort + limit + combine assembly) vs the exact SQL twin
+    (FNV-1a in list_reduce + mercator tile math) — VERDICT r2 #6."""
+    import duckdb
+    from tilemaker_ray.pipelines.flagship import (flagship_points_oracle_sql,
+                                                  q_flagship_point_counts)
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    mine = q_flagship_point_counts(SF)
+    c = duckdb.connect()
+    exp = c.sql(flagship_points_oracle_sql(pages_path(rows_for_sf(SF)))).df()
+    a, b = normalize(mine), normalize(exp)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_block_pair_dups_off_diagonal():
     """ADVICE r2: off-diagonal tiles must keep pairs whose SMALLER id
     lives in the LATER block (non-monotonic ids across blocks)."""

@@ -37,12 +37,15 @@ def _default_concurrency() -> int:
 def feature_dataset(pages_dir: str, config: Config | None = None,
                     concurrency: int | tuple | None = None,
                     batch_size: int = 2048,
-                    with_joins: bool = False) -> ray.data.Dataset:
+                    with_joins: bool = False,
+                    profile_factory=None) -> ray.data.Dataset:
     config = config or default_config()
     if concurrency is None:
         concurrency = _default_concurrency()
     known = {l.name for l in config.layers}
     kwargs = {"known_layers": known}
+    if profile_factory is not None:
+        kwargs["profile_factory"] = profile_factory
     if with_joins:
         from ..profile import JoinedWebProfile
         from ..sources.regions import region_table
@@ -62,7 +65,8 @@ def tile_dataset(pages_dir: str, config: Config | None = None,
                  concurrency: int | tuple | None = None,
                  mode: str = "single_pass",
                  two_stage: bool | None = None,
-                 with_joins: bool = False) -> ray.data.Dataset:
+                 with_joins: bool = False,
+                 profile_factory=None) -> ray.data.Dataset:
     """mode: "single_pass" (default — geometry as a plain map_batches,
     ONE shuffle total), "salted" (z6-salted geometry shuffle + assembly
     shuffle; the resumable path uses this keying), "one_stage" (legacy
@@ -80,7 +84,8 @@ def tile_dataset(pages_dir: str, config: Config | None = None,
     if ctx.target_max_block_size is None or ctx.target_max_block_size > 8 * 1024 * 1024:
         ctx.target_max_block_size = 8 * 1024 * 1024
     feats = feature_dataset(pages_dir, config, concurrency=concurrency,
-                            with_joins=with_joins)
+                            with_joins=with_joins,
+                            profile_factory=profile_factory)
 
     if mode == "single_pass":
         from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
@@ -159,3 +164,104 @@ def run_flagship(pages_dir: str, out_dir: str | None = None,
     if out_dir:
         tiles.write_parquet(out_dir)
     return tiles
+
+
+# --- SQL-oracled flagship slice (VERDICT r2 #6) ---------------------------
+
+def points_oracle_config() -> Config:
+    """The default `places` layer alone (same feature_limit /
+    combine_points semantics as the flagship)."""
+    from ..config import LayerDef
+    return Config(layers=[LayerDef(name="places", minzoom=0, maxzoom=14,
+                                   feature_limit=200, feature_limit_below=15,
+                                   combine_points=True)])
+
+
+def q_flagship_point_counts(sf_dir: str):
+    """The REAL flagship engine path — actor-pool extraction, tile
+    assignment, pk shuffle, O3 sort + dedup + feature_limit +
+    combine_points assembly — restricted to the point layer, whose
+    per-tile feature counts are exactly reproducible in SQL (regex
+    parse + FNV-1a url hash + mercator tile math + window row_number +
+    distinct-class count).  Turns the previously rows-only flagship
+    into an oracled query."""
+    from ..profile import PointsProfile
+    from ..sources.pages import pages_path, rows_for_sf
+    pages = pages_path(rows_for_sf(sf_dir))
+    df = tile_dataset(pages, config=points_oracle_config(),
+                      profile_factory=PointsProfile).to_pandas()
+    import numpy as np
+    out = df[["zoom", "tile_x", "tile_y", "n_features"]].astype(np.int64)
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+
+
+def flagship_points_oracle_sql(pages_dir: str) -> str:
+    """DuckDB twin of q_flagship_point_counts over the same pages
+    parquet.  Mirrors, bit-for-bit: extract_text-independent regex
+    parse of `geo:` mentions, hash_url (FNV-1a via list_reduce),
+    feature_id j-mixing, MinZoom(4+imp//10), z_order=imp*10, canonical
+    attrs JSON, lat2latp+tile math (same formula the hash-green
+    tile_assign_points oracle uses), per-zoom halving, the O3 sort
+    (zo_sort, attrs, fid) feature_limit-200 cut, and combine_points
+    (consecutive compatible points merge ⇒ count = distinct attrs among
+    survivors)."""
+    return f"""
+WITH pages AS (
+  SELECT url, lang, text FROM read_parquet('{pages_dir}/*.parquet')
+), mlist AS (
+  SELECT url, lang,
+         regexp_extract_all(text, 'geo:-?\\d+\\.\\d+,-?\\d+\\.\\d+') AS lst
+  FROM pages
+), m AS (
+  SELECT url, lang, CAST(u.i AS BIGINT) AS j, lst[u.i + 1] AS mention
+  FROM mlist, unnest(range(len(lst))) u(i)
+), f AS (
+  SELECT url, lang, j,
+    CAST(regexp_extract(mention, 'geo:(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 1) AS DOUBLE) AS lat,
+    CAST(regexp_extract(mention, 'geo:(-?\\d+\\.\\d+),(-?\\d+\\.\\d+)', 2) AS DOUBLE) AS lon,
+    list_reduce(
+      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        list_transform(range(1, length(url) + 1),
+                       i -> CAST(ascii(substr(url, i, 1)) AS UBIGINT))),
+      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                     % 18446744073709551616 AS UBIGINT)
+    ) AS base_id,
+    regexp_extract(url, 'https?://([^/]+)/', 1) AS host
+  FROM m
+), g AS (
+  SELECT
+    xor(base_id,
+        CAST((CAST(j AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616 AS UBIGINT)) AS fid,
+    CAST(base_id % 100 AS BIGINT) AS imp,
+    lon, lat, host, lang
+  FROM f
+), t AS (
+  SELECT fid,
+    least(14, 4 + imp // 10) AS minzoom,
+    -(imp * 10) AS zo_sort,
+    '[["host",0,10,"' || host || '"],["lang",0,0,"' || lang ||
+      '"],["rank",1,8,' || CAST(imp AS VARCHAR) || '.0]]' AS attrs,
+    CAST(floor((lon + 180.0) * (1.0/360.0) * 16384.0) AS BIGINT) AS x14,
+    CAST(floor((180.0 - degrees(ln(tan(radians(lat + 90.0) / 2.0))))
+               * (1.0/360.0) * 16384.0) AS BIGINT) AS y14
+  FROM g
+), e AS (
+  SELECT z.zoom,
+         x14 >> (14 - z.zoom) AS tile_x,
+         y14 >> (14 - z.zoom) AS tile_y,
+         zo_sort, attrs, fid
+  FROM t, (SELECT CAST(i AS BIGINT) AS zoom FROM range(15) r(i)) z
+  WHERE z.zoom >= t.minzoom
+), r AS (
+  SELECT zoom, tile_x, tile_y, attrs,
+         row_number() OVER (PARTITION BY zoom, tile_x, tile_y
+                            ORDER BY zo_sort, attrs, fid) AS rn
+  FROM e
+)
+SELECT zoom, tile_x, tile_y,
+       CAST(count(DISTINCT attrs) AS BIGINT) AS n_features
+FROM r WHERE rn <= 200
+GROUP BY zoom, tile_x, tile_y
+ORDER BY zoom, tile_x, tile_y
+"""

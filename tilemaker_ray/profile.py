@@ -187,6 +187,28 @@ class WebProfile:
             emit.ZOrder(-importance)
 
 
+class PointsProfile(WebProfile):
+    """WebProfile restricted to the `geo:` point mentions — the
+    SQL-oracled flagship path (every verb it exercises — Layer,
+    Attribute minzooms, MinZoom from url-hash importance, ZOrder — is
+    reproducible in DuckDB, so the full extract→assign→shuffle→assemble
+    engine run gets an exact per-tile feature-count oracle)."""
+
+    def page_function(self, page: Page, emit: Emitter) -> None:
+        host_m = self._host.match(page.url)
+        host = host_m.group(1) if host_m else ""
+        h = np.uint64(hash_url(page.url))
+        importance = int(h % np.uint64(100))
+        for m in self.GEO.finditer(page.text):
+            lat, lon = float(m.group(1)), float(m.group(2))
+            emit.Layer("places", (lon, float(tm.lat2latp(lat))))
+            emit.Attribute("lang", page.lang)
+            emit.Attribute("host", host, minzoom=10)
+            emit.AttributeNumeric("rank", float(importance), minzoom=8)
+            emit.MinZoom(min(14, 4 + importance // 10))
+            emit.ZOrder(importance)
+
+
 class JoinedWebProfile(WebProfile):
     """WebProfile + spatial joins against the indexed `regions` layer:
     places get their containing region (J3 semi-join → attribute),
