@@ -89,10 +89,13 @@ def tile_dataset(pages_dir: str, config: Config | None = None,
 
     if mode == "single_pass":
         from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
-                                     default_num_partitions)
+                                     data_num_partitions, dir_input_bytes)
         geom_map = GeomMap(config)
         assembler_sp = TileAssembler(config)
-        nparts = default_num_partitions()
+        # data-derived exchange width: est exploded bytes / target group
+        # size (VERDICT r2 #4) — CPU-floored at small scale, macro-block
+        # capped at large
+        nparts = data_num_partitions(dir_input_bytes(pages_dir))
 
         def run_geom_map(b):
             return geom_map(b)

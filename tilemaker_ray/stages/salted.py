@@ -274,6 +274,40 @@ def default_num_partitions() -> int:
     return max(64, n * 4)
 
 
+# stage-B sizing (VERDICT r2 #4): groups are pandas-materialized by
+# map_groups, so the partition count must come from DATA volume, not
+# CPU count — data/P per group explodes at 100 TB with a fixed P.
+TARGET_GROUP_BYTES = 32 << 20  # max in-memory bytes a stage-B group should hold
+EXPLODE_FACTOR = 16.0          # exploded in-memory bytes / compressed input
+                               # bytes (measured 14.2x at sf0.01; rounded up)
+MAX_PARTITIONS = 1 << 20       # ~the macro-block key space: beyond this a
+                               # partition IS a single (zoom, mx, my) whose
+                               # size feature_limit already bounds
+
+
+def data_num_partitions(input_bytes: int | None = None) -> int:
+    """Partition count from estimated exploded bytes / target group
+    size, floored by the CPU-derived count (small inputs) and capped at
+    the macro-block key space (huge inputs)."""
+    floor = default_num_partitions()
+    if not input_bytes:
+        return floor
+    est = int(input_bytes * EXPLODE_FACTOR / TARGET_GROUP_BYTES)
+    return min(MAX_PARTITIONS, max(floor, est))
+
+
+def dir_input_bytes(path: str) -> int:
+    """Total bytes of the parquet files under a directory (or one file)."""
+    import os
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    try:
+        return sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path) if not f.startswith("_"))
+    except OSError:
+        return 0
+
+
 class TileAssembler:
     """Stage B: per (zoom,x,y) group — final sort, dedup, feature_limit,
     point/line merging, MVT assembly, compression."""
