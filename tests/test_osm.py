@@ -72,8 +72,8 @@ class TestOsmPipeline:
 class TestRelationSideTables:
     def test_scan_and_membership(self):
         from tilemaker_ray.pipelines.osm import OsmProfile, relation_scan_tables
-        wm, rt = relation_scan_tables(MONACO, scan_fn=OsmProfile.relation_scan,
-                                      postscan_fn=OsmProfile.relation_postscan)
+        wm, nm, rt = relation_scan_tables(MONACO, scan_fn=OsmProfile.relation_scan,
+                                          postscan_fn=OsmProfile.relation_postscan)
         assert len(rt) > 10  # Monaco has bus/route relations
         assert all(t.get("type") in ("route", "route_master") for t in rt.values())
         # membership map points ways at accepted relations

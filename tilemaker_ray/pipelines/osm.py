@@ -472,8 +472,10 @@ def relation_scan_tables(path: str, scan_fn=None, postscan_fn=None):
     """RelationScan phase (M12-M14): build the small broadcast side
     tables the reference keeps globally (osm_store.h:97-200):
 
-      way_members: {way_id: [(rel_id, role), ...]}   (J9/M13)
-      rel_tags:    {rel_id: tags}                     (accepted only)
+      way_members:  {way_id: [(rel_id, role), ...]}   (J9/M13)
+      node_members: {node_id: [(rel_id, role), ...]}  (NextRelation on
+                    nodes — e.g. capital label roles)
+      rel_tags:     {rel_id: tags}                    (accepted only)
 
     scan_fn(tags) -> bool is relation_scan_function + Accept()
     (osm_lua_processing.cpp:985-1002); postscan_fn(rel_id, tags,
@@ -526,11 +528,14 @@ def relation_scan_tables(path: str, scan_fn=None, postscan_fn=None):
                 rid, accepted[rid],
                 [(pid, accepted[pid], role) for pid, role in chain])
     way_members: dict[int, list] = {}
+    node_members: dict[int, list] = {}
     for rid, mlist in members.items():
         for mid, mtype, role in mlist:
             if mtype == pbf.MEMBER_WAY:
                 way_members.setdefault(mid, []).append((rid, role))
-    return way_members, accepted
+            elif mtype == pbf.MEMBER_NODE:
+                node_members.setdefault(mid, []).append((rid, role))
+    return way_members, node_members, accepted
 
 
 # --- OSM profile --------------------------------------------------------
@@ -560,7 +565,8 @@ class OsmProfile:
         self.way_filter = SignificantTags(WAY_KEYS)
 
     def node_function(self, node_id: int, lon: float, latp: float,
-                      tags: dict, emit: Emitter) -> None:
+                      tags: dict, emit: Emitter,
+                      relations: list | None = None) -> None:
         emit.Layer("poi", (lon, latp))
         kind = next((k for k in NODE_KEYS if k in tags), "other")
         emit.Attribute("kind", kind)
@@ -617,20 +623,41 @@ class OsmProfile:
             emit.Attribute("class", "waterway")
             emit.MinZoom(10)
 
+    # assembled multipolygon relations (the reference routes these
+    # through way_function with IsClosed()=true; this hook keeps the
+    # built-in miniature profile's historical behavior)
+    def relation_function(self, rel_id: int, polys, tags: dict,
+                          emit: Emitter) -> None:
+        if not any(k in tags for k in ("landuse", "leisure", "natural", "water")):
+            return
+        emit.Layer("landuse", polys)
+        k = next(k for k in ("landuse", "leisure", "natural", "water") if k in tags)
+        emit.Attribute("class", str(tags[k]))
+        if "name" in tags:
+            emit.Attribute("name", tags["name"], minzoom=13)
+        emit.MinZoom(10)
 
-def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dataset:
-    """Entities → FEATURE_SCHEMA rows (same schema as the web path)."""
+
+def osm_feature_dataset(path: str, config: Config | None = None,
+                        profile=None) -> ray.data.Dataset:
+    """Entities → FEATURE_SCHEMA rows (same schema as the web path).
+
+    `profile` is any object with the OsmProfile hook surface
+    (node_filter/way_filter, node_function/way_function,
+    relation_scan/relation_postscan, relation_function) — e.g. the
+    OpenMapTiles port in profiles/openmaptiles.py."""
     config = config or osm_config()
-    profile = OsmProfile()
+    profile = profile or OsmProfile()
     known = {l.name for l in config.layers}
     # RelationScan side tables, broadcast once (M12-M14/J9)
-    way_members, rel_tags = relation_scan_tables(
+    way_members, node_members, rel_tags = relation_scan_tables(
         path, scan_fn=profile.relation_scan,
         postscan_fn=profile.relation_postscan)
-    members_ref = ray.put((way_members, rel_tags))
+    members_ref = ray.put((way_members, node_members, rel_tags))
 
     def nodes_to_features(b: pa.Table) -> pa.Table:
         from ..stages.extract import FEATURE_SCHEMA
+        _, nm, rt = ray.get(members_ref)
         # M2 prefilter, vectorized: untagged nodes can never emit — drop
         # them before the per-entity Python loop (the loop over 1e9
         # mostly-untagged nodes is otherwise the extraction bottleneck)
@@ -647,7 +674,9 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
             nid = t.column("id")[i].as_py()
             lon = t.column("lon")[i].as_py()
             latp = float(tm.lat2latp(t.column("lat")[i].as_py()))
-            profile.node_function(nid, lon, latp, tags, emit)
+            rels = [(rid, role, rt[rid]) for rid, role in nm.get(int(nid), [])
+                    if rid in rt]
+            profile.node_function(nid, lon, latp, tags, emit, relations=rels)
             _append_features(out, emit, f"osm:node/{nid}", nid << 2)
         return pa.table(out, schema=FEATURE_SCHEMA)
 
@@ -656,22 +685,30 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
 
     def ways_to_features(df: pd.DataFrame) -> pa.Table:
         from ..stages.extract import FEATURE_SCHEMA
-        wm, rt = ray.get(members_ref)
+        wm, _, rt = ray.get(members_ref)
         out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
                                "min_zoom", "z_order", "attrs", "lon", "latp", "geom")}
-        # M2 prefilter: untagged ways never emit (relation members are
-        # consumed separately via assembled_multipolygons)
-        df = df[df["tags"].to_numpy() != ""]
+        # M2 prefilter: untagged ways never emit UNLESS they are members
+        # of an accepted relation (e.g. untagged admin-boundary segment
+        # ways, which the profile renders from relation context)
+        ids = df["id"].to_numpy()
+        tagged = df["tags"].to_numpy() != ""
+        if wm:
+            member = np.isin(ids, np.fromiter(wm.keys(), dtype=np.int64,
+                                              count=len(wm)))
+            df = df[tagged | member]
+        else:
+            df = df[tagged]
         for wid, wtags, wgeom, wclosed in zip(
                 df["id"].to_numpy(), df["tags"].to_numpy(),
                 df["geom"].to_numpy(), df["closed"].to_numpy()):
             tags = json.loads(wtags or "{}")
-            if not profile.way_filter.accept(tags):
+            rels = [(rid, role, rt[rid]) for rid, role in wm.get(int(wid), [])
+                    if rid in rt]
+            if not rels and not profile.way_filter.accept(tags):
                 continue
             kind, parts = gc.unpack(wgeom)
             emit = Emitter(known)
-            rels = [(rid, role, rt[rid]) for rid, role in wm.get(int(wid), [])
-                    if rid in rt]
             profile.way_function(int(wid), parts[0], bool(wclosed), tags, emit,
                                  relations=rels)
             _append_features(out, emit, f"osm:way/{wid}", (int(wid) << 2) | 1)
@@ -690,16 +727,9 @@ def osm_feature_dataset(path: str, config: Config | None = None) -> ray.data.Dat
         for rid, rtags, rgeom in zip(df["id"].to_numpy(), df["tags"].to_numpy(),
                                      df["geom"].to_numpy()):
             tags = json.loads(rtags or "{}")
-            if not any(k in tags for k in ("landuse", "leisure", "natural", "water")):
-                continue
             kind, polys = gc.unpack(rgeom)
             emit = Emitter(known)
-            emit.Layer("landuse", polys)
-            k = next(k for k in ("landuse", "leisure", "natural", "water") if k in tags)
-            emit.Attribute("class", str(tags[k]))
-            if "name" in tags:
-                emit.Attribute("name", tags["name"], minzoom=13)
-            emit.MinZoom(10)
+            profile.relation_function(int(rid), polys, tags, emit)
             _append_features(out, emit, f"osm:relation/{rid}",
                              (int(rid) << 2) | 2)
         return pa.table(out, schema=FEATURE_SCHEMA)
@@ -733,13 +763,14 @@ def _append_features(out: dict, emit: Emitter, url: str, base_id: int) -> None:
             out["geom"].append(gc.pack_mp(gc.correct_geometry(f.geom_parts)))
 
 
-def osm_tile_dataset(path: str, config: Config | None = None) -> ray.data.Dataset:
+def osm_tile_dataset(path: str, config: Config | None = None,
+                     profile=None) -> ray.data.Dataset:
     """monaco.pbf (or any .osm.pbf) → MVT tiles through the SAME
     single-pass engine as the web flagship."""
     config = config or osm_config()
     from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
                                  data_num_partitions, dir_input_bytes)
-    feats = osm_feature_dataset(path, config)
+    feats = osm_feature_dataset(path, config, profile=profile)
     geom_map = GeomMap(config)
     assembler = TileAssembler(config)
     nparts = data_num_partitions(dir_input_bytes(path))
