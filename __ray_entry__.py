@@ -78,6 +78,24 @@ def _osm_monaco_tiles(sf_dir: str):
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
 
 
+def _osm_monaco_omt_tiles(sf_dir: str):
+    """Rows-only: monaco.pbf through the FULL OpenMapTiles production
+    profile (profiles/openmaptiles.py — the reference's
+    process-openmaptiles.lua equivalent, exercising every verb: place
+    ranks, admin boundaries from relations, POI class tables, write_to
+    chains, area-derived minzooms); per-tile feature counts are frozen
+    in tests/test_openmaptiles.py."""
+    from tilemaker_ray.pipelines.osm import osm_tile_dataset
+    from tilemaker_ray.profiles.openmaptiles import (OpenMapTilesProfile,
+                                                     openmaptiles_config)
+
+    df = osm_tile_dataset("/root/reference/test/monaco.pbf",
+                          openmaptiles_config(),
+                          profile=OpenMapTilesProfile()).to_pandas()
+    out = df[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tilemaker_ray.ops import dedup, geospatial, relational, similarity, text
 
@@ -125,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_joined_tiles": _flagship_joined_tiles,
         # OSM-source pipeline on the reference's Monaco fixture (rows-only)
         "osm_monaco_tiles": _osm_monaco_tiles,
+        "osm_monaco_omt_tiles": _osm_monaco_omt_tiles,
     }
 
 

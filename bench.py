@@ -95,6 +95,13 @@ def run_bench() -> dict:
     t0 = time.time()
     osm_tile_dataset("/root/reference/test/monaco.pbf").count()
     queries["osm_monaco"] = round(time.time() - t0, 3)
+    # full OpenMapTiles production profile over the same fixture
+    from tilemaker_ray.profiles.openmaptiles import (OpenMapTilesProfile,
+                                                     openmaptiles_config)
+    t0 = time.time()
+    osm_tile_dataset("/root/reference/test/monaco.pbf", openmaptiles_config(),
+                     profile=OpenMapTilesProfile()).count()
+    queries["osm_monaco_omt"] = round(time.time() - t0, 3)
 
     # multi-block synthetic PBF (node-store build + way assembly at
     # 1M nodes / 50k ways — BASELINE r2 candidate #6)

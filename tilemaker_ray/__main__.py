@@ -32,6 +32,11 @@ def main(argv=None) -> int:
                     help="target directory or .mbtiles/.pmtiles file")
     ap.add_argument("--config", default="",
                     help="layer config JSON (default: built-in schema)")
+    ap.add_argument("--profile", default="",
+                    choices=["", "mini", "openmaptiles"],
+                    help="pbf tag-processing profile (default mini; "
+                         "'openmaptiles' = the full OpenMapTiles schema, "
+                         "the reference's process-openmaptiles.lua)")
     ap.add_argument("--bbox", default="", help="minlon,minlat,maxlon,maxlat")
     ap.add_argument("--merge", action="store_true",
                     help="merge with existing .mbtiles (overwrites otherwise)")
@@ -73,8 +78,15 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     is_pbf = args.input.endswith(".pbf")
+    profile = None
+    if args.profile == "openmaptiles":
+        from .profiles.openmaptiles import (OpenMapTilesProfile,
+                                            openmaptiles_config)
+        profile = OpenMapTilesProfile()
     if args.config:
         config = Config.from_json(args.config)
+    elif args.profile == "openmaptiles":
+        config = openmaptiles_config()
     elif is_pbf:
         from .pipelines.osm import osm_config
         config = osm_config()
@@ -94,7 +106,7 @@ def main(argv=None) -> int:
 
     if is_pbf:
         from .pipelines.osm import osm_tile_dataset
-        tiles = osm_tile_dataset(args.input, config)
+        tiles = osm_tile_dataset(args.input, config, profile=profile)
     else:
         from .pipelines.flagship import tile_dataset
         tiles = tile_dataset(args.input, config, with_joins=args.joins)

@@ -35,32 +35,47 @@ from ..sources import pbf
 # --- significant-tag prefilter (M2) -------------------------------------
 
 class SignificantTags:
-    """`node_keys`/`way_keys` filter: entries `key`, `key=value`, or
-    inverted `~key`; an entity passes if it has any significant tag
-    (or, in inverted mode, any tag that is not excluded).
-    significant_tags.cpp:5-88 semantics."""
+    """`node_keys`/`way_keys` filter (significant_tags.cpp:5-88,
+    significant_tags.h TagFilter; vectors ported from
+    test/significant_tags.test.cpp):
+
+    - omitted (None): disabled — everything passes, even untagged
+    - empty list: default-reject with no accept filters — rejects all
+    - `key` / `key=value` entries: default-REJECT mode — an entity
+      passes if any tag matches a filter
+    - `~key` / `~key=value` entries: default-ACCEPT mode — an entity
+      passes if it has any tag NOT matched by a reject filter
+    - mixing accept and reject entries raises (reference throws)
+    """
+
+    @staticmethod
+    def parse_filter(expr: str) -> tuple[bool, str, str]:
+        """`foo` → (True,'foo',''); `~foo=bar` → (False,'foo','bar')
+        (SignificantTags::parseFilter)."""
+        accept = not expr.startswith("~")
+        e = expr if accept else expr[1:]
+        k, _, v = e.partition("=")
+        return (accept, k, v)
 
     def __init__(self, exprs: list[str] | None):
         self.enabled = exprs is not None
-        self.plain: set[str] = set()
-        self.kv: set[tuple[str, str]] = set()
-        self.inverted: set[str] = set()
-        for e in exprs or []:
-            if e.startswith("~"):
-                self.inverted.add(e[1:])
-            elif "=" in e:
-                k, v = e.split("=", 1)
-                self.kv.add((k, v))
-            else:
-                self.plain.add(e)
+        filters = [self.parse_filter(e) for e in (exprs or [])]
+        if len({f[0] for f in filters}) > 1:
+            raise ValueError(
+                "significant-tag filters must be all accept or all reject")
+        self.default_accept = bool(filters) and not filters[0][0]
+        self.plain: set[str] = {k for _, k, v in filters if v == ""}
+        self.kv: set[tuple[str, str]] = {(k, v) for _, k, v in filters if v}
+
+    def _matched(self, k: str, v) -> bool:
+        return k in self.plain or (k, str(v)) in self.kv
 
     def accept(self, tags: dict) -> bool:
         if not self.enabled:
-            return bool(tags)
-        if self.inverted:
-            return any(k not in self.inverted for k in tags)
-        return any(k in self.plain or (k, str(v)) in self.kv
-                   for k, v in tags.items())
+            return True
+        if self.default_accept:
+            return any(not self._matched(k, v) for k, v in tags.items())
+        return any(self._matched(k, v) for k, v in tags.items())
 
 
 # --- entity datasets ----------------------------------------------------

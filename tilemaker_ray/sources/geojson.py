@@ -26,10 +26,12 @@ from ..geom import core as gc
 
 def get_newline_chunks(path: str, n_chunks: int) -> list[tuple[int, int]]:
     """Split a JSONL file into ~equal byte ranges aligned to newlines
-    (helpers.cpp getNewlineChunks port): chunk k starts one byte after
-    the first newline at/after k*size/n, ends at the next chunk's
-    start. Parallel-parse-safe: every line belongs to exactly one
-    chunk."""
+    (helpers.cpp getNewlineChunks; vectors in test/helpers.test.cpp):
+    boundary k is the offset OF the first newline at/after
+    max(k*size/n, prev_boundary+1), so each later chunk begins with its
+    leading newline and asking for more chunks than lines devolves to
+    one chunk per line. Parallel-parse-safe: every line belongs to
+    exactly one chunk."""
     size = os.path.getsize(path)
     if size == 0:
         return []
@@ -37,13 +39,19 @@ def get_newline_chunks(path: str, n_chunks: int) -> list[tuple[int, int]]:
     starts = [0]
     with open(path, "rb") as f:
         for k in range(1, n_chunks):
-            pos = k * approx
-            if pos <= starts[-1]:
-                continue
+            pos = max(k * approx, starts[-1] + 1)
+            if pos >= size:
+                break
             f.seek(pos)
-            f.readline()  # skip to end of current line
-            nl = f.tell()
-            if nl >= size:
+            chunk = f.read(1 << 16)
+            nl = -1
+            while chunk:
+                nl = chunk.find(b"\n")
+                if nl >= 0:
+                    nl += f.tell() - len(chunk)
+                    break
+                chunk = f.read(1 << 16)
+            if nl < 0:
                 break
             if nl > starts[-1]:
                 starts.append(nl)
