@@ -52,3 +52,32 @@ class TestCli:
         # merged tiles hold old+new features → strictly larger blobs
         t0 = sorted(first["tiles"])[0]
         assert len(merged["tiles"][t0]) > len(first["tiles"][t0])
+
+    def test_bbox_restricts_tileset(self, tmp_path):
+        """--bbox restricts the generated tileset to tiles intersecting
+        the box (reference options_parser.cpp:18-46), not just the
+        metadata bounds."""
+        full = str(tmp_path / "full.mbtiles")
+        clip = str(tmp_path / "clip.mbtiles")
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", full, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        # small interior box — strictly cuts the tileset at high zooms
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", clip, "--quiet",
+                    "--bbox", "7.425,43.73,7.4295,43.74")
+        assert r.returncode == 0, r.stderr[-500:]
+        from tilemaker_ray.sinks.mbtiles import read_mbtiles
+        from tilemaker_ray.tilemath import bbox_tile_ranges
+        t_full = set(read_mbtiles(full))
+        t_clip = set(read_mbtiles(clip))
+        assert t_clip and t_clip < t_full
+        ranges = bbox_tile_ranges((7.425, 43.73, 7.4295, 43.74), 0, 14)
+        for (z, x, y) in t_clip:
+            x0, x1, y0, y1 = ranges[z]
+            assert x0 <= x <= x1 and y0 <= y <= y1, (z, x, y)
+        # tiles of the full run inside the box survive the clip run
+        kept = {(z, x, y) for (z, x, y) in t_full
+                if ranges[z][0] <= x <= ranges[z][1]
+                and ranges[z][2] <= y <= ranges[z][3]}
+        assert t_clip == kept

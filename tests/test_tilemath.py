@@ -136,3 +136,43 @@ def test_fill_covered_tiles_column_zero():
     ts = {(0, 5), (0, 7)}
     tm.fill_covered_tiles(ts)
     assert ts == {(0, 5), (0, 6), (0, 7)}
+
+
+def test_bbox_tile_ranges():
+    # Monaco-ish box; at z0 everything is tile (0,0); at higher zooms
+    # the range must contain the tile of every interior point and
+    # y must grow southward.
+    box = (7.40, 43.72, 7.44, 43.75)
+    ranges = tm.bbox_tile_ranges(box, 0, 14)
+    assert ranges[0] == (0, 0, 0, 0)
+    for z in (6, 10, 14):
+        x0, x1, y0, y1 = ranges[z]
+        assert x0 <= x1 and y0 <= y1
+        # interior point's tile lies inside the range
+        cx = int(np.floor(tm.lon2tilexf(7.42, z)))
+        cy = int(np.floor(tm.lat2tileyf(43.735, z)))
+        assert x0 <= cx <= x1 and y0 <= cy <= y1
+        # corners map to the range edges
+        assert int(np.floor(tm.lon2tilexf(7.40, z))) == x0
+        assert int(np.floor(tm.lat2tileyf(43.75, z))) == y0
+    # out-of-planet values clamp instead of overflowing
+    r = tm.bbox_tile_ranges((-200, -90, 200, 90), 3, 3)
+    assert r[3] == (0, 7, 0, 7)
+
+
+def test_bbox_mask_filters_rows():
+    import pandas as pd
+    from tilemaker_ray.config import default_config
+    from tilemaker_ray.stages.salted import bbox_mask
+    cfg = default_config()
+    cfg.bbox = (7.40, 43.72, 7.44, 43.75)
+    cfg.start_zoom, cfg.end_zoom = 0, 14
+    ranges = tm.bbox_tile_ranges(cfg.bbox, 0, 14)
+    x0, x1, y0, y1 = ranges[14]
+    df = pd.DataFrame({
+        "zoom": np.array([0, 14, 14, 14], dtype=np.uint8),
+        "tile_x": np.array([0, x0, x1 + 5, x0], dtype=np.uint32),
+        "tile_y": np.array([0, y0, y0, y1 + 5], dtype=np.uint32),
+    })
+    m = bbox_mask(df, cfg)
+    assert m.tolist() == [True, True, False, False]

@@ -93,6 +93,11 @@ def main(argv=None) -> int:
     else:
         config = default_config()
 
+    if args.bbox:
+        # restrict the generated tileset to tiles intersecting the box
+        # (reference --bbox, options_parser.cpp:18-46)
+        config.bbox = tuple(float(x) for x in args.bbox.split(","))
+
     if not args.quiet:
         print(f"Reading {'OSM pbf' if is_pbf else 'pages parquet'}: {args.input}")
 

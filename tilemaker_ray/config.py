@@ -67,6 +67,10 @@ class Config:
     combine_below: int = 0
     compress: str = "gzip"       # "gzip" | "deflate" | "none"
     high_resolution: bool = False
+    # --bbox clipping box (minlon, minlat, maxlon, maxlat) or None:
+    # restricts the generated tileset to tiles INTERSECTING the box
+    # (reference --bbox, options_parser.cpp:18-46)
+    bbox: tuple | None = None
     project_name: str = "tilemaker_ray"
     project_version: str = "0.1"
     project_description: str = ""

@@ -237,7 +237,7 @@ class GeomMap(GeomStage):
         r = self._rows
         tx = np.array(r["tile_x"], dtype=np.uint32)
         ty = np.array(r["tile_y"], dtype=np.uint32)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "zoom": np.array(r["zoom"], dtype=np.uint8),
             "tile_x": tx,
             "tile_y": ty,
@@ -251,6 +251,31 @@ class GeomMap(GeomStage):
             "layer": pd.Series(r["layer"], dtype=object),
             "pts": pd.Series(r["pts"], dtype=object),
         })
+        if self.config.bbox is not None:
+            out = out[bbox_mask(out, self.config)]
+        return out
+
+
+def bbox_mask(df: pd.DataFrame, config: Config) -> np.ndarray:
+    """Vectorized --bbox tile filter: keep rows whose (zoom, tile_x,
+    tile_y) INTERSECTS the config.bbox clipping box (the reference's
+    --bbox semantics: the generated tileset is restricted to the box's
+    per-zoom tile cover, options_parser.cpp:18-46 →
+    tile_coordinates_set)."""
+    from ..tilemath import bbox_tile_ranges
+    ranges = bbox_tile_ranges(config.bbox, config.start_zoom,
+                              config.end_zoom)
+    z = df["zoom"].to_numpy()
+    tx = df["tile_x"].to_numpy().astype(np.int64)
+    ty = df["tile_y"].to_numpy().astype(np.int64)
+    mask = np.zeros(len(df), dtype=bool)
+    for zoom, (x0, x1, y0, y1) in ranges.items():
+        m = z == zoom
+        if not m.any():
+            continue
+        mask[m] = ((tx[m] >= x0) & (tx[m] <= x1)
+                   & (ty[m] >= y0) & (ty[m] <= y1))
+    return mask
 
 
 def add_partition_key(df: pd.DataFrame, num_partitions: int) -> pd.DataFrame:

@@ -84,6 +84,25 @@ def latplon2index(latp_e7, lon_e7, base_zoom):
 
 # --- metre conversions (coordinates.cpp:44-49) --------------------------
 
+def bbox_tile_ranges(bbox, start_zoom: int, end_zoom: int) -> dict:
+    """Per-zoom inclusive tile ranges covering a (minlon, minlat,
+    maxlon, maxlat) clipping box — the reference's --bbox semantics
+    (options_parser.cpp bbox → tile_coordinates_set coverage): a tile
+    is generated iff it INTERSECTS the box. Returns
+    {zoom: (x0, x1, y0, y1)}."""
+    minlon, minlat, maxlon, maxlat = (float(v) for v in bbox)
+    out = {}
+    for z in range(start_zoom, end_zoom + 1):
+        n = (1 << z) - 1
+        x0 = int(np.clip(np.floor(lon2tilexf(minlon, z)), 0, n))
+        x1 = int(np.clip(np.floor(lon2tilexf(maxlon, z)), 0, n))
+        # y grows southward: maxlat → smallest y
+        y0 = int(np.clip(np.floor(lat2tileyf(maxlat, z)), 0, n))
+        y1 = int(np.clip(np.floor(lat2tileyf(minlat, z)), 0, n))
+        out[z] = (x0, x1, y0, y1)
+    return out
+
+
 def degp2meter(degp, latp):
     return RADIUS_METER * np.radians(degp) * np.cos(np.radians(latp2lat(latp)))
 
