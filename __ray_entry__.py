@@ -121,15 +121,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.q_quality_score,
         "langid": text.q_langid,
         "fingerprint": text.q_fingerprint,
+        "winnow_fingerprint": text.q_winnow_fingerprint,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_keep_first": dedup.q_dedup_keep_first,
         "minhash_pairs": dedup.q_minhash_pairs,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "simhash": dedup.q_simhash,
         # similarity search
         "cosine_topk": similarity.q_cosine_topk,
         "cosine_dup_pairs": similarity.q_cosine_dup_pairs,
         "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
+        "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
         # multimodal plumbing (decode stubbed behind a deterministic
         # fake codec; schema/actor wiring real — rows-only)

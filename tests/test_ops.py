@@ -45,9 +45,66 @@ def check(name, con):
     "tile_assign_points", "tile_zoom_rollup", "pip_join", "knn",
     "zorder_encode", "lineitem_agg", "events_window", "token_count",
     "quality_score", "dedup_keep_first", "cosine_topk",
+    "winnow_fingerprint", "ngram_jaccard_pairs",
 ])
 def test_oracle(name, con):
     check(name, con)
+
+
+def test_winnow_shared_substring_guarantee():
+    """Winnowing's core property (Schleimer et al. 2003 thm): any
+    shared substring of length >= W+K-1 produces at least one shared
+    fingerprint hash; disjoint texts share none."""
+    from tilemaker_ray.ops.text import WINNOW_K, WINNOW_W, winnow_hashes
+    shared = "a common passage long enough to straddle a full window"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    h1 = set(winnow_hashes("left prefix text " + shared).tolist())
+    h2 = set(winnow_hashes(shared + " unrelated suffix words").tolist())
+    assert h1 & h2
+    d1 = set(winnow_hashes("abcdefgh" * 8).tolist())
+    d2 = set(winnow_hashes("01234567" * 8).tolist())
+    assert not (d1 & d2)
+    # short-text edge cases: below K hashes whole; K..K+W-1 grams → 1 min
+    assert len(winnow_hashes("ab")) == 1
+    assert len(winnow_hashes("x" * (WINNOW_K + 1))) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_dup_pairs_matches_exact_on_sf():
+    """Sign-LSH near-dup: precision is exact by construction (cosine
+    verify); at sf0.001 measured recall is complete too."""
+    import __ray_entry__ as E
+    exact = E.queries()["cosine_dup_pairs"](SF)
+    lsh = E.queries()["cosine_dup_pairs_lsh"](SF)
+    se = set(map(tuple, exact.values))
+    sl = set(map(tuple, lsh.values))
+    assert sl <= se          # exact precision
+    assert len(sl & se) >= 0.9 * len(se)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_dup_pairs_true_near_dup_regime(tmp_path):
+    """At a real dedup threshold (0.9) with planted perturbed copies,
+    LSH uses long bands (strong pruning) and still finds every pair."""
+    from tilemaker_ray.ops.similarity import (_lsh_bands_for,
+                                              q_cosine_dup_pairs,
+                                              q_cosine_dup_pairs_lsh)
+    r, _ = _lsh_bands_for(0.9)
+    assert r >= 8  # random-pair band collision <= 0.5^8
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base[:10] + 0.07 * rng.standard_normal((10, 16))  # cos ~0.96
+    emb = np.concatenate([base, dup]).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": list(emb),
+        "label": np.zeros(len(emb), dtype=np.int32),
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    exact = q_cosine_dup_pairs(str(tmp_path), threshold=0.9)
+    lsh = q_cosine_dup_pairs_lsh(str(tmp_path), threshold=0.9)
+    assert len(exact) >= 10
+    assert set(map(tuple, lsh.values)) == set(map(tuple, exact.values))
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -279,6 +279,82 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# --- exact n-gram Jaccard pairs via distributed inverted index ------------
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                          max_df: int | None = None) -> pd.DataFrame:
+    """EXACT near-dup pairs by n-gram Jaccard >= threshold — the
+    inverted-index counterpart to q_minhash_pairs (which is recall-
+    bounded by LSH).  Fully distributed, no driver-side text:
+
+      shingle (actor-side md5, unique per doc) → explode
+      (shingle_hash, doc_id, n_shingles) → groupby shingle → pair
+      rows per co-occurrence → groupby (pair) count = |intersection|
+      → vectorized Jaccard filter.
+
+    Any pair with Jaccard > 0 shares a shingle, so candidate
+    generation is complete and the DuckDB n²-Jaccard oracle matches
+    exactly.  Scale note: a shingle appearing in m docs contributes
+    O(m²) pair rows — inherent to the exact query (the SQL oracle
+    pays the same join).  `max_df` (off by default, preserving
+    exactness) drops shingles with document frequency > max_df, the
+    standard scale knob when ubiquitous shingles carry no signal."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class ShingleExplode:
+        def __init__(self):
+            self.cache: dict = {}
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            out_sh, out_id, out_n = [], [], []
+            for i, t in enumerate(b.column("text").to_pylist()):
+                hv = np.unique(shingle_hashes(t, self.cache))
+                out_sh.append(hv.view(np.int64))  # int64 view = groupby key
+                out_id.append(np.full(len(hv), ids[i], np.int64))
+                out_n.append(np.full(len(hv), len(hv), np.int64))
+            cat = (lambda xs: np.concatenate(xs) if xs
+                   else np.empty(0, np.int64))
+            return pa.table({"sh": pa.array(cat(out_sh)),
+                             "doc_id": pa.array(cat(out_id)),
+                             "n": pa.array(cat(out_n))})
+
+    exploded = ds.map_batches(ShingleExplode, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None and len(g) > max_df:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "na": pd.Series(dtype="int64"),
+                                 "nb": pd.Series(dtype="int64")})
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order]
+        ns = g["n"].to_numpy()[order]
+        ai, bj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj],
+                             "na": ns[ai], "nb": ns[bj]})
+
+    from ray.data.aggregate import Count
+    inter = (exploded.groupby("sh")
+                     .map_groups(posting_pairs, batch_format="pandas")
+                     .groupby(["doc_a", "doc_b", "na", "nb"])
+                     .aggregate(Count(alias_name="i")))
+
+    def jfilter(b: pa.Table) -> pa.Table:
+        i = b.column("i").to_numpy().astype(np.float64)
+        na = b.column("na").to_numpy().astype(np.float64)
+        nb = b.column("nb").to_numpy().astype(np.float64)
+        keep = i / (na + nb - i) >= threshold
+        return pa.table({"doc_a": b.column("doc_a").filter(pa.array(keep)),
+                         "doc_b": b.column("doc_b").filter(pa.array(keep))})
+
+    df = inter.map_batches(jfilter, batch_format="pyarrow").to_pandas()
+    return (df.astype({"doc_a": "int64", "doc_b": "int64"})
+              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 SIMHASH_SHINGLE_K = 2
 
 
@@ -405,4 +481,8 @@ ORACLES = {
     """,
     "simhash": _simhash_oracle_sql(),
     "minhash_pairs": _minhash_pairs_oracle_sql(),
+    # identical SQL, but here the oracle is exact WITHOUT the LSH
+    # recall-completeness caveat: the inverted index enumerates every
+    # pair with any shared shingle
+    "ngram_jaccard_pairs": _minhash_pairs_oracle_sql(),
 }

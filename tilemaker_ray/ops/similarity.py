@@ -377,6 +377,70 @@ def _ivf_assign_ids_norm(b: pa.Table, cent: np.ndarray, probe: int) -> pa.Table:
     })
 
 
+# --- approximate near-dup pairs via random-hyperplane LSH -----------------
+
+LSH_SEED = 13
+
+
+def _lsh_bands_for(threshold: float) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for a target >=0.95 theoretical recall
+    at `threshold`: per-bit agreement p = 1 - acos(t)/pi (Charikar
+    2002), pick the longest band (cheapest: random-pair collisions fall
+    as 0.5^r) whose b-band recall still clears 0.95 with b <= 16."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for r in range(12, 0, -1):
+        b = 16
+        if 1.0 - (1.0 - p ** r) ** b >= 0.95:
+            return r, b
+    return 1, 16
+
+
+def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    return np.random.default_rng(LSH_SEED).standard_normal((dim, nbits))
+
+
+def q_cosine_dup_pairs_lsh(sf_dir: str,
+                           threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
+    """Approximate near-dup pairs via random-hyperplane (sign) LSH —
+    the second scale path beside IVF.  Precision is exact (candidates
+    are cosine-verified against plasma shards); only recall is
+    probabilistic, >=0.95 by band construction at `threshold` and ~1
+    for true near-dups (cos >= 0.8), where bands lengthen and random
+    collisions vanish.  NOTE: at this module's synthetic-data
+    threshold (0.45, near-orthogonal vectors) sign-LSH is in its worst
+    regime — bands must be short, so candidate pruning is weak; IVF
+    (q_cosine_dup_pairs_ivf) prunes better there.  The op earns its
+    keep at real dedup thresholds; tests measure both regimes.
+
+    Shuffle carries only (bucket:int64, vec_id:int64) — never
+    embeddings (the VERDICT r2 IVF lesson applied from the start)."""
+    refs, ranges, norm = _embedding_shards(sf_dir)
+    dim = _mat_from_emb(ray.get(refs[0]).column("emb")).shape[1] if refs else 0
+    r_bits, n_bands = _lsh_bands_for(threshold)
+    planes = _hyperplanes(dim, r_bits * n_bands)
+
+    def sign_bands(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        en = _mat_from_emb(b.column("emb"))
+        bits = (en @ planes) > 0  # (n, r*b)
+        pow2 = (1 << np.arange(r_bits, dtype=np.int64))
+        # band value in [0, 2^r); bucket key = band_idx * 2^r + value
+        vals = (bits.reshape(len(ids), n_bands, r_bits) * pow2).sum(axis=2)
+        bucket = (np.arange(n_bands, dtype=np.int64) << r_bits) | vals
+        return pa.table({"bucket": pa.array(bucket.reshape(-1)),
+                         "vec_id": pa.array(np.repeat(ids, n_bands))})
+
+    from ray.data.aggregate import Count
+    assigned = norm.map_batches(sign_bands, batch_format="pyarrow")
+    pairs = (assigned.groupby("bucket")
+                     .map_groups(_bucket_dups_fn(refs, ranges, threshold),
+                                 batch_format="pandas")
+                     .groupby(["vec_a", "vec_b"])
+                     .aggregate(Count(alias_name="n")))
+    df = pairs.to_pandas()[["vec_a", "vec_b"]].sort_values(["vec_a", "vec_b"])
+    return df.reset_index(drop=True)
+
+
 ORACLES = {
     "cosine_dup_pairs": f"""
         WITH n AS (

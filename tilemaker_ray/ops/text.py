@@ -7,6 +7,8 @@ pattern).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -153,6 +155,91 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(fp, batch_format="pyarrow").to_pandas()
 
 
+WINNOW_K = 8  # char k-grams
+WINNOW_W = 4  # winnowing window (guarantee gap t = W + K - 1 = 11)
+
+
+def winnow_hashes(text: str) -> np.ndarray:
+    """Winnowing fingerprint hash set (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): md5 hash per K-char gram, minimum per sliding
+    W-window, distinct minima.  md5-per-gram instead of the classic
+    Karp-Rabin rolling hash so the DuckDB oracle reproduces every hash
+    exactly (md5_number_lower byte order); both run at C speed and the
+    gram count is O(len), so the asymptotics are unchanged.  Texts
+    shorter than K hash whole; fewer grams than W → one global min."""
+    n = len(text)
+    if n < WINNOW_K:
+        grams = [text]
+    else:
+        grams = [text[i:i + WINNOW_K] for i in range(n - WINNOW_K + 1)]
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
+         for g in grams), dtype=np.uint64, count=len(grams))
+    if len(hv) <= WINNOW_W:
+        return np.array([hv.min()], dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(hv, WINNOW_W)
+    return np.unique(wins.min(axis=1))
+
+
+def q_winnow_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints: (doc_id, fp_hash) exploded rows,
+    distinct, sorted — the local-minimum sampling that guarantees any
+    shared substring of length >= W+K-1 yields a shared fingerprint
+    hash (the plagiarism/near-dup detection primitive the flat md5
+    fingerprint can't give).  Exact DuckDB oracle via window min."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out_id, out_h = [], []
+        for i, t in enumerate(b.column("text").to_pylist()):
+            hs = winnow_hashes(t)
+            out_id.append(np.full(len(hs), ids[i], dtype=np.int64))
+            out_h.append(hs)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id) if out_id
+                               else np.empty(0, np.int64)),
+            "fp_hash": pa.array(np.concatenate(out_h) if out_h
+                                else np.empty(0, np.uint64)),
+        })
+
+    df = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return (df.sort_values(["doc_id", "fp_hash"])
+              .reset_index(drop=True))
+
+
+def _winnow_oracle_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(range(1, length(text) - {k} + 2)) AS i,
+                 text
+          FROM documents WHERE length(text) >= {k}
+          UNION ALL
+          SELECT doc_id, 1 AS i, text
+          FROM documents WHERE length(text) < {k}
+        ), h AS (
+          SELECT doc_id, i,
+                 md5_number_lower(CASE WHEN length(text) < {k} THEN text
+                                       ELSE substring(text, i, {k}) END) AS hv
+          FROM g
+        ), wm AS (
+          SELECT doc_id, i,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW
+                               AND {w - 1} FOLLOWING) AS mh,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+          FROM h
+        )
+        SELECT DISTINCT doc_id, mh AS fp_hash
+        FROM wm
+        WHERE i <= greatest(ng - {w} + 1, 1)
+        ORDER BY doc_id, fp_hash
+    """
+
+
 _LANG_SQL_SETS = {
     "de": "['der','die','und','stadt']",
     "en": "['the','and','of','travel','city','guide']",
@@ -161,6 +248,7 @@ _LANG_SQL_SETS = {
 }
 
 ORACLES = {
+    "winnow_fingerprint": _winnow_oracle_sql(),
     "fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint FROM documents
     """,
