@@ -55,6 +55,18 @@ def _image_features(sf_dir: str):
     return q_image_features(sf_dir)
 
 
+def _audio_features(sf_dir: str):
+    from tilemaker_ray.ops.multimodal import q_audio_features
+
+    return q_audio_features(sf_dir)
+
+
+def _video_frame_features(sf_dir: str):
+    from tilemaker_ray.ops.multimodal import q_video_frame_features
+
+    return q_video_frame_features(sf_dir)
+
+
 def _flagship_joined_tiles(sf_dir: str):
     """Rows-only: flagship WITH the broadcast spatial-join stage
     (region tagging via STRtree PIP + kNN inside the extractor)."""
@@ -134,9 +146,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
         "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
-        # multimodal plumbing (decode stubbed behind a deterministic
-        # fake codec; schema/actor wiring real — rows-only)
+        # multimodal plumbing (real BMP/PGM/PPM, WAV-PCM, raw-PGM-video
+        # codecs; jpeg/webp/mp3/h264 stubbed at marked swap-in points;
+        # schema/actor wiring real — rows-only)
         "image_features": _image_features,
+        "audio_features": _audio_features,
+        "video_frame_features": _video_frame_features,
         # flagship engine path with an exact SQL oracle (points slice:
         # extract actors → tile assign → pk shuffle → O3 sort +
         # feature_limit + combine_points assembly; VERDICT r2 #6)

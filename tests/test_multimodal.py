@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pytest
 
 from tilemaker_ray.ops import multimodal as mm
@@ -79,3 +80,69 @@ class TestRealCodecs:
         df = image_feature_dataset(60).to_pandas()
         assert len(df) == 60
         assert df["embedding"].map(len).eq(32).all()
+
+
+class TestAudio:
+    def test_wav_roundtrip(self):
+        from tilemaker_ray.ops.multimodal import decode_wav, encode_wav
+        x = np.sin(2 * np.pi * 440 * np.arange(8000) / 8000).astype(np.float32)
+        y, sr = decode_wav(encode_wav(x, 8000))
+        assert sr == 8000 and len(y) == len(x)
+        assert np.abs(y - x).max() < 1e-3  # 16-bit quantization only
+
+    def test_wav_stereo_and_8bit(self):
+        import struct
+        from tilemaker_ray.ops.multimodal import decode_wav
+        # hand-built stereo 16-bit: L=+0.5, R=-0.5 → mixdown ~0
+        data = struct.pack("<4h", 16384, -16384, 16384, -16384)
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        y, sr = decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+        assert len(y) == 2 and np.abs(y).max() < 1e-3
+        # compressed format code raises at the swap-in point
+        fmt_bad = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+        riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_bad)) + fmt_bad
+                + b"data" + struct.pack("<I", 0))
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+    def test_frame_signal(self):
+        from tilemaker_ray.ops.multimodal import frame_signal
+        fr = frame_signal(np.arange(1300, dtype=np.float32), 512, 256)
+        assert fr.shape == (4, 512)
+        assert fr[1][0] == 256  # hop offset
+        assert frame_signal(np.ones(10, np.float32), 512, 256).shape == (1, 512)
+
+    def test_audio_feature_dataset(self, ray_session):
+        from tilemaker_ray.ops.multimodal import audio_feature_dataset
+        df = audio_feature_dataset(20).to_pandas()
+        assert len(df) == 20
+        assert (df.n_frames > 0).all()
+        assert (df.rms_mean > 0).all() and (df.spectral_centroid > 0).all()
+        # deterministic across runs
+        df2 = audio_feature_dataset(20).to_pandas()
+        pd.testing.assert_frame_equal(df.sort_values("doc_id").reset_index(drop=True),
+                                      df2.sort_values("doc_id").reset_index(drop=True))
+
+
+class TestVideo:
+    def test_rawvideo_decode(self):
+        from tilemaker_ray.ops.multimodal import (decode_video,
+                                                  synth_rawvideo_table)
+        t = synth_rawvideo_table(3)
+        nf = t.column("n_frames").to_pylist()
+        for i in range(3):
+            frames = list(decode_video(t.column("payload")[i].as_py(),
+                                       "video/x-raw-pgm"))
+            assert len(frames) == nf[i]
+            assert frames[0].dtype == np.uint8 and frames[0].ndim == 2
+        with pytest.raises(NotImplementedError):
+            next(decode_video(b"x", "video/mp4"))
+
+    def test_video_frame_dataset(self, ray_session):
+        from tilemaker_ray.ops.multimodal import video_frame_dataset
+        df = video_frame_dataset(10).to_pandas()
+        assert len(df) == 10
+        assert (df.n_sampled >= 1).all()
+        assert all(len(e) == 32 for e in df.embedding)

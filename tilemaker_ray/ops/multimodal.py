@@ -236,6 +236,230 @@ def image_feature_dataset(n: int = 500, concurrency: int = 2,
                           concurrency=concurrency)
 
 
+# --- audio: real RIFF/WAV PCM codec + frame-sampled features --------------
+
+AUDIO_SR = 8000
+AUDIO_FRAME = 512
+AUDIO_HOP = 256
+
+
+def encode_wav(samples: np.ndarray, sr: int = AUDIO_SR) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM 16-bit mono (public format,
+    synth/test helper)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAV PCM decode, pure numpy: walks the chunk list
+    (fmt /data, skipping others), supports PCM (format 1) 8/16-bit,
+    mono or stereo (mixed down).  Returns (float32 samples in [-1, 1],
+    sample_rate).  Compressed codecs (mp3/ogg — not in this container)
+    raise NotImplementedError: the marked swap-in point for ffmpeg."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt_code = channels = sr = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (sz,) = struct.unpack_from("<I", payload, i + 4)
+        body = i + 8
+        if cid == b"fmt ":
+            fmt_code, channels, sr = struct.unpack_from("<HHI", payload, body)
+            (bits,) = struct.unpack_from("<H", payload, body + 14)
+        elif cid == b"data":
+            data = payload[body:body + sz]
+        i = body + sz + (sz & 1)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_code != 1:
+        raise NotImplementedError(
+            f"WAV format {fmt_code}: install ffmpeg and extend decode_wav")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV {bits}-bit PCM")
+    if channels > 1:
+        x = x[:len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x, sr
+
+
+def synth_audio_table(n: int, seed: int = 11) -> pa.Table:
+    """Deterministic 'recordings': sine + noise mixtures, REAL WAV
+    payloads (decoded by decode_wav above)."""
+    rng = np.random.default_rng(seed)
+    rows = {"doc_id": [], "media_type": [], "payload": [], "n_samples": []}
+    for i in range(n):
+        dur = int(rng.integers(AUDIO_SR // 4, AUDIO_SR * 2))
+        t = np.arange(dur) / AUDIO_SR
+        f = float(rng.uniform(80, 2000))
+        x = (0.6 * np.sin(2 * np.pi * f * t)
+             + 0.2 * rng.standard_normal(dur)).astype(np.float32)
+        rows["doc_id"].append(i)
+        rows["media_type"].append("audio/wav")
+        rows["payload"].append(encode_wav(x))
+        rows["n_samples"].append(dur)
+    return pa.table(rows)
+
+
+def frame_signal(x: np.ndarray, frame: int = AUDIO_FRAME,
+                 hop: int = AUDIO_HOP) -> np.ndarray:
+    """Frame-sample a 1-D signal into (n_frames, frame) windows
+    (zero-copy strided view; trailing partial frame dropped)."""
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    return np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, frame),
+        strides=(x.strides[0] * hop, x.strides[0])).copy()
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: WAV decode → frame-sample → vectorized
+    per-frame RMS / zero-crossing / spectral centroid (rfft), reduced
+    to per-doc features.  The mel filterbank analog (here: the rfft
+    bin weights) is built once per actor in __init__ (ST1)."""
+
+    def __init__(self, frame: int = AUDIO_FRAME, hop: int = AUDIO_HOP):
+        self.frame, self.hop = frame, hop
+        self.window = np.hanning(frame).astype(np.float32)
+        self.freqs = np.fft.rfftfreq(frame, d=1.0 / AUDIO_SR)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out = {"doc_id": [], "n_frames": [], "duration_s": [],
+               "rms_mean": [], "rms_max": [], "zcr_mean": [],
+               "spectral_centroid": []}
+        for i, payload in enumerate(b.column("payload").to_pylist()):
+            x, sr = decode_wav(payload)
+            fr = frame_signal(x, self.frame, self.hop)
+            rms = np.sqrt((fr ** 2).mean(axis=1))
+            zcr = (np.diff(np.signbit(fr).astype(np.int8), axis=1)
+                   != 0).mean(axis=1)
+            spec = np.abs(np.fft.rfft(fr * self.window, axis=1))
+            power = spec.sum(axis=1)
+            cent = (spec @ self.freqs) / np.where(power > 0, power, 1.0)
+            out["doc_id"].append(int(ids[i]))
+            out["n_frames"].append(len(fr))
+            out["duration_s"].append(round(len(x) / sr, 6))
+            out["rms_mean"].append(round(float(rms.mean()), 6))
+            out["rms_max"].append(round(float(rms.max()), 6))
+            out["zcr_mean"].append(round(float(zcr.mean()), 6))
+            out["spectral_centroid"].append(round(float(cent.mean()), 3))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+
+def audio_feature_dataset(n: int = 200, concurrency: int = 2,
+                          batch_size: int = 32) -> ray.data.Dataset:
+    """synth WAV table → actor pool (small batches: wide binary rows)
+    → per-doc audio features."""
+    ds = ray.data.from_arrow(synth_audio_table(n))
+    return ds.map_batches(AudioFeaturizer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Rows-only query: real-WAV decode → frame-sample → features."""
+    from ..sources.pages import rows_for_sf
+    n = max(100, rows_for_sf(sf_dir) // 200)
+    df = audio_feature_dataset(n).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- video: rawvideo container (concatenated PGM frames) ------------------
+
+def synth_rawvideo_table(n: int, seed: int = 23) -> pa.Table:
+    """Deterministic 'clips': a real (if minimal) rawvideo container —
+    concatenated P5 frames, each self-describing via its PNM header.
+    Compressed video (h264/vp9) would swap in at decode_video."""
+    rng = np.random.default_rng(seed)
+    rows = {"doc_id": [], "media_type": [], "payload": [], "n_frames": []}
+    for i in range(n):
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        nf = int(rng.integers(4, 24))
+        base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        frames = []
+        for f in range(nf):
+            frames.append(encode_pgm(np.roll(base, f, axis=1)))
+        rows["doc_id"].append(i)
+        rows["media_type"].append("video/x-raw-pgm")
+        rows["payload"].append(b"".join(frames))
+        rows["n_frames"].append(nf)
+    return pa.table(rows)
+
+
+def decode_video(payload: bytes, media_type: str):
+    """Yield (h, w) uint8 frames from a rawvideo payload.  Compressed
+    containers raise NotImplementedError (ffmpeg swap-in point)."""
+    if media_type != "video/x-raw-pgm":
+        raise NotImplementedError(
+            f"no codec for {media_type}: install ffmpeg and extend decode_video")
+    off = 0
+    while off < len(payload):
+        magic, w, h, maxval, hdr = _pnm_header(payload[off:off + 64])
+        assert magic == b"P5"
+        end = off + hdr + w * h
+        yield decode_pnm(payload[off:end])
+        off = end
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: decode → sample every `stride`-th frame →
+    reuse the image feature projection per sampled frame, mean-pooled
+    per clip (the decode/frame-sample/feature-extract chain from the
+    multimodal brief as ONE pipeline of real stages)."""
+
+    def __init__(self, weights_ref=None, stride: int = 4, out_size: int = 16):
+        self.stride = stride
+        self.proj = ImageFeaturizer(weights_ref, out_size)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out_id, out_ns, out_emb = [], [], []
+        for i, payload in enumerate(b.column("payload").to_pylist()):
+            frames = list(decode_video(payload,
+                                       b.column("media_type")[i].as_py()))
+            sampled = frames[::self.stride]
+            feats = np.stack([
+                (self.proj._resize(f).astype(np.float64).ravel() / 255.0)
+                @ self.proj.weights for f in sampled])
+            out_id.append(int(ids[i]))
+            out_ns.append(len(sampled))
+            out_emb.append(feats.mean(axis=0).astype(np.float32))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_sampled": pa.array(out_ns, pa.int64()),
+            "embedding": pa.array([list(e) for e in out_emb],
+                                  pa.list_(pa.float32())),
+        })
+
+
+def video_frame_dataset(n: int = 100, concurrency: int = 2,
+                        batch_size: int = 16) -> ray.data.Dataset:
+    ds = ray.data.from_arrow(synth_rawvideo_table(n))
+    return ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def q_video_frame_features(sf_dir: str) -> pd.DataFrame:
+    """Rows-only query: rawvideo decode → frame-sample → per-clip
+    mean-pooled frame embeddings."""
+    from ..sources.pages import rows_for_sf
+    n = max(50, rows_for_sf(sf_dir) // 400)
+    df = video_frame_dataset(n).to_pandas()
+    out = df[["doc_id", "n_sampled"]].sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
 def q_image_features(sf_dir: str) -> pd.DataFrame:
     """Rows-only query: deterministic multimodal featurize pipeline
     (sized by sf like the pages source)."""
