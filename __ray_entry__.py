@@ -109,7 +109,8 @@ def _osm_monaco_omt_tiles(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tilemaker_ray.ops import dedup, geospatial, relational, similarity, text
+    from tilemaker_ray.ops import (dedup, geospatial, relational, s2ops,
+                                   similarity, text)
 
     return {
         # geospatial core (tile math / joins / topk — SURVEY §2.4-2.6)
@@ -117,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_zoom_rollup": geospatial.q_tile_zoom_rollup,
         "pip_join": geospatial.q_pip_join,
         "pip_semi_join": geospatial.q_pip_semi_join,
+        # S2 cell index (north-rule "H3/S2"): leaf + level-12 cell
+        # tokens (oracle = generated Hilbert-descent recursive CTE) and
+        # the covering-prefiltered PIP join (oracle = pip_join's SQL)
+        "s2_cells": s2ops.q_s2_cells,
+        "s2_pip_join": s2ops.q_s2_pip_join,
         "knn": geospatial.q_knn,
         "zorder_encode": geospatial.q_zorder_encode,
         "grouped_topk": geospatial.q_grouped_topk,
@@ -166,10 +172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tilemaker_ray.ops import dedup, geospatial, relational, similarity, text
+    from tilemaker_ray.ops import (dedup, geospatial, relational, s2ops,
+                                   similarity, text)
 
     out: dict[str, str] = {}
     out.update(geospatial.ORACLES)
+    out.update(s2ops.ORACLES)
     out.update(relational.ORACLES)
     out.update(text.ORACLES)
     out.update(dedup.ORACLES)
