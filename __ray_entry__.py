@@ -109,8 +109,8 @@ def _osm_monaco_omt_tiles(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tilemaker_ray.ops import (dedup, geospatial, relational, s2ops,
-                                   similarity, text)
+    from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
+                                   s2ops, similarity, text)
 
     return {
         # geospatial core (tile math / joins / topk — SURVEY §2.4-2.6)
@@ -126,6 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": geospatial.q_knn,
         "zorder_encode": geospatial.q_zorder_encode,
         "grouped_topk": geospatial.q_grouped_topk,
+        # raster<->vector (north rule): sparse rasterize, run-length
+        # vectorize, distributed 4-connected components (per-block CCL
+        # + rim-cell union-find), ring-traced polygonize (rows-only;
+        # ring geometry is round-trip-tested vs fill_rings)
+        "rasterize": raster.q_rasterize,
+        "raster_runs": raster.q_raster_runs,
+        "raster_components": raster.q_raster_components,
+        "raster_polygonize": raster.q_raster_polygonize,
         # relational surface (groupby/join/sort/window)
         "lineitem_agg": relational.q_lineitem_agg,
         "order_revenue_topk": relational.q_order_revenue_topk,
@@ -172,12 +180,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tilemaker_ray.ops import (dedup, geospatial, relational, s2ops,
-                                   similarity, text)
+    from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
+                                   s2ops, similarity, text)
 
     out: dict[str, str] = {}
     out.update(geospatial.ORACLES)
     out.update(s2ops.ORACLES)
+    out.update(raster.ORACLES)
     out.update(relational.ORACLES)
     out.update(text.ORACLES)
     out.update(dedup.ORACLES)
