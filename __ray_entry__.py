@@ -109,8 +109,8 @@ def _osm_monaco_omt_tiles(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
-                                   s2ops, similarity, text)
+    from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
+                                   relational, s2ops, similarity, text)
 
     return {
         # geospatial core (tile math / joins / topk — SURVEY §2.4-2.6)
@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectorize, distributed 4-connected components (per-block CCL
         # + rim-cell union-find), ring-traced polygonize (rows-only;
         # ring geometry is round-trip-tested vs fill_rings)
+        # hex-grid binning + ring-1 rollup (planar H3-style axial
+        # grid; complements the spherical S2 hierarchy)
+        "hex_bin": hex.q_hex_bin,
+        "hex_kring": hex.q_hex_kring,
         "rasterize": raster.q_rasterize,
         "raster_runs": raster.q_raster_runs,
         "raster_components": raster.q_raster_components,
@@ -180,13 +184,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
-                                   s2ops, similarity, text)
+    from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
+                                   relational, s2ops, similarity, text)
 
     out: dict[str, str] = {}
     out.update(geospatial.ORACLES)
     out.update(s2ops.ORACLES)
     out.update(raster.ORACLES)
+    out.update(hex.ORACLES)
     out.update(relational.ORACLES)
     out.update(text.ORACLES)
     out.update(dedup.ORACLES)

@@ -83,10 +83,15 @@ def run_bench() -> dict:
         }
 
     # secondary operator pipelines over the sf tables
-    from tilemaker_ray.ops import dedup, geospatial, relational, similarity
+    from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
+                                   s2ops, similarity)
     for name, fn in [
         ("tile_assign_points", geospatial.q_tile_assign_points),
         ("pip_join", geospatial.q_pip_join),
+        ("s2_cells", s2ops.q_s2_cells),
+        ("s2_pip_join", s2ops.q_s2_pip_join),
+        ("rasterize", raster.q_rasterize),
+        ("raster_components", raster.q_raster_components),
         ("knn", geospatial.q_knn),
         ("lineitem_agg", relational.q_lineitem_agg),
         ("events_window", relational.q_events_window),
