@@ -110,7 +110,7 @@ def _osm_monaco_omt_tiles(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
-                                   relational, s2ops, similarity, text)
+                                   relational, s2ops, similarity, text, web)
 
     return {
         # geospatial core (tile math / joins / topk — SURVEY §2.4-2.6)
@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cells": s2ops.q_s2_cells,
         "s2_pip_join": s2ops.q_s2_pip_join,
         "knn": geospatial.q_knn,
+        "radius_join": geospatial.q_radius_join,
         "zorder_encode": geospatial.q_zorder_encode,
         "grouped_topk": geospatial.q_grouped_topk,
         # raster<->vector (north rule): sparse rasterize, run-length
@@ -145,6 +146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.q_events_window,
         "events_sessionize": relational.q_events_sessionize,
         "supplier_balance": relational.q_supplier_balance,
+        # as-of join / lag window / distributed exact quantiles — the
+        # operators Ray Data lacks natively, composed from one key
+        # shuffle + in-group sorted kernels (asof, lag) and three
+        # streaming aggregate passes with no sort at all (quantile)
+        "asof_join": relational.q_asof_join,
+        "events_lag_delta": relational.q_events_lag_delta,
+        "global_quantile": relational.q_global_quantile,
         # training-data ops: text analysis
         "token_count": text.q_token_count,
         "token_count_bpe": text.q_token_count_bpe,
@@ -152,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.q_langid,
         "fingerprint": text.q_fingerprint,
         "winnow_fingerprint": text.q_winnow_fingerprint,
+        "top_terms": text.q_top_terms,
+        # web-crawl rollup over the input-hint pages table
+        "domain_stats": web.q_domain_stats,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_keep_first": dedup.q_dedup_keep_first,
@@ -199,7 +210,9 @@ def oracle_sql() -> dict[str, str]:
     # the flagship-points oracle reads the synthetic pages parquet: the
     # driver compares at sf0.01 ⇒ 20k rows; pages_path materializes (or
     # reuses) the deterministic table and returns its directory
+    from tilemaker_ray.ops.web import domain_stats_oracle_sql
     from tilemaker_ray.pipelines.flagship import flagship_points_oracle_sql
     from tilemaker_ray.sources.pages import pages_path
     out["flagship_point_counts"] = flagship_points_oracle_sql(pages_path(20_000))
+    out["domain_stats"] = domain_stats_oracle_sql(pages_path(20_000))
     return out

@@ -84,10 +84,14 @@ def run_bench() -> dict:
 
     # secondary operator pipelines over the sf tables
     from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
-                                   s2ops, similarity)
+                                   s2ops, similarity, web)
     for name, fn in [
         ("tile_assign_points", geospatial.q_tile_assign_points),
         ("pip_join", geospatial.q_pip_join),
+        ("radius_join", geospatial.q_radius_join),
+        ("asof_join", relational.q_asof_join),
+        ("global_quantile", relational.q_global_quantile),
+        ("domain_stats", web.q_domain_stats),
         ("s2_cells", s2ops.q_s2_cells),
         ("s2_pip_join", s2ops.q_s2_pip_join),
         ("rasterize", raster.q_rasterize),

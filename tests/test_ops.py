@@ -46,6 +46,8 @@ def check(name, con):
     "zorder_encode", "lineitem_agg", "events_window", "token_count",
     "quality_score", "dedup_keep_first", "cosine_topk",
     "winnow_fingerprint", "ngram_jaccard_pairs",
+    "asof_join", "events_lag_delta", "global_quantile", "radius_join",
+    "top_terms",
 ])
 def test_oracle(name, con):
     check(name, con)
@@ -205,6 +207,66 @@ def test_flagship_point_counts_oracle(con):
     a, b = normalize(mine), normalize(exp)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_stats_oracle():
+    """Web-crawl per-domain rollup vs its SQL twin over the SAME pages
+    dir (the __ray_entry__ oracle pins the sf0.01 20k-row dir, so the
+    sf0.001 check needs the matching 2k-row dir here)."""
+    import duckdb
+    from tilemaker_ray.ops.web import domain_stats_oracle_sql, q_domain_stats
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    mine = q_domain_stats(SF)
+    c = duckdb.connect()
+    exp = c.sql(domain_stats_oracle_sql(pages_path(rows_for_sf(SF)))).df()
+    a, b = normalize(mine), normalize(exp)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_quantile_point_mass_refinement():
+    """The histogram-refinement path: a column that is one point mass
+    plus a thin tail still recovers exact quantiles (a single
+    overweight bin must refine, not OOM the gather)."""
+    import tilemaker_ray.ops.relational as R
+    rng = np.random.default_rng(7)
+    v = np.concatenate([np.full(50_000, 100.0), rng.uniform(0, 1000, 1000)])
+    exp = {q: float(np.quantile(v, q, method="linear")) for q in R.QUANTILE_QS}
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    os.makedirs(f"{d}/sf_fake", exist_ok=True)
+    pq.write_table(pa.table({"l_extendedprice": v}),
+                   f"{d}/sf_fake/lineitem.parquet")
+    got = R.q_global_quantile(f"{d}/sf_fake")
+    for _, row in got.iterrows():
+        assert abs(row["value"] - round(exp[row["q"]], 6)) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_no_prior_view_dropped():
+    """Purchases with no earlier view by the same user must not appear
+    (inner as-of semantics, matching the SQL ASOF JOIN)."""
+    import duckdb
+    import __ray_entry__ as E
+    res = E.queries()["asof_join"](SF)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    assert (df.view_ts <= df.purchase_ts).all()
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    n_unmatched = c.sql("""
+        WITH p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+             v AS (SELECT user_id, min(ts) AS first_view FROM events
+                   WHERE event_type='view' GROUP BY user_id)
+        SELECT count(*) FROM p LEFT JOIN v USING (user_id)
+        WHERE first_view IS NULL OR p.ts < first_view
+    """).fetchone()[0]
+    n_purchases = c.sql(
+        "SELECT count(*) FROM events WHERE event_type='purchase'").fetchone()[0]
+    assert len(df) == n_purchases - n_unmatched
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -273,6 +273,72 @@ def q_grouped_topk(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+# --- radius (range) join --------------------------------------------------
+
+N_RADIUS_CENTERS = 24
+
+
+def radius_centers() -> pd.DataFrame:
+    i = np.arange(N_RADIUS_CENTERS, dtype=np.int64)
+    return pd.DataFrame({
+        "center_id": i,
+        "clon": (i * 89 % 340) - 170.0,
+        "clat": (i * 67 % 150) - 75.0,
+        "r": 4.0 + (i % 5),
+    })
+
+
+RADIUS_CENTERS_SQL = f"""
+SELECT i AS center_id,
+       CAST((i*89) % 340 - 170 AS DOUBLE) AS clon,
+       CAST((i*67) % 150 - 75  AS DOUBLE) AS clat,
+       CAST(4 + i % 5 AS DOUBLE) AS r
+FROM range({N_RADIUS_CENTERS}) t(i)
+"""
+
+
+class RadiusJoiner:
+    """Distance-range join: all (point, center) pairs with planar
+    squared distance <= r². Broadcast small side (ray.put on the
+    driver, one vectorized n×C distance matrix per batch); the scale
+    path for a LARGE center set is the same cell-bucket prefilter the
+    PIP join uses (J6) — bucket centers by coarse tile, probe only the
+    point's k-ring. Planar degree metric keeps the float expression
+    bit-identical to the SQL oracle (the repo convention; haversine's
+    libm sin/cos differ between numpy's SIMD kernels and DuckDB in the
+    last ulp)."""
+
+    def __init__(self, centers_ref=None):
+        c = ray.get(centers_ref) if centers_ref is not None else radius_centers()
+        self.cid = c.center_id.to_numpy()
+        self.cx = c.clon.to_numpy()
+        self.cy = c.clat.to_numpy()
+        self.r2 = c.r.to_numpy() ** 2
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy().astype(np.int64)
+        lon = b.column("lon").to_numpy()
+        lat = b.column("lat").to_numpy()
+        dlon = lon[:, None] - self.cx[None, :]
+        dlat = lat[:, None] - self.cy[None, :]
+        d2 = dlon * dlon + dlat * dlat
+        pi, ci = np.nonzero(d2 <= self.r2[None, :])
+        return pa.table({
+            "center_id": pa.array(self.cid[ci].astype(np.int64)),
+            "event_id": pa.array(eid[pi]),
+            "d2": pa.array(np.round(d2[pi, ci], 6)),
+        })
+
+
+def q_radius_join(sf_dir: str) -> pd.DataFrame:
+    ds = _event_points(sf_dir)
+    ref = ray.put(radius_centers())
+    out = ds.map_batches(RadiusJoiner, fn_constructor_kwargs={"centers_ref": ref},
+                         batch_format="pyarrow", concurrency=(1, 8))
+    return (out.to_pandas().sort_values(["center_id", "event_id"])
+               .reset_index(drop=True))
+
+
 ORACLES = {
     "tile_assign_points": f"""
         WITH pts AS (
@@ -326,6 +392,18 @@ ORACLES = {
           FROM q, pts p
         )
         SELECT query_id, rank, event_id FROM d WHERE rank <= {KNN_K}
+    """,
+    "radius_join": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), c AS ({RADIUS_CENTERS_SQL})
+        SELECT c.center_id, p.event_id,
+               round((p.lon-c.clon)*(p.lon-c.clon)
+                     + (p.lat-c.clat)*(p.lat-c.clat), 6) AS d2
+        FROM pts p JOIN c
+          ON (p.lon-c.clon)*(p.lon-c.clon)
+             + (p.lat-c.clat)*(p.lat-c.clat) <= c.r*c.r
+        ORDER BY c.center_id, p.event_id
     """,
     "zorder_encode": """
         SELECT event_id,

@@ -193,6 +193,179 @@ def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (the operator Ray Data lacks natively): each
+    purchase event is matched to the LATEST view event by the same user
+    with view_ts <= purchase_ts.
+
+    Expressed as a composition the Dataset API allows: prune + filter at
+    the read, ONE hash shuffle on the join key (user_id), then a sorted
+    merge_asof inside each group — the (a)-style custom-operator
+    composition (map_batches + groupby().map_groups + in-group sort).
+
+    Partitioning assumption: one user's events fit in a worker (same
+    assumption the reference makes for per-way node lists); at 100 TB a
+    hot user would be range-partitioned by time with one boundary row
+    replicated per cut.
+
+    Determinism: view events are pre-aggregated per (user_id, ts) with
+    max(value) so duplicate right-side timestamps cannot make the as-of
+    pick ambiguous (mirrored in the oracle SQL).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["purchase", "view"]))),
+        batch_format="pyarrow")
+
+    def asof_in_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.loc[g.event_type == "purchase",
+                   ["event_id", "user_id", "ts", "value"]]
+              .rename(columns={"ts": "purchase_ts", "value": "purchase_value"})
+              .sort_values(["purchase_ts", "event_id"], kind="stable"))
+        v = (g.loc[g.event_type == "view", ["ts", "value"]]
+              .groupby("ts", as_index=False).agg(view_value=("value", "max"))
+              .sort_values("ts", kind="stable"))
+        if p.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "purchase_ts",
+                                         "purchase_value", "view_ts", "view_value"])
+        v["view_ts"] = v["ts"]
+        m = pd.merge_asof(p, v, left_on="purchase_ts", right_on="ts",
+                          direction="backward").drop(columns=["ts"])
+        m = m[m.view_ts.notna()]
+        return m[["event_id", "user_id", "purchase_ts", "purchase_value",
+                  "view_ts", "view_value"]]
+
+    out = ds.groupby("user_id").map_groups(asof_in_user, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def q_events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """lag() window function: per-user value delta vs the previous event
+    in (ts, event_id) order. One shuffle on user_id, vectorized diff
+    inside the group."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def lag_delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        delta = (g["value"] - g["value"].shift(1)).round(2)
+        out = g.assign(delta=delta)
+        out = out[out.delta.notna()]
+        return out[["event_id", "user_id", "delta"]]
+
+    out = ds.groupby("user_id").map_groups(lag_delta, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+# --- distributed exact quantiles (no sort, no shuffle) -------------------
+
+QUANTILE_QS = (0.5, 0.95, 0.99)
+QUANTILE_BINS = 4096
+
+
+def _bin_index(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Deterministic bin assignment shared by the histogram and gather
+    passes (identical float expression, so counts always agree)."""
+    idx = np.floor((v - lo) * (QUANTILE_BINS / (hi - lo))).astype(np.int64)
+    return np.clip(idx, 0, QUANTILE_BINS - 1)
+
+
+def q_global_quantile(sf_dir: str) -> pd.DataFrame:
+    """Exact global quantiles of l_extendedprice WITHOUT a distributed
+    sort: (A) streaming min/max/count aggregate, (B) streaming fixed-bin
+    histogram with per-batch partials, (C) gather only the values in the
+    rank-straddling bins (expected n/4096 of the data; re-binned
+    recursively while a candidate bin exceeds the gather cap, so a
+    point-mass bin can't OOM the driver), then exact selection + linear
+    interpolation (DuckDB quantile_cont semantics).
+
+    This is the scale path for order statistics at 100 TB: three
+    streaming passes over one pruned column, driver holds only
+    histogram counts + one small candidate slice.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    path = f"{sf_dir}/lineitem.parquet"
+
+    def read():
+        return ray.data.read_parquet(path, columns=["l_extendedprice"])
+
+    stats = read().aggregate(Min("l_extendedprice"), Max("l_extendedprice"),
+                             Count(alias_name="n"))
+    lo, hi = float(stats["min(l_extendedprice)"]), float(stats["max(l_extendedprice)"])
+    n = int(stats["n"])
+
+    ranks = {q: (n - 1) * q for q in QUANTILE_QS}
+    # order statistics we must recover exactly (floor/ceil of each rank)
+    need = sorted({int(np.floor(r)) for r in ranks.values()} |
+                  {int(np.ceil(r)) for r in ranks.values()})
+
+    GATHER_CAP = 200_000
+    cur_lo, cur_hi = lo, hi + 1e-9  # half-open top guard
+    offset = 0                      # count of values below cur_lo
+    for _ in range(8):              # refinement levels (4096^8 ≫ any n)
+        clo, chi, off = cur_lo, cur_hi, offset
+
+        def hist(b: pa.Table) -> pa.Table:
+            v = b.column("l_extendedprice").to_numpy()
+            v = v[(v >= clo) & (v < chi)]
+            bins, counts = np.unique(_bin_index(v, clo, chi), return_counts=True)
+            return pa.table({"bin": pa.array(bins),
+                             "cnt": pa.array(counts.astype(np.int64))})
+
+        from ray.data.aggregate import Sum
+        hdf = (read().map_batches(hist, batch_format="pyarrow")
+                     .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+                     .to_pandas().sort_values("bin"))
+        counts = np.zeros(QUANTILE_BINS, dtype=np.int64)
+        counts[hdf["bin"].to_numpy()] = hdf["cnt"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(counts)])  # cum[b] = below bin b
+
+        need_bins = sorted({int(np.searchsorted(cum, k - off, side="right") - 1)
+                            for k in need})
+        total_cand = int(counts[need_bins].sum())
+        if total_cand <= GATHER_CAP or len(need_bins) > 1:
+            break
+        # one overweight bin: narrow the range to it and re-bin
+        b = need_bins[0]
+        w = (chi - clo) / QUANTILE_BINS
+        offset = off + int(cum[b])
+        cur_lo, cur_hi = clo + b * w, clo + (b + 1) * w
+
+    bset = sorted(need_bins)
+    clo, chi = cur_lo, cur_hi
+
+    def gather(b: pa.Table) -> pa.Table:
+        v = b.column("l_extendedprice").to_numpy()
+        v = v[(v >= clo) & (v < chi)]
+        bi = _bin_index(v, clo, chi)
+        keep = np.isin(bi, bset)
+        return pa.table({"bin": pa.array(bi[keep]), "v": pa.array(v[keep])})
+
+    cdf = read().map_batches(gather, batch_format="pyarrow").to_pandas()
+    # per-bin sorted values; a global rank k is looked up LOCALLY:
+    # local index = k - (count below that bin), so needed bins may be
+    # non-contiguous without gathering the span between them
+    per_bin = {b: np.sort(g["v"].to_numpy()) for b, g in cdf.groupby("bin")}
+
+    def kth(k: int) -> float:
+        b = int(np.searchsorted(cum, k - offset, side="right") - 1)
+        return float(per_bin[b][k - offset - int(cum[b])])
+
+    rows = []
+    for q in QUANTILE_QS:
+        r = ranks[q]
+        k0, k1 = int(np.floor(r)), int(np.ceil(r))
+        v0, v1 = kth(k0), kth(k1)
+        val = v0 + (v1 - v0) * (r - k0)
+        rows.append({"q": q, "value": round(val, 6)})
+    return pd.DataFrame(rows)
+
+
 ORACLES = {
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -252,5 +425,38 @@ ORACLES = {
         SELECT s_suppkey, s_name, s_acctbal
         FROM supplier WHERE s_acctbal > 0.0
         ORDER BY s_acctbal DESC, s_suppkey
+    """,
+    "asof_join": """
+        WITH p AS (
+          SELECT event_id, user_id, ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, ts AS view_ts, max(value) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_value,
+               v.view_ts, v.view_value
+        FROM p ASOF JOIN v
+          ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+        ORDER BY p.event_id
+    """,
+    "events_lag_delta": """
+        WITH g AS (
+          SELECT event_id, user_id, value,
+                 lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT event_id, user_id, round(value - prev, 2) AS delta
+        FROM g WHERE prev IS NOT NULL ORDER BY event_id
+    """,
+    "global_quantile": """
+        SELECT q, round(v, 6) AS value FROM (
+          SELECT 0.5 AS q, quantile_cont(l_extendedprice, 0.5) AS v FROM lineitem
+          UNION ALL
+          SELECT 0.95, quantile_cont(l_extendedprice, 0.95) FROM lineitem
+          UNION ALL
+          SELECT 0.99, quantile_cont(l_extendedprice, 0.99) FROM lineitem
+        ) ORDER BY q
     """,
 }

@@ -240,6 +240,54 @@ def _winnow_oracle_sql() -> str:
     """
 
 
+TOP_TERMS_K = 5
+
+
+def q_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-language top-K terms by frequency — the corpus-statistics
+    rollup (stopword mining / TF tables). Per-batch partial counts via
+    np.unique over the exploded token stream (the shuffle carries
+    (lang, token, n) partials, not tokens), one groupby, then a tiny
+    per-lang top-K fold. Ties broken (n desc, token asc) in both
+    engines, a total order since tokens are distinct per lang."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        toks, ls = [], []
+        for lg, t in zip(langs, texts):
+            tt = [w for w in t.split(" ") if w]
+            toks.extend(tt)
+            ls.extend([lg] * len(tt))
+        if not toks:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = (pd.DataFrame({"lang": ls, "token": toks})
+               .groupby(["lang", "token"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(TOP_TERMS_K)
+        return g[["lang", "token", "n"]]
+
+    out = counts.groupby("lang").map_groups(topk, batch_format="pandas")
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["lang", "n", "token"],
+                           ascending=[True, False, True])
+              .reset_index(drop=True))
+
+
 _LANG_SQL_SETS = {
     "de": "['der','die','und','stadt']",
     "en": "['the','and','of','travel','city','guide']",
@@ -249,6 +297,22 @@ _LANG_SQL_SETS = {
 
 ORACLES = {
     "winnow_fingerprint": _winnow_oracle_sql(),
+    "top_terms": f"""
+        WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ), c AS (
+          SELECT lang, token, count(*) AS n
+          FROM tok WHERE token <> '' GROUP BY lang, token
+        ), r AS (
+          SELECT lang, token, n,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, token) AS rk
+          FROM c
+        )
+        SELECT lang, token, n FROM r WHERE rk <= {TOP_TERMS_K}
+        ORDER BY lang, n DESC, token
+    """,
     "fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint FROM documents
     """,
