@@ -110,7 +110,8 @@ def _osm_monaco_omt_tiles(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
-                                   relational, s2ops, similarity, text, web)
+                                   relational, s2ops, sampling, similarity,
+                                   text, web)
 
     return {
         # geospatial core (tile math / joins / topk — SURVEY §2.4-2.6)
@@ -175,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
         "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
+        "kmeans_assign": similarity.q_kmeans_assign,
+        # deterministic content-hash sampling (resume/retry-stable)
+        "hash_sample": sampling.q_hash_sample,
+        "stratified_sample": sampling.q_stratified_sample,
         # multimodal plumbing (real BMP/PGM/PPM, WAV-PCM, raw-PGM-video
         # codecs; jpeg/webp/mp3/h264 stubbed at marked swap-in points;
         # schema/actor wiring real — rows-only)
@@ -196,9 +201,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
-                                   relational, s2ops, similarity, text)
+                                   relational, s2ops, sampling, similarity,
+                                   text)
 
     out: dict[str, str] = {}
+    out.update(sampling.ORACLES)
     out.update(geospatial.ORACLES)
     out.update(s2ops.ORACLES)
     out.update(raster.ORACLES)

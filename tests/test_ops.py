@@ -47,7 +47,7 @@ def check(name, con):
     "quality_score", "dedup_keep_first", "cosine_topk",
     "winnow_fingerprint", "ngram_jaccard_pairs",
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
-    "top_terms",
+    "top_terms", "kmeans_assign", "hash_sample", "stratified_sample",
 ])
 def test_oracle(name, con):
     check(name, con)

@@ -88,6 +88,44 @@ def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
     return _rank_topk(partials.to_pandas())
 
 
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """K-means ASSIGNMENT step (the inner loop of distributed k-means /
+    IVF training) with a fixed deterministic centroid set (embeddings
+    vec_id < K) so the step has an exact SQL oracle: every vector →
+    nearest centroid by cosine, ties to the lowest centroid id.
+    Broadcast centroid matrix + one matmul per batch; zero shuffle —
+    the update step would be a (centroid_id, sum, n) partial aggregate,
+    exercised by the IVF trainer (_sampled_kmeans)."""
+    qid, qmat = _load_queries_k(sf_dir, KMEANS_K)
+    cn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = cn @ en.T                      # (K, nb)
+        best = np.argmax(sims, axis=0)        # first max = lowest id on ties
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "centroid_id": pa.array(qid[best].astype(np.int64)),
+            "sim": pa.array(np.round(sims[best, np.arange(len(ids))], 6)),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def _load_queries_k(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q[q.vec_id < k].sort_values("vec_id")
+    return q.vec_id.to_numpy(), np.stack(q.embedding.to_numpy()).astype(np.float64)
+
+
 # --- IVF ------------------------------------------------------------------
 
 CENTROID_SAMPLE_MAX = 32768
@@ -450,6 +488,23 @@ ORACLES = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.e, b.e) >= {DUP_THRESHOLD}
         ORDER BY vec_a, vec_b
+    """,
+    "kmeans_assign": f"""
+        WITH c AS (
+          SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE vec_id < {KMEANS_K}
+        ), s AS (
+          SELECT e.vec_id, c.centroid_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS sim
+          FROM embeddings e, c
+        ), r AS (
+          SELECT vec_id, centroid_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, centroid_id) AS rk
+          FROM s
+        )
+        SELECT vec_id, centroid_id, round(sim, 6) AS sim
+        FROM r WHERE rk = 1 ORDER BY vec_id
     """,
     "cosine_topk": f"""
         WITH q AS (
