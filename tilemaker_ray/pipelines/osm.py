@@ -214,9 +214,9 @@ def _node_range_boundaries(path: str, num_shards: int,
     step = max(1, len(offs) // max_sample)
     mins = []
     for o, l in offs[::step]:
-        pb = pbf.parse_primitive_block(pbf.read_blob_at(path, o, l))
-        if pb.nodes["id"]:
-            mins.append(int(np.concatenate(pb.nodes["id"]).min()))
+        m = pbf.block_min_node_id(pbf.read_blob_at(path, o, l))
+        if m is not None:
+            mins.append(m)
     if not mins:
         return np.zeros(num_shards - 1, dtype=np.int64)
     mins = np.sort(np.asarray(mins, dtype=np.int64))

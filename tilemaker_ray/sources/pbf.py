@@ -290,6 +290,24 @@ def parse_primitive_block(data: bytes) -> PrimitiveBlock:
                           n_groups=len(groups))
 
 
+def block_min_node_id(data: bytes) -> int | None:
+    """Cheap probe: the FIRST dense-node id of an OSMData block (= the
+    block minimum — DenseNodes ids are delta-coded ascending). Decodes
+    only the leading varint of the first id array; no lat/lon/tag
+    decode, no cumsum. Used by the node-range boundary sampler, where a
+    full parse_primitive_block per sampled block dominated
+    build_node_store's wall (~1 s on Monaco)."""
+    for f, w, v in _fields(data):
+        if f == 2:  # PrimitiveGroup
+            for f2, w2, v2 in _fields(v):
+                if f2 == 2:  # DenseNodes
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1:  # packed sint64 ids
+                            first, _ = _read_varint(v3, 0)
+                            return int((first >> 1) ^ -(first & 1))
+    return None
+
+
 def block_nodes(pb: PrimitiveBlock):
     """Decoded nodes: (ids, lat_deg, lon_deg, tags list[dict])."""
     if not pb.nodes["id"]:
