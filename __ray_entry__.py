@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.q_asof_join,
         "events_lag_delta": relational.q_events_lag_delta,
         "global_quantile": relational.q_global_quantile,
+        "group_quantile": relational.q_group_quantile,
         # training-data ops: text analysis
         "token_count": text.q_token_count,
         "token_count_bpe": text.q_token_count_bpe,
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.q_fingerprint,
         "winnow_fingerprint": text.q_winnow_fingerprint,
         "top_terms": text.q_top_terms,
+        "tfidf_top_term": text.q_tfidf_top_term,
         # web-crawl rollup over the input-hint pages table
         "domain_stats": web.q_domain_stats,
         # dedup family

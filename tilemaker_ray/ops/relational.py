@@ -366,6 +366,99 @@ def q_global_quantile(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+GROUP_QUANTILE_QS = (0.5, 0.9)
+
+
+def q_group_quantile(sf_dir: str) -> pd.DataFrame:
+    """Exact PER-GROUP quantiles without materializing any group: the
+    same histogram machinery as q_global_quantile, keyed by group —
+    per-batch partial (group, bin, cnt) rows, one small groupby, then a
+    gather restricted to each group's rank-straddling bins (expected
+    group_n/4096 values per group). This is the scale path when a
+    group is itself huge (per-returnflag over 100 TB of lineitem):
+    map_groups would materialize the whole group; this never does."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    path = f"{sf_dir}/lineitem.parquet"
+    gcol, vcol = "l_returnflag", "l_extendedprice"
+
+    def read():
+        return ray.data.read_parquet(path, columns=[gcol, vcol])
+
+    stats = (read().groupby(gcol)
+                   .aggregate(Min(vcol), Max(vcol), Count(alias_name="n"))
+                   .to_pandas())
+    rng = {r[gcol]: (float(r[f"min({vcol})"]), float(r[f"max({vcol})"]) + 1e-9,
+                     int(r["n"]))
+           for _, r in stats.iterrows()}
+
+    def hist(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out_g, out_b, out_c = [], [], []
+        for g, sub in df.groupby(gcol):
+            lo, hi, _ = rng[g]
+            bins, counts = np.unique(_bin_index(sub[vcol].to_numpy(), lo, hi),
+                                     return_counts=True)
+            out_g.extend([g] * len(bins))
+            out_b.extend(bins.tolist())
+            out_c.extend(counts.astype(np.int64).tolist())
+        return pa.table({gcol: pa.array(out_g, pa.string()),
+                         "bin": pa.array(out_b, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    hdf = (read().map_batches(hist, batch_format="pyarrow")
+                 .groupby([gcol, "bin"]).aggregate(Sum("cnt", alias_name="cnt"))
+                 .to_pandas())
+
+    # per group: cumulative bin counts → needed bins per quantile rank
+    need: dict[str, dict] = {}
+    for g, sub in hdf.groupby(gcol):
+        counts = np.zeros(QUANTILE_BINS, dtype=np.int64)
+        counts[sub["bin"].to_numpy()] = sub["cnt"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        n = rng[g][2]
+        ks = sorted({int(np.floor((n - 1) * q)) for q in GROUP_QUANTILE_QS} |
+                    {int(np.ceil((n - 1) * q)) for q in GROUP_QUANTILE_QS})
+        bset = sorted({int(np.searchsorted(cum, k, side="right") - 1) for k in ks})
+        need[g] = {"cum": cum, "bins": set(bset)}
+
+    def gather(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        keep_g, keep_b, keep_v = [], [], []
+        for g, sub in df.groupby(gcol):
+            lo, hi, _ = rng[g]
+            v = sub[vcol].to_numpy()
+            bi = _bin_index(v, lo, hi)
+            m = np.isin(bi, list(need[g]["bins"]))
+            keep_g.extend([g] * int(m.sum()))
+            keep_b.extend(bi[m].tolist())
+            keep_v.extend(v[m].tolist())
+        return pa.table({gcol: pa.array(keep_g, pa.string()),
+                         "bin": pa.array(keep_b, pa.int64()),
+                         "v": pa.array(keep_v, pa.float64())})
+
+    cdf = read().map_batches(gather, batch_format="pyarrow").to_pandas()
+    per_bin = {(g, b): np.sort(sub["v"].to_numpy())
+               for (g, b), sub in cdf.groupby([gcol, "bin"])}
+
+    rows = []
+    for g in sorted(rng):
+        cum, n = need[g]["cum"], rng[g][2]
+
+        def kth(k: int) -> float:
+            b = int(np.searchsorted(cum, k, side="right") - 1)
+            return float(per_bin[(g, b)][k - int(cum[b])])
+
+        row = {gcol: g}
+        for q, name in zip(GROUP_QUANTILE_QS, ("p50", "p90")):
+            r = (n - 1) * q
+            k0, k1 = int(np.floor(r)), int(np.ceil(r))
+            v0, v1 = kth(k0), kth(k1)
+            row[name] = round(v0 + (v1 - v0) * (r - k0), 6)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 ORACLES = {
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -449,6 +542,12 @@ ORACLES = {
         )
         SELECT event_id, user_id, round(value - prev, 2) AS delta
         FROM g WHERE prev IS NOT NULL ORDER BY event_id
+    """,
+    "group_quantile": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "global_quantile": """
         SELECT q, round(v, 6) AS value FROM (

@@ -288,6 +288,73 @@ def q_top_terms(sf_dir: str) -> pd.DataFrame:
               .reset_index(drop=True))
 
 
+def q_tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+    """Per-document top term by tf·idf (idf = ln(N/df)) — the corpus-
+    weighting primitive. Two streaming passes: (1) document-frequency
+    table via per-batch DISTINCT partials + one groupby, (2) broadcast
+    the df table (ray.put) and score each document LOCALLY — no second
+    shuffle. At crawl scale the vocabulary outgrows a broadcast; the
+    scale path is a token-hash-partitioned join in pass 2 (same
+    exchange the minhash band groupby uses)."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        # docs-containing-token count within the batch; groupby sums
+        # the partials into the true document frequency
+        out_t, out_n = [], []
+        counts: dict[str, int] = {}
+        for t in b.column("text").to_pylist():
+            for w in {w for w in t.split(" ") if w}:
+                counts[w] = counts.get(w, 0) + 1
+        for w, c in counts.items():
+            out_t.append(w)
+            out_n.append(c)
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_n, pa.int64())})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("token").aggregate(Sum("df", alias_name="df"))
+                .to_pandas())
+    import ray as _ray
+    df_ref = _ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    class ScoreTop:
+        def __init__(self, ref, n):
+            self.df = _ray.get(ref)
+            self.n = float(n)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            out_id, out_tok, out_sc = [], [], []
+            for i, t in enumerate(b.column("text").to_pylist()):
+                tf: dict[str, int] = {}
+                for w in t.split(" "):
+                    if w:
+                        tf[w] = tf.get(w, 0) + 1
+                if not tf:
+                    continue
+                best = None
+                for w, c in tf.items():
+                    s = round(c * np.log(self.n / self.df[w]), 9)
+                    if best is None or s > best[0] or (s == best[0] and w < best[1]):
+                        best = (s, w)
+                out_id.append(int(ids[i]))
+                out_tok.append(best[1])
+                out_sc.append(round(best[0], 6))
+            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                             "token": pa.array(out_tok, pa.string()),
+                             "score": pa.array(out_sc, pa.float64())})
+
+    out = ds.map_batches(ScoreTop, fn_constructor_kwargs={"ref": df_ref,
+                                                          "n": n_docs},
+                         batch_format="pyarrow", concurrency=(1, 8))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 _LANG_SQL_SETS = {
     "de": "['der','die','und','stadt']",
     "en": "['the','and','of','travel','city','guide']",
@@ -297,6 +364,30 @@ _LANG_SQL_SETS = {
 
 ORACLES = {
     "winnow_fingerprint": _winnow_oracle_sql(),
+    "tfidf_top_term": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ), dfq AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM tc GROUP BY token
+        ), nn AS (
+          SELECT count(*) AS n FROM documents
+        ), s AS (
+          SELECT tc.doc_id, tc.token,
+                 round(tc.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 9) AS score
+          FROM tc JOIN dfq USING (token), nn
+        ), r AS (
+          SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token) AS rk
+          FROM s
+        )
+        SELECT doc_id, token, round(score, 6) AS score
+        FROM r WHERE rk = 1 ORDER BY doc_id
+    """,
     "top_terms": f"""
         WITH tok AS (
           SELECT lang, unnest(string_split(text, ' ')) AS token
