@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first": dedup.q_dedup_keep_first,
         "minhash_pairs": dedup.q_minhash_pairs,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "dedup_clusters": dedup.q_dedup_clusters,
         "simhash": dedup.q_simhash,
         # similarity search
         "cosine_topk": similarity.q_cosine_topk,

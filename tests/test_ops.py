@@ -48,7 +48,7 @@ def check(name, con):
     "winnow_fingerprint", "ngram_jaccard_pairs",
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
     "top_terms", "kmeans_assign", "hash_sample", "stratified_sample",
-    "group_quantile", "tfidf_top_term",
+    "group_quantile", "tfidf_top_term", "dedup_clusters",
 ])
 def test_oracle(name, con):
     check(name, con)

@@ -429,6 +429,73 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER canonicalization: connected components over the
+    exact Jaccard pair graph, each doc labelled with the min doc_id of
+    its component (the canonical representative a dedup pass keeps).
+
+    Distributed min-label propagation — the same iterate-until-fixpoint
+    pattern as the raster CCL (ops/raster.py): labels start as own ids;
+    each round joins neighbor labels across the (bidirected) edge list
+    and folds min per node; converges in O(component diameter) rounds,
+    checked by a label-sum aggregate. Labels/edges stay Datasets
+    throughout (materialized per round — one row per doc / edge), so
+    no driver-side union-find over a 10^10-edge graph."""
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    labels = docs.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "label": b.column("doc_id")}),
+        batch_format="pyarrow").materialize()
+
+    e2 = pd.DataFrame({
+        "src": pd.concat([pairs.doc_a, pairs.doc_b], ignore_index=True).astype("int64"),
+        "dst": pd.concat([pairs.doc_b, pairs.doc_a], ignore_index=True).astype("int64"),
+    })
+    from ray.data.aggregate import Min, Sum
+    if len(e2):
+        edges = ray.data.from_pandas(e2)
+        prev = None
+        for _ in range(64):
+            msg = edges.join(labels, join_type="inner", num_partitions=4,
+                             on=("src",), right_on=("doc_id",))
+            upd = msg.map_batches(
+                lambda b: pa.table({"doc_id": b.column("dst"),
+                                    "label": b.column("label")}),
+                batch_format="pyarrow")
+            labels = (labels.union(upd).groupby("doc_id")
+                            .aggregate(Min("label", alias_name="label"))
+                            .materialize())
+            s = labels.aggregate(Sum("label"))["sum(label)"]
+            if s == prev:
+                break
+            prev = s
+    df = labels.to_pandas().rename(columns={"label": "cluster_id"})
+    df["cluster_id"] = df["cluster_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    """Reachability closure via recursive CTE over the same exact
+    Jaccard pair graph; cluster_id = min reachable doc_id."""
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT doc_a, doc_b FROM ({_minhash_pairs_oracle_sql(threshold)}) t
+        ), e AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL
+          SELECT doc_b AS a, doc_a AS b FROM p
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
 def _minhash_pairs_oracle_sql(threshold: float = 0.5) -> str:
     """Exact n²-Jaccard over {SHINGLE_K}-word shingles.  This oracles
     the LSH pipeline only because LSH recall is complete on the
@@ -485,4 +552,5 @@ ORACLES = {
     # recall-completeness caveat: the inverted index enumerates every
     # pair with any shared shingle
     "ngram_jaccard_pairs": _minhash_pairs_oracle_sql(),
+    "dedup_clusters": _dedup_clusters_oracle_sql(),
 }
