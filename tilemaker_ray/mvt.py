@@ -31,6 +31,9 @@ GEOM_POLYGON = 3
 
 
 def _varint(buf: bytearray, v: int) -> None:
+    if v < 0x80:  # fast path: the overwhelming majority of wire ints
+        buf.append(v)
+        return
     while True:
         b = v & 0x7F
         v >>= 7
@@ -53,6 +56,27 @@ def _bytes_field(buf: bytearray, field: int, payload: bytes) -> None:
 
 def _zigzag(v: int) -> int:
     return (v << 1) ^ (v >> 63)
+
+
+# (class, value)-keyed memo: attr values repeat heavily ACROSS tiles
+# (layer dicts dedup only within one tile). Class in the key keeps
+# bool(True) distinct from int(1) — they encode differently.
+_VALUE_MEMO: dict = {}
+_VALUE_MEMO_MAX = 65536
+
+
+def _encode_value_memo(v) -> bytes:
+    try:
+        k = (v.__class__, v)
+        enc = _VALUE_MEMO.get(k)
+    except TypeError:           # unhashable value: encode directly
+        return _encode_value(v)
+    if enc is None:
+        enc = _encode_value(v)
+        if len(_VALUE_MEMO) >= _VALUE_MEMO_MAX:
+            _VALUE_MEMO.clear()
+        _VALUE_MEMO[k] = enc
+    return enc
 
 
 def _encode_value(v) -> bytes:
@@ -99,7 +123,7 @@ class LayerBuilder:
         return i
 
     def value_index(self, v) -> int:
-        enc = _encode_value(v)
+        enc = _encode_value_memo(v)
         i = self._val_idx.get(enc)
         if i is None:
             i = len(self.values)
@@ -131,11 +155,46 @@ class LayerBuilder:
         g = bytearray()
         _varint(g, (MOVE_TO & 0x7) | (len(pts) << 3))
         cx = cy = 0
+        ap = g.append
         for x, y in pts:
-            _varint(g, _zigzag(x - cx))
-            _varint(g, _zigzag(y - cy))
+            # inlined zigzag+varint (2 calls/vertex dominated the
+            # encode wall; byte-identical to _varint(_zigzag(d)))
+            for d in (x - cx, y - cy):
+                v = (d << 1) ^ (d >> 63)
+                if v < 0x80:
+                    ap(v)
+                else:
+                    while True:
+                        b = v & 0x7F
+                        v >>= 7
+                        if v:
+                            ap(b | 0x80)
+                        else:
+                            ap(b)
+                            break
             cx, cy = x, y
         return bytes(g)
+
+    @staticmethod
+    def _encode_run(g: bytearray, pts, cx: int, cy: int) -> tuple[int, int]:
+        """Delta-encode a vertex run (inlined zigzag+varint)."""
+        ap = g.append
+        for x, y in pts:
+            for d in (x - cx, y - cy):
+                v = (d << 1) ^ (d >> 63)
+                if v < 0x80:
+                    ap(v)
+                else:
+                    while True:
+                        b = v & 0x7F
+                        v >>= 7
+                        if v:
+                            ap(b | 0x80)
+                        else:
+                            ap(b)
+                            break
+            cx, cy = x, y
+        return cx, cy
 
     @staticmethod
     def encode_multilinestring(parts: list[list[tuple[int, int]]]) -> bytes:
@@ -144,15 +203,9 @@ class LayerBuilder:
         cx = cy = 0
         for pts in parts:
             _varint(g, (MOVE_TO & 0x7) | (1 << 3))
-            x, y = pts[0]
-            _varint(g, _zigzag(x - cx))
-            _varint(g, _zigzag(y - cy))
-            cx, cy = x, y
+            cx, cy = LayerBuilder._encode_run(g, pts[:1], cx, cy)
             _varint(g, (LINE_TO & 0x7) | ((len(pts) - 1) << 3))
-            for x, y in pts[1:]:
-                _varint(g, _zigzag(x - cx))
-                _varint(g, _zigzag(y - cy))
-                cx, cy = x, y
+            cx, cy = LayerBuilder._encode_run(g, pts[1:], cx, cy)
         return bytes(g)
 
     @staticmethod
@@ -164,15 +217,9 @@ class LayerBuilder:
         for pts in rings:
             body = pts[:-1] if pts[0] == pts[-1] else pts
             _varint(g, (MOVE_TO & 0x7) | (1 << 3))
-            x, y = body[0]
-            _varint(g, _zigzag(x - cx))
-            _varint(g, _zigzag(y - cy))
-            cx, cy = x, y
+            cx, cy = LayerBuilder._encode_run(g, body[:1], cx, cy)
             _varint(g, (LINE_TO & 0x7) | ((len(body) - 1) << 3))
-            for x, y in body[1:]:
-                _varint(g, _zigzag(x - cx))
-                _varint(g, _zigzag(y - cy))
-                cx, cy = x, y
+            cx, cy = LayerBuilder._encode_run(g, body[1:], cx, cy)
             _varint(g, (CLOSE_PATH & 0x7) | (1 << 3))
         return bytes(g)
 
