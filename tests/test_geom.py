@@ -232,6 +232,28 @@ class TestMVT:
         gz = mvt.compress_tile(raw, gzip_fmt=True)
         assert gzip.decompress(gz) == raw
 
+    def test_value_memo_type_safety(self):
+        """The (class,value) memo must keep bool(True) and int(1)
+        distinct (different wire encodings), and be transparent for
+        repeated values."""
+        from tilemaker_ray import mvt
+        assert mvt._encode_value_memo(True) != mvt._encode_value_memo(1)
+        assert mvt._encode_value_memo("x") == mvt._encode_value(("x")[0])
+        assert mvt._encode_value_memo(3.5) == mvt._encode_value(3.5)
+
+    def test_varint_negative_and_large_deltas(self):
+        """Inlined zigzag+varint path: negative deltas and >1-byte
+        varints decode back exactly."""
+        from tilemaker_ray import mvt
+        pts = [(0, 0), (-5000, 7000), (100000, -100000), (1, 1)]
+        lb = mvt.LayerBuilder("l")
+        lb.add_feature(mvt.GEOM_LINESTRING,
+                       lb.encode_multilinestring([pts]), [])
+        tb = mvt.TileBuilder()
+        tb.layers.append(lb)
+        out = mvt.decode_tile(tb.serialize())
+        assert out["l"]["features"][0]["parts"] == [pts]
+
 
 class TestPolylabel:
     def test_square_center(self):

@@ -107,7 +107,17 @@ class GeomStage(TileRenderer):
     def _render_tile_idx(self, g, idx, zoom, x, y, state):
         from ..tilemath import TileBbox
         recs = self._collate(g, idx, zoom)
-        bbox = TileBbox(x, y, zoom, self.config.high_resolution)
+        # bbox depends only on (x,y,zoom); hot-cluster tiles repeat
+        # across features and batches, so cache per actor (ST6 pattern)
+        cache = getattr(self, "_bbox_cache", None)
+        if cache is None:
+            cache = self._bbox_cache = {}
+        bbox = cache.get((x, y, zoom))
+        if bbox is None:
+            if len(cache) >= 65536:
+                cache.clear()
+            bbox = cache[(x, y, zoom)] = TileBbox(
+                x, y, zoom, self.config.high_resolution)
         for phys in self.phys_order:
             for ld in self.sub_by_phys[phys]:
                 if zoom < ld.minzoom or zoom > ld.maxzoom:
