@@ -271,6 +271,31 @@ def test_asof_join_no_prior_view_dropped():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_transitive_chain(tmp_path):
+    """Multi-hop propagation: A~B and B~C above threshold but A~C
+    below it must still land in ONE cluster labelled min(doc_id) —
+    requires >1 label-propagation round."""
+    from tilemaker_ray.ops.dedup import jaccard, q_dedup_clusters
+    toks = [f"t{i}" for i in range(1, 17)]
+    a = " ".join(toks[0:12])
+    b = " ".join(toks[2:14])
+    c = " ".join(toks[4:16])
+    assert jaccard(a, b) >= 0.5 and jaccard(b, c) >= 0.5
+    assert jaccard(a, c) < 0.5
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf_chain"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([a, b, c, "zz yy xx ww vv uu"]),
+    }), str(d / "documents.parquet"))
+    out = q_dedup_clusters(str(d))
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_block_pair_dups_off_diagonal():
     """ADVICE r2: off-diagonal tiles must keep pairs whose SMALLER id
     lives in the LATER block (non-monotonic ids across blocks)."""

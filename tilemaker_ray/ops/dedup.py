@@ -445,28 +445,46 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     labels = docs.map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id"),
-                            "label": b.column("doc_id")}),
+        lambda b: pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                            "label": b.column("doc_id").cast(pa.int64())}),
         batch_format="pyarrow").materialize()
 
-    e2 = pd.DataFrame({
-        "src": pd.concat([pairs.doc_a, pairs.doc_b], ignore_index=True).astype("int64"),
-        "dst": pd.concat([pairs.doc_b, pairs.doc_a], ignore_index=True).astype("int64"),
-    })
+    # one propagation round = a TAGGED-UNION cogroup, not Dataset.join
+    # (join emits empty-schema blocks for empty hash partitions, which
+    # poisons the next round's shuffle): rows (key, kind=0, val=label)
+    # carry the key's current label, rows (key, kind=1, val=dst) its
+    # out-edges; one groupby(key) emits min-label to every neighbor.
+    src = pd.concat([pairs.doc_a, pairs.doc_b], ignore_index=True).astype("int64")
+    dst = pd.concat([pairs.doc_b, pairs.doc_a], ignore_index=True).astype("int64")
     from ray.data.aggregate import Min, Sum
-    if len(e2):
-        edges = ray.data.from_pandas(e2)
+    if len(src):
+        edges_tagged = ray.data.from_arrow(pa.table({
+            "key": pa.array(src.to_numpy()),
+            "kind": pa.array(np.ones(len(src), np.uint8)),
+            "val": pa.array(dst.to_numpy()),
+        }))
+
+        def propagate(g: pd.DataFrame) -> pa.Table:
+            m = int(g.loc[g.kind == 0, "val"].min())
+            targets = g.loc[g.kind == 1, "val"].to_numpy()
+            ids = np.concatenate([[int(g["key"].iloc[0])], targets]).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids),
+                             "label": pa.array(np.full(len(ids), m, np.int64))})
+
         prev = None
         for _ in range(64):
-            msg = edges.join(labels, join_type="inner", num_partitions=4,
-                             on=("src",), right_on=("doc_id",))
-            upd = msg.map_batches(
-                lambda b: pa.table({"doc_id": b.column("dst"),
-                                    "label": b.column("label")}),
+            lab_tagged = labels.map_batches(
+                lambda b: pa.table({"key": b.column("doc_id"),
+                                    "kind": pa.array(
+                                        np.zeros(b.num_rows, np.uint8)),
+                                    "val": b.column("label")}),
                 batch_format="pyarrow")
-            labels = (labels.union(upd).groupby("doc_id")
-                            .aggregate(Min("label", alias_name="label"))
-                            .materialize())
+            labels = (lab_tagged.union(edges_tagged)
+                      .groupby("key").map_groups(propagate,
+                                                 batch_format="pandas")
+                      .groupby("doc_id")
+                      .aggregate(Min("label", alias_name="label"))
+                      .materialize())
             s = labels.aggregate(Sum("label"))["sum(label)"]
             if s == prev:
                 break
