@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": text.q_winnow_fingerprint,
         "top_terms": text.q_top_terms,
         "tfidf_top_term": text.q_tfidf_top_term,
+        "normalize_text": text.q_normalize_text,
+        "lang_vocab": text.q_lang_vocab,
         # web-crawl rollup over the input-hint pages table
         "domain_stats": web.q_domain_stats,
         # dedup family

@@ -49,6 +49,7 @@ def check(name, con):
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
     "top_terms", "kmeans_assign", "hash_sample", "stratified_sample",
     "group_quantile", "tfidf_top_term", "dedup_clusters",
+    "normalize_text", "lang_vocab",
 ])
 def test_oracle(name, con):
     check(name, con)

@@ -288,6 +288,60 @@ def q_top_terms(sf_dir: str) -> pd.DataFrame:
               .reset_index(drop=True))
 
 
+def q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Canonical text cleaning (the first stage of every training-data
+    pipeline): lowercase, collapse whitespace runs, trim; emit the
+    cleaned text and its token count. Pure per-batch vectorized pandas
+    str kernels; zero shuffle."""
+    import re
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def clean(b: pa.Table) -> pa.Table:
+        s = b.column("text").to_pandas().str.lower()
+        s = s.str.replace(ws, " ", regex=True).str.strip()
+        n = s.str.split(" ").str.len()
+        n = n.where(s.str.len() > 0, 0).astype("int64")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "clean_text": pa.array(s, pa.string()),
+                         "n_tokens": pa.array(n)})
+
+    return (ds.map_batches(clean, batch_format="pyarrow").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_lang_vocab(sf_dir: str) -> pd.DataFrame:
+    """Distinct-token count per language — the distributed
+    COUNT(DISTINCT) pattern: per-batch distinct (lang, token) pairs
+    (the combiner dedups before the exchange), one groupby over pairs,
+    then a count fold per lang."""
+    from ray.data.aggregate import Count
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        seen = set()
+        for lg, t in zip(b.column("lang").to_pylist(),
+                         b.column("text").to_pylist()):
+            for w in t.split(" "):
+                if w:
+                    seen.add((lg, w))
+        if not seen:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string())})
+        langs, toks = zip(*seen)
+        return pa.table({"lang": pa.array(list(langs), pa.string()),
+                         "token": pa.array(list(toks), pa.string())})
+
+    out = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby(["lang", "token"]).aggregate(Count(alias_name="_c"))
+             .groupby("lang").aggregate(Count(alias_name="vocab")))
+    df = out.to_pandas()
+    df["vocab"] = df["vocab"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
 def q_tfidf_top_term(sf_dir: str) -> pd.DataFrame:
     """Per-document top term by tf·idf (idf = ln(N/df)) — the corpus-
     weighting primitive. Two streaming passes: (1) document-frequency
@@ -364,6 +418,26 @@ _LANG_SQL_SETS = {
 
 ORACLES = {
     "winnow_fingerprint": _winnow_oracle_sql(),
+    "normalize_text": """
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS clean_text
+          FROM documents
+        )
+        SELECT doc_id, clean_text,
+               CASE WHEN length(clean_text) = 0 THEN 0
+                    ELSE len(string_split(clean_text, ' ')) END AS n_tokens
+        FROM c ORDER BY doc_id
+    """,
+    "lang_vocab": """
+        WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        )
+        SELECT lang, count(DISTINCT token) AS vocab
+        FROM tok WHERE token <> '' GROUP BY lang ORDER BY lang
+    """,
     "tfidf_top_term": """
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token
