@@ -101,7 +101,7 @@ def _parse_blocks(path: str, kinds: tuple[str, ...]):
         tables = []
         for off, ln in zip(batch["offset"].to_pylist(), batch["length"].to_pylist()):
             data = pbf.read_blob_at(path, off, ln)
-            pb = pbf.parse_primitive_block(data)
+            pb = pbf.parse_primitive_block(data, kinds=kinds)
             if "node" in kinds and pb.nodes["id"]:
                 ids, lat, lon, tags = pbf.block_nodes(pb)
                 n = len(ids)
@@ -243,7 +243,8 @@ def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
         pending = []
         for off, ln in zip(batch["offset"].to_pylist(),
                            batch["length"].to_pylist()):
-            pb = pbf.parse_primitive_block(pbf.read_blob_at(path, off, ln))
+            pb = pbf.parse_primitive_block(pbf.read_blob_at(path, off, ln),
+                                           kinds=("node",))
             if not pb.nodes["id"]:
                 continue
             ids = np.concatenate(pb.nodes["id"]).astype(np.int64, copy=False)

@@ -210,7 +210,16 @@ class PrimitiveBlock:
     n_groups: int = 0
 
 
-def parse_primitive_block(data: bytes) -> PrimitiveBlock:
+def parse_primitive_block(data: bytes,
+                          kinds: tuple[str, ...] = ("node", "way", "relation"),
+                          ) -> PrimitiveBlock:
+    """`kinds` skips decoding of unwanted entity groups: a ways-only
+    pass over a planet file would otherwise pay the dense-node varint
+    decode (~95% of block bytes) three times across the node-store,
+    way and relation passes."""
+    want_node = "node" in kinds
+    want_way = "way" in kinds
+    want_rel = "relation" in kinds
     strings: list[bytes] = []
     granularity = 100
     lat_offset = 0
@@ -234,6 +243,12 @@ def parse_primitive_block(data: bytes) -> PrimitiveBlock:
             lon_offset = v
     for g in groups:
         for f, w, v in _fields(g):
+            if f == 2 and not want_node:
+                continue
+            if f == 3 and not want_way:
+                continue
+            if f == 4 and not want_rel:
+                continue
             if f == 2:  # DenseNodes
                 ids = lat = lon = None
                 kv = np.empty(0, dtype=np.int64)
