@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": relational.q_order_revenue_topk,
         "nation_customer_count": relational.q_nation_customer_count,
         "events_window": relational.q_events_window,
+        "events_hopping_window": relational.q_events_hopping_window,
+        "orders_running_total": relational.q_orders_running_total,
         "events_sessionize": relational.q_events_sessionize,
         "supplier_balance": relational.q_supplier_balance,
         # as-of join / lag window / distributed exact quantiles — the

@@ -49,7 +49,8 @@ def check(name, con):
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
     "top_terms", "kmeans_assign", "hash_sample", "stratified_sample",
     "group_quantile", "tfidf_top_term", "dedup_clusters",
-    "normalize_text", "lang_vocab",
+    "normalize_text", "lang_vocab", "orders_running_total",
+    "events_hopping_window",
 ])
 def test_oracle(name, con):
     check(name, con)

@@ -366,6 +366,60 @@ def q_global_quantile(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """Cumulative window aggregate: running total of order value per
+    customer in (o_orderdate, o_orderkey) order — one key shuffle,
+    vectorized cumsum inside the group."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate", "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+        g = g.assign(running_total=g["o_totalprice"].cumsum().round(2))
+        return g[["o_orderkey", "o_custkey", "running_total"]]
+
+    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+HOP_SECONDS = 1800
+WINDOW_SECONDS = 3600
+
+
+def q_events_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes, so each event lands in exactly two windows. The window
+    explosion happens per batch (vectorized epoch arithmetic on int64
+    microseconds — deterministic, no float time math), then the same
+    partial-agg + small-groupby pattern as the tumbling window."""
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = us // (HOP_SECONDS * 1_000_000) * (HOP_SECONDS * 1_000_000)
+        starts = np.concatenate([base, base - HOP_SECONDS * 1_000_000])
+        et = b.column("event_type").to_pylist()
+        val = b.column("value").to_numpy()
+        return pa.table({
+            "window_start": pa.array(starts.astype("datetime64[us]")),
+            "event_type": pa.array(et + et, pa.string()),
+            "value": pa.array(np.concatenate([val, val])),
+        })
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby(["window_start", "event_type"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value", alias_name="sum_value")))
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n"] = df["n"].astype("int64")
+    return (df.sort_values(["window_start", "event_type"])
+              .reset_index(drop=True))
+
+
 GROUP_QUANTILE_QS = (0.5, 0.9)
 
 
@@ -542,6 +596,31 @@ ORACLES = {
         )
         SELECT event_id, user_id, round(value - prev, 2) AS delta
         FROM g WHERE prev IS NOT NULL ORDER BY event_id
+    """,
+    "orders_running_total": """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM orders ORDER BY o_orderkey
+    """,
+    "events_hopping_window": f"""
+        WITH w AS (
+          SELECT event_type, value,
+                 unnest([
+                   CAST(to_timestamp(floor(epoch(ts) / {HOP_SECONDS})
+                                     * {HOP_SECONDS}) AS TIMESTAMP),
+                   CAST(to_timestamp(floor(epoch(ts) / {HOP_SECONDS})
+                                     * {HOP_SECONDS} - {HOP_SECONDS})
+                        AS TIMESTAMP)
+                 ]) AS window_start
+          FROM events
+        )
+        SELECT window_start, event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM w GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
     """,
     "group_quantile": """
         SELECT l_returnflag,
