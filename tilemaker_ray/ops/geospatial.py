@@ -261,7 +261,14 @@ def q_grouped_topk(sf_dir: str) -> pd.DataFrame:
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "value"])
     tiles = ds.map_batches(with_tile, batch_format="pyarrow")
-    joined = tiles.join(ev, join_type="inner", num_partitions=8, on=("event_id",))
+    from ._util import schema_guard
+    joined = tiles.join(ev, join_type="inner", num_partitions=8,
+                        on=("event_id",)).map_batches(
+        schema_guard(pa.schema([("event_id", pa.int64()),
+                                ("tile_x", pa.int64()),
+                                ("tile_y", pa.int64()),
+                                ("value", pa.float64())])),
+        batch_format="pyarrow")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="stable").head(5)

@@ -73,8 +73,14 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    from ._util import schema_guard
     joined = rev.join(orders, join_type="inner", num_partitions=8,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+                      on=("l_orderkey",), right_on=("o_orderkey",)).map_batches(
+        schema_guard(pa.schema([("l_orderkey", pa.int64()),
+                                ("revenue", pa.float64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))])),
+        batch_format="pyarrow")
 
     # small side broadcast: BUILDING customers as a frozenset via ray.put
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
