@@ -146,3 +146,91 @@ class TestVideo:
         assert len(df) == 10
         assert (df.n_sampled >= 1).all()
         assert all(len(e) == 32 for e in df.embedding)
+
+
+class TestPng:
+    def test_roundtrip_gray_rgb_rgba(self):
+        from tilemaker_ray.ops import png
+        import numpy as np
+        rng = np.random.default_rng(3)
+        g = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+        assert (png.decode_png(png.encode_png(g)) == g).all()
+        rgb = rng.integers(0, 256, (9, 31, 3), dtype=np.uint8)
+        lum = png._luma(rgb)
+        assert (png.decode_png(png.encode_png(rgb)) == lum).all()
+        rgba = rng.integers(0, 256, (12, 8, 4), dtype=np.uint8)
+        assert (png.decode_png(png.encode_png(rgba)) == png._luma(rgba[:, :, :3])).all()
+
+    def test_all_filters_decode(self):
+        """Forward-filter rows per the spec (independent reference
+        implementation), one filter type per row, and expect the
+        decoder to invert every one exactly."""
+        from tilemaker_ray.ops import png
+        import numpy as np
+        import struct, zlib
+        rng = np.random.default_rng(5)
+        h, w, bpp = 5, 11, 3
+        raw = rng.integers(0, 256, (h, w * bpp), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        lines = []
+        for y in range(h):
+            f = y % 5
+            prev = raw[y - 1] if y else np.zeros(w * bpp, np.int64)
+            row = raw[y].astype(np.int64)
+            out = np.zeros(w * bpp, np.int64)
+            for x in range(w * bpp):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = paeth(int(left), int(up), int(ul))
+                out[x] = (row[x] - pred) & 0xFF
+            lines.append(bytes([f]) + out.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (png._SIG + png._chunk(b"IHDR", ihdr)
+                + png._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + png._chunk(b"IEND", b""))
+        got = png.decode_png(data)
+        exp = png._luma(raw.reshape(h, w, bpp))
+        assert (got == exp).all()
+
+    def test_palette_and_crc(self):
+        from tilemaker_ray.ops import png
+        import numpy as np
+        import struct, zlib, pytest
+        h, w = 4, 6
+        idx = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 5
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                        [10, 20, 30], [200, 200, 200]], dtype=np.uint8)
+        rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        data = (png._SIG + png._chunk(b"IHDR", ihdr)
+                + png._chunk(b"PLTE", pal.tobytes())
+                + png._chunk(b"IDAT", zlib.compress(rows))
+                + png._chunk(b"IEND", b""))
+        assert (png.decode_png(data) == png._luma(pal[idx])).all()
+        # corrupt one byte inside IHDR -> CRC must trip
+        bad = bytearray(data)
+        bad[16] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            png.decode_png(bytes(bad))
+
+    def test_decode_image_dispatch_png(self):
+        from tilemaker_ray.ops import multimodal as mm
+        from tilemaker_ray.ops import png
+        import numpy as np
+        img = np.full((7, 7), 42, dtype=np.uint8)
+        assert (mm.decode_image(png.encode_png(img), "image/png") == img).all()

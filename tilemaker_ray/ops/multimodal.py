@@ -1,7 +1,9 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-Decode kernels: BMP (24-bit / 8-bit paletted) and PGM/PPM are REAL
+Decode kernels: PNG (ops/png.py — all five scanline filters, gray/
+RGB/RGBA/palette, CRC-checked), BMP (24-bit / 8-bit paletted) and
+PGM/PPM are REAL
 pure-numpy decoders of the public formats; compressed formats
 (jpeg/webp — no codec libraries in this container) use the
 deterministic fake codec and raise NotImplementedError otherwise, the
@@ -46,7 +48,7 @@ def synth_image_table(n: int, seed: int = 7) -> pa.Table:
     for i in range(n):
         w = int(rng.integers(16, 128))
         h = int(rng.integers(16, 128))
-        kind = i % 3
+        kind = i % 5
         if kind == 0:
             img = rng.integers(0, 256, (h, w), dtype=np.uint8)
             payload = encode_bmp_gray(img)
@@ -55,6 +57,16 @@ def synth_image_table(n: int, seed: int = 7) -> pa.Table:
             img = rng.integers(0, 256, (h, w), dtype=np.uint8)
             payload = encode_pgm(img)
             mt = "image/x-portable-graymap"
+        elif kind == 2:
+            from .png import encode_png
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            payload = encode_png(img)
+            mt = "image/png"
+        elif kind == 3:
+            from .png import encode_png
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = encode_png(img)
+            mt = "image/png"
         else:
             payload = struct.pack("<II", w, h) + rng.bytes(w * h // 4)
             mt = "image/fake"
@@ -151,6 +163,9 @@ def decode_image(payload: bytes, media_type: str) -> np.ndarray:
     PIL/libjpeg."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
+    if media_type == "image/png":
+        from .png import decode_png
+        return decode_png(payload)
     if media_type in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return decode_pnm(payload)
     if media_type == "image/fake":
