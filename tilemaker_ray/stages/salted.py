@@ -134,22 +134,64 @@ class GeomStage(TileRenderer):
                                    simplify_level, filter_area)
         return None, 0
 
+    _PTS_HDR = struct.pack("<II", 1, 1)  # one part, one point
+
+    def _emit_points_vec(self, g, idx: np.ndarray, ld, zoom, x, y, bbox):
+        """Vectorized point emission for one (tile, layer): bounds
+        mask + one scale_latplon call + sliced blob packing replace the
+        per-feature Python path (points dominate web-geocode feature
+        counts; the loop was the geometry stage's main row cost).
+        Emitted values are bit-identical to the scalar path — same
+        float expressions elementwise."""
+        lon = g.lon[idx]
+        latp = g.latp[idx]
+        ok = ((bbox.clip_minx <= lon) & (lon <= bbox.clip_maxx) &
+              (bbox.clip_miny <= latp) & (latp <= bbox.clip_maxy))
+        if not ok.all():
+            idx = idx[ok]
+            if len(idx) == 0:
+                return
+            lon = lon[ok]
+            latp = latp[ok]
+        xs, ys = bbox.scale_latplon(latp, lon)
+        raw = np.column_stack([xs, ys]).astype("<i4").tobytes()
+        hdr = self._PTS_HDR
+        n = len(idx)
+        r = self._rows
+        r["zoom"].extend([zoom] * n)
+        r["tile_x"].extend([x] * n)
+        r["tile_y"].extend([y] * n)
+        lidx = self.layer_order.get(ld.name, 255)
+        r["lidx"].extend([lidx] * n)
+        zo = (g.z_order[idx] if ld.z_order_ascending
+              else -g.z_order[idx])
+        r["zo_sort"].extend(zo.tolist())
+        r["geom_type"].extend([int(gc.POINT_)] * n)
+        r["attrs"].extend(g.attrs[idx].tolist())
+        r["feature_id"].extend(int(v) for v in g.fid[idx])
+        r["layer"].extend([ld.name] * n)
+        r["pts"].extend(hdr + raw[8 * k:8 * k + 8] for k in range(n))
+
     def _emit_objects(self, g, sel, ld, zoom, x, y, bbox, state,
                       simplify_level, filter_area):
         from ..geom.simplify import (douglas_peucker, simplify_multipolygon,
                                      simplify_vis_linestring,
                                      simplify_vis_multipolygon)
+        sel_arr = np.asarray(sel, dtype=np.int64)
+        vis = sel_arr[g.min_zoom[sel_arr] <= zoom]
+        pts_idx = vis[g.geom_type[vis] == gc.POINT_]
+        if len(pts_idx):
+            self._emit_points_vec(g, pts_idx, ld, zoom, x, y, bbox)
+            if len(pts_idx) == len(vis):
+                return
+            sel = vis[g.geom_type[vis] != gc.POINT_].tolist()
         for i in sel:
             if zoom < g.min_zoom[i]:
                 continue
             gt = g.geom_type[i]
             pts_blob = None
             if gt == gc.POINT_:
-                # clean z>base lossy false positives (see render.py)
-                if not (bbox.clip_minx <= g.lon[i] <= bbox.clip_maxx
-                        and bbox.clip_miny <= g.latp[i] <= bbox.clip_maxy):
-                    continue
-                pts_blob = pack_int_parts([[self._scale_point(g, i, bbox)]])
+                continue  # handled by the vectorized path above
             elif gt in (gc.LINESTRING_, gc.MULTILINESTRING_):
                 mls = self._clipped_mls(g, i, bbox, state)
                 if simplify_level > 0:
