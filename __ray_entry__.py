@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
         "kmeans_assign": similarity.q_kmeans_assign,
+        "embedding_stats": similarity.q_embedding_stats,
         # deterministic content-hash sampling (resume/retry-stable)
         "hash_sample": sampling.q_hash_sample,
         "stratified_sample": sampling.q_stratified_sample,

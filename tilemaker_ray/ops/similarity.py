@@ -88,6 +88,49 @@ def q_cosine_topk(sf_dir: str) -> pd.DataFrame:
     return _rank_topk(partials.to_pandas())
 
 
+def q_embedding_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension corpus statistics over the embedding column (the
+    normalization/whitening precursor): one streaming pass of
+    per-batch (sum, sum-of-squares, min, max, n) partials per
+    dimension, one tiny groupby, moments finalized on the driver —
+    the same one-pass pattern a distributed PCA covariance
+    accumulation uses, with a d² instead of d key space."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = emb.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "n": pa.array(np.full(d, emb.shape[0], dtype=np.int64)),
+            "s": pa.array(emb.sum(axis=0)),
+            "s2": pa.array((emb * emb).sum(axis=0)),
+            "mn": pa.array(emb.min(axis=0)),
+            "mx": pa.array(emb.max(axis=0)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("dim")
+             .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                        Sum("s2", alias_name="s2"),
+                        Min("mn", alias_name="vmin"),
+                        Max("mx", alias_name="vmax")))
+    df = agg.to_pandas().sort_values("dim").reset_index(drop=True)
+    mean = df["s"] / df["n"]
+    var = df["s2"] / df["n"] - mean * mean
+    out = pd.DataFrame({
+        "dim": df["dim"].astype("int64"),
+        "mean": mean.round(6),
+        "std": np.sqrt(np.maximum(var, 0.0)).round(6),
+        "vmin": df["vmin"].round(6),
+        "vmax": df["vmax"].round(6),
+    })
+    return out
+
+
 KMEANS_K = 8
 
 
@@ -488,6 +531,17 @@ ORACLES = {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.e, b.e) >= {DUP_THRESHOLD}
         ORDER BY vec_a, vec_b
+    """,
+    "embedding_stats": """
+        WITH u AS (
+          SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS v
+          FROM embeddings
+        )
+        SELECT dim, round(avg(v), 6) AS mean,
+               round(stddev_pop(v), 6) AS std,
+               round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
+        FROM u GROUP BY dim ORDER BY dim
     """,
     "kmeans_assign": f"""
         WITH c AS (
