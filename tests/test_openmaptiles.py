@@ -273,3 +273,54 @@ class TestMonacoE2E:
             "building": 838, "water": 29, "water_name": 2, "aeroway": 13,
             "landuse": 36, "landcover": 83,
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExternalOceanLayer:
+    """LayerDef.source path: a synthesized Natural-Earth-style ocean
+    shapefile renders through the OMT profile's attribute_function into
+    the water layer (reference --input *.shp, shp_mem_tiles.cpp)."""
+
+    def _write_ocean_shp(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_shapefile import poly_payload, write_dbf, write_shp
+        ring = [(7.40, 43.71), (7.46, 43.71), (7.46, 43.76),
+                (7.40, 43.76), (7.40, 43.71)]
+        stype, pay = poly_payload([ring])
+        shp = str(tmp_path / "ocean.shp")
+        write_shp(shp, [(stype, pay)])
+        write_dbf(str(tmp_path / "ocean.dbf"),
+                  [("featurecla", "C", 20, 0)], [{"featurecla": "Ocean"}])
+        return shp
+
+    def test_external_table_and_e2e(self, tmp_path):
+        from tilemaker_ray.pipelines.osm import (external_features_table,
+                                                 osm_tile_dataset)
+        from tilemaker_ray.mvt import decode_tile
+        from tilemaker_ray.geom import core as gc
+        shp = self._write_ocean_shp(tmp_path)
+        cfg = openmaptiles_config()
+        for ld in cfg.layers:
+            if ld.name == "ocean":
+                ld.source = shp
+        prof = OpenMapTilesProfile()
+        ext = external_features_table(cfg, prof.attribute_function)
+        assert ext.num_rows == 1
+        assert ext.column("layer")[0].as_py() == "ocean"
+        assert ext.column("geom_type")[0].as_py() == gc.POLYGON_
+        assert '"class"' in ext.column("attrs")[0].as_py()
+
+        df = osm_tile_dataset(MONACO, cfg, profile=prof).to_pandas()
+        # ocean write_to=water: some tile's water layer must now carry
+        # a class=ocean polygon
+        found = False
+        for _, row in df[df.zoom == 14].iterrows():
+            dec = decode_tile(gzip.decompress(row.mvt))
+            for f in dec.get("water", {}).get("features", []):
+                if f["tags"].get("class") == "ocean":
+                    found = True
+                    break
+            if found:
+                break
+        assert found

@@ -752,7 +752,70 @@ def osm_feature_dataset(path: str, config: Config | None = None,
 
     rels = assembled_multipolygons(path, ways_ds=ways_ds).map_batches(
         rels_to_features, batch_format="pandas")
-    return nodes.union(ways).union(rels)
+    feats = nodes.union(ways).union(rels)
+
+    # external shapefile/GeoJSON layers (LayerDef.source — the
+    # reference's --input .shp path, shp_mem_tiles.cpp): loaded once on
+    # the driver (coastline-scale inputs are small vs the pbf), emitted
+    # through the same Emitter/FEATURE_SCHEMA path, unioned in
+    ext = external_features_table(
+        config, getattr(profile, "attribute_function", None), known)
+    if ext is not None and ext.num_rows:
+        feats = feats.union(ray.data.from_arrow(ext))
+    return feats
+
+
+def external_features_table(config: Config, attribute_function=None,
+                            known: set[str] | None = None):
+    """FEATURE_SCHEMA rows for every config layer with an external
+    `source` file (ocean / urban_areas / ice_shelf in the OpenMapTiles
+    config — reference options_parser.cpp `--input *.shp` +
+    shp_mem_tiles.cpp CreateNamedLayerIndex semantics)."""
+    import os
+
+    from ..sources import load_external_layer
+    from ..stages.extract import FEATURE_SCHEMA
+
+    sourced = [ld for ld in config.layers if getattr(ld, "source", "")]
+    if not sourced:
+        return None
+    known = known or {l.name for l in config.layers}
+    out = {k: [] for k in ("url", "feature_id", "layer", "geom_type",
+                           "min_zoom", "z_order", "attrs", "lon", "latp",
+                           "geom")}
+    for ld in sourced:
+        if not os.path.exists(ld.source):
+            continue  # declared layer, archive not present (sandbox)
+        recs = load_external_layer(ld.source,
+                                   ld.source_columns or None,
+                                   attribute_function, ld.name)
+        for j, rec in enumerate(recs):
+            emit = Emitter(known)
+            if "polys" in rec:
+                emit.Layer(ld.name, rec["polys"])
+            elif "lines" in rec:
+                emit.Layer(ld.name, rec["lines"])
+            elif "points" in rec:
+                for p in rec["points"]:
+                    emit.Layer(ld.name, (p[0], p[1]))
+            elif "point" in rec:
+                emit.Layer(ld.name, rec["point"])
+            else:
+                continue
+            for f in emit.features:
+                f.min_zoom = int(rec.get("minzoom", 0))
+                for k, v in (rec.get("attrs") or {}).items():
+                    cur, emit._cur = emit._cur, f
+                    if isinstance(v, bool):
+                        emit.AttributeBoolean(k, v)
+                    elif isinstance(v, (int, float)):
+                        emit.AttributeNumeric(k, v)
+                    else:
+                        emit.Attribute(k, str(v))
+                    emit._cur = cur
+            _append_features(out, emit, f"ext:{ld.name}/{j}",
+                             hash_url(f"ext:{ld.name}/{j}"))
+    return pa.table(out, schema=FEATURE_SCHEMA)
 
 
 def _append_features(out: dict, emit: Emitter, url: str, base_id: int) -> None:
