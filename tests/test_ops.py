@@ -357,3 +357,24 @@ def test_cosine_dup_ivf_scale_properties():
         fracs.append(counts.max() / n)
     assert fracs[1] < fracs[0]  # finer partitioning at larger n
     assert fracs[1] < 0.25      # no bucket holds a quarter of the data
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_quantile_two_point_masses():
+    """Two >cap point masses straddling different quantile ranks must
+    BOTH refine independently (the old code bailed out of refinement
+    whenever more than one bin was needed) and the p50 rank pair that
+    straddles the mass boundary must interpolate across bins."""
+    import tilemaker_ray.ops.relational as R
+    v = np.concatenate([np.full(300_000, 100.0), np.full(300_000, 200.0)])
+    exp = {q: float(np.quantile(v, q, method="linear")) for q in R.QUANTILE_QS}
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    os.makedirs(f"{d}/sf_fake2", exist_ok=True)
+    pq.write_table(pa.table({"l_extendedprice": v}),
+                   f"{d}/sf_fake2/lineitem.parquet")
+    got = R.q_global_quantile(f"{d}/sf_fake2")
+    for _, row in got.iterrows():
+        assert abs(row["value"] - round(exp[row["q"]], 6)) < 1e-6, row

@@ -154,25 +154,7 @@ class LayerBuilder:
     def encode_points(pts: list[tuple[int, int]]) -> bytes:
         g = bytearray()
         _varint(g, (MOVE_TO & 0x7) | (len(pts) << 3))
-        cx = cy = 0
-        ap = g.append
-        for x, y in pts:
-            # inlined zigzag+varint (2 calls/vertex dominated the
-            # encode wall; byte-identical to _varint(_zigzag(d)))
-            for d in (x - cx, y - cy):
-                v = (d << 1) ^ (d >> 63)
-                if v < 0x80:
-                    ap(v)
-                else:
-                    while True:
-                        b = v & 0x7F
-                        v >>= 7
-                        if v:
-                            ap(b | 0x80)
-                        else:
-                            ap(b)
-                            break
-            cx, cy = x, y
+        LayerBuilder._encode_run(g, pts, 0, 0)
         return bytes(g)
 
     @staticmethod

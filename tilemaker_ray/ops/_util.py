@@ -16,8 +16,15 @@ def schema_guard(schema: pa.Schema):
     names = schema.names
 
     def fix(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or not set(names) <= set(b.column_names):
+        if b.num_rows == 0:
             return schema.empty_table()
+        if not set(names) <= set(b.column_names):
+            # a DATA-BEARING block missing expected columns is schema
+            # drift (e.g. a Ray upgrade renaming join outputs) — raise
+            # loudly instead of silently dropping rows
+            raise ValueError(
+                f"join output columns {b.column_names} missing expected "
+                f"{sorted(set(names) - set(b.column_names))}")
         return pa.table({n: b.column(n).cast(schema.field(n).type)
                          for n in names}, schema=schema)
 

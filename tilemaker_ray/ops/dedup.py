@@ -281,8 +281,8 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 
 # --- exact n-gram Jaccard pairs via distributed inverted index ------------
 
-def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                          max_df: int | None = None) -> pd.DataFrame:
+def ngram_jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5,
+                           max_df: int | None = None) -> ray.data.Dataset:
     """EXACT near-dup pairs by n-gram Jaccard >= threshold — the
     inverted-index counterpart to q_minhash_pairs (which is recall-
     bounded by LSH).  Fully distributed, no driver-side text:
@@ -350,7 +350,12 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return pa.table({"doc_a": b.column("doc_a").filter(pa.array(keep)),
                          "doc_b": b.column("doc_b").filter(pa.array(keep))})
 
-    df = inter.map_batches(jfilter, batch_format="pyarrow").to_pandas()
+    return inter.map_batches(jfilter, batch_format="pyarrow")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                          max_df: int | None = None) -> pd.DataFrame:
+    df = ngram_jaccard_pairs_ds(sf_dir, threshold, max_df).to_pandas()
     return (df.astype({"doc_a": "int64", "doc_b": "int64"})
               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
@@ -441,7 +446,6 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     checked by a label-sum aggregate. Labels/edges stay Datasets
     throughout (materialized per round — one row per doc / edge), so
     no driver-side union-find over a 10^10-edge graph."""
-    pairs = q_ngram_jaccard_pairs(sf_dir)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     labels = docs.map_batches(
@@ -454,15 +458,22 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     # poisons the next round's shuffle): rows (key, kind=0, val=label)
     # carry the key's current label, rows (key, kind=1, val=dst) its
     # out-edges; one groupby(key) emits min-label to every neighbor.
-    src = pd.concat([pairs.doc_a, pairs.doc_b], ignore_index=True).astype("int64")
-    dst = pd.concat([pairs.doc_b, pairs.doc_a], ignore_index=True).astype("int64")
+    # The edge list stays a DATASET end-to-end — both directions are
+    # emitted per batch, never concatenated on the driver.
+    def bidirect(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy().astype(np.int64)
+        c = b.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, c])),
+            "kind": pa.array(np.ones(2 * len(a), np.uint8)),
+            "val": pa.array(np.concatenate([c, a])),
+        })
+
+    edges_tagged = (ngram_jaccard_pairs_ds(sf_dir)
+                    .map_batches(bidirect, batch_format="pyarrow")
+                    .materialize())
     from ray.data.aggregate import Min, Sum
-    if len(src):
-        edges_tagged = ray.data.from_arrow(pa.table({
-            "key": pa.array(src.to_numpy()),
-            "kind": pa.array(np.ones(len(src), np.uint8)),
-            "val": pa.array(dst.to_numpy()),
-        }))
+    if edges_tagged.count():
 
         def propagate(g: pd.DataFrame) -> pa.Table:
             m = int(g.loc[g.kind == 0, "val"].min())
@@ -471,8 +482,12 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
             return pa.table({"doc_id": pa.array(ids),
                              "label": pa.array(np.full(len(ids), m, np.int64))})
 
+        # min-label propagation converges (labels are monotone
+        # non-increasing and bounded below); iterate until the label
+        # sum is a fixpoint — a hard round cap would silently return
+        # unconverged clusters for a component whose diameter exceeds it
         prev = None
-        for _ in range(64):
+        while True:
             lab_tagged = labels.map_batches(
                 lambda b: pa.table({"key": b.column("doc_id"),
                                     "kind": pa.array(

@@ -310,66 +310,104 @@ def q_global_quantile(sf_dir: str) -> pd.DataFrame:
     need = sorted({int(np.floor(r)) for r in ranks.values()} |
                   {int(np.ceil(r)) for r in ranks.values()})
 
-    GATHER_CAP = 200_000
-    cur_lo, cur_hi = lo, hi + 1e-9  # half-open top guard
-    offset = 0                      # count of values below cur_lo
-    for _ in range(8):              # refinement levels (4096^8 ≫ any n)
-        clo, chi, off = cur_lo, cur_hi, offset
-
-        def hist(b: pa.Table) -> pa.Table:
-            v = b.column("l_extendedprice").to_numpy()
-            v = v[(v >= clo) & (v < chi)]
-            bins, counts = np.unique(_bin_index(v, clo, chi), return_counts=True)
-            return pa.table({"bin": pa.array(bins),
-                             "cnt": pa.array(counts.astype(np.int64))})
-
-        from ray.data.aggregate import Sum
-        hdf = (read().map_batches(hist, batch_format="pyarrow")
-                     .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
-                     .to_pandas().sort_values("bin"))
-        counts = np.zeros(QUANTILE_BINS, dtype=np.int64)
-        counts[hdf["bin"].to_numpy()] = hdf["cnt"].to_numpy()
-        cum = np.concatenate([[0], np.cumsum(counts)])  # cum[b] = below bin b
-
-        need_bins = sorted({int(np.searchsorted(cum, k - off, side="right") - 1)
-                            for k in need})
-        total_cand = int(counts[need_bins].sum())
-        if total_cand <= GATHER_CAP or len(need_bins) > 1:
-            break
-        # one overweight bin: narrow the range to it and re-bin
-        b = need_bins[0]
-        w = (chi - clo) / QUANTILE_BINS
-        offset = off + int(cum[b])
-        cur_lo, cur_hi = clo + b * w, clo + (b + 1) * w
-
-    bset = sorted(need_bins)
-    clo, chi = cur_lo, cur_hi
-
-    def gather(b: pa.Table) -> pa.Table:
-        v = b.column("l_extendedprice").to_numpy()
-        v = v[(v >= clo) & (v < chi)]
-        bi = _bin_index(v, clo, chi)
-        keep = np.isin(bi, bset)
-        return pa.table({"bin": pa.array(bi[keep]), "v": pa.array(v[keep])})
-
-    cdf = read().map_batches(gather, batch_format="pyarrow").to_pandas()
-    # per-bin sorted values; a global rank k is looked up LOCALLY:
-    # local index = k - (count below that bin), so needed bins may be
-    # non-contiguous without gathering the span between them
-    per_bin = {b: np.sort(g["v"].to_numpy()) for b, g in cdf.groupby("bin")}
-
-    def kth(k: int) -> float:
-        b = int(np.searchsorted(cum, k - offset, side="right") - 1)
-        return float(per_bin[b][k - offset - int(cum[b])])
+    kv = _exact_kth_values(read, "l_extendedprice", need, lo, hi)
 
     rows = []
     for q in QUANTILE_QS:
         r = ranks[q]
         k0, k1 = int(np.floor(r)), int(np.ceil(r))
-        v0, v1 = kth(k0), kth(k1)
+        v0, v1 = kv[k0], kv[k1]
         val = v0 + (v1 - v0) * (r - k0)
         rows.append({"q": q, "value": round(val, 6)})
     return pd.DataFrame(rows)
+
+
+GATHER_CAP = 200_000
+
+
+def _exact_kth_values(read, col: str, ks: list[int], lo: float, hi: float,
+                      cap: int = GATHER_CAP) -> dict[int, float]:
+    """Exact 0-based order statistics of `col` without a distributed
+    sort. EVERY rank is refined independently: a rank whose bin still
+    exceeds the gather cap narrows to that bin and re-bins next level
+    (so two ranks straddling two different overweight bins both refine
+    — neither forces an oversized driver gather), while ranks whose
+    bins fit are resolved with one filtered gather. A range that can
+    no longer shrink in float64 holds values within one ulp of each
+    other; its rank resolves from a single representative row."""
+    from ray.data.aggregate import Sum
+
+    # per-rank state: (range_lo, range_hi_exclusive, count_below_lo)
+    pend: dict[int, tuple] = {k: (lo, hi + 1e-9, 0) for k in ks}
+    resolved: dict[int, float] = {}
+    while pend:
+        by_range: dict[tuple, list[int]] = {}
+        for k, rng in pend.items():
+            by_range.setdefault(rng, []).append(k)
+        pend = {}
+        for (clo, chi, off), kk in by_range.items():
+
+            def hist(b: pa.Table, clo=clo, chi=chi) -> pa.Table:
+                v = b.column(col).to_numpy()
+                v = v[(v >= clo) & (v < chi)]
+                bins, counts = np.unique(_bin_index(v, clo, chi),
+                                         return_counts=True)
+                return pa.table({"bin": pa.array(bins),
+                                 "cnt": pa.array(counts.astype(np.int64))})
+
+            hdf = (read().map_batches(hist, batch_format="pyarrow")
+                         .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+                         .to_pandas())
+            counts = np.zeros(QUANTILE_BINS, dtype=np.int64)
+            counts[hdf["bin"].to_numpy()] = hdf["cnt"].to_numpy()
+            cum = np.concatenate([[0], np.cumsum(counts)])
+
+            gather_bins: dict[int, list[int]] = {}
+            for k in kk:
+                b = int(np.searchsorted(cum, k - off, side="right") - 1)
+                w = (chi - clo) / QUANTILE_BINS
+                nlo, nhi = clo + b * w, clo + (b + 1) * w
+                shrinks = nlo < nhi and (nhi - nlo) < (chi - clo)
+                if counts[b] > cap and shrinks:
+                    pend[k] = (nlo, nhi, off + int(cum[b]))
+                else:
+                    gather_bins.setdefault(b, []).append(k)
+            if not gather_bins:
+                continue
+            normal = sorted(b for b in gather_bins if counts[b] <= cap)
+
+            def gather(b: pa.Table, clo=clo, chi=chi, bset=None) -> pa.Table:
+                v = b.column(col).to_numpy()
+                v = v[(v >= clo) & (v < chi)]
+                bi = _bin_index(v, clo, chi)
+                keep = np.isin(bi, bset)
+                return pa.table({"bin": pa.array(bi[keep]),
+                                 "v": pa.array(v[keep])})
+
+            per_bin: dict[int, np.ndarray] = {}
+            if normal:
+                import functools
+                cdf = read().map_batches(
+                    functools.partial(gather, bset=tuple(normal)),
+                    batch_format="pyarrow").to_pandas()
+                per_bin = {b: np.sort(g["v"].to_numpy())
+                           for b, g in cdf.groupby("bin")}
+            for b, bk in gather_bins.items():
+                if counts[b] > cap:
+                    # non-shrinkable point mass: every value in the bin
+                    # is within 1 ulp — one representative row suffices
+                    import functools
+                    rep = (read().map_batches(
+                               functools.partial(gather, bset=(b,)),
+                               batch_format="pyarrow")
+                           .limit(1).to_pandas())
+                    for k in bk:
+                        resolved[k] = float(rep["v"].iloc[0])
+                    continue
+                vals = per_bin[b]
+                for k in bk:
+                    resolved[k] = float(vals[k - off - int(cum[b])])
+    return resolved
 
 
 def q_orders_running_total(sf_dir: str) -> pd.DataFrame:

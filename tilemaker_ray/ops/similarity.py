@@ -53,7 +53,11 @@ def _topk_batch(b: pa.Table, qid: np.ndarray, qn: np.ndarray) -> pa.Table:
     emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
     en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
     sims = qn @ en.T  # (nq, nb)
-    k = min(TOP_K, sims.shape[1])
+    # TOP_K + 1 partition slots: the query's own vector (sim=1.0) is
+    # always among the top candidates of its home batch and is excluded
+    # below — with only TOP_K slots that batch could emit just TOP_K-1
+    # real neighbors and lose the true K-th when it shares the batch
+    k = min(TOP_K + 1, sims.shape[1])
     out = {"query_id": [], "vec_id": [], "sim": []}
     idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
     for qi in range(len(qid)):
@@ -231,7 +235,7 @@ def _ivf_topk_batch(b: pa.Table, qid, qn, cent, probe) -> pa.Table:
             continue
         sims = en[mask] @ qn[qi]
         sel_ids = ids[mask]
-        k = min(TOP_K, len(sims))
+        k = min(TOP_K + 1, len(sims))  # +1: self-slot (see _topk_batch)
         idx = np.argpartition(-sims, k - 1)[:k]
         for j in idx:
             if sel_ids[j] == qid[qi]:
