@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_count": relational.q_nation_customer_count,
         "events_window": relational.q_events_window,
         "events_hopping_window": relational.q_events_hopping_window,
+        "events_pivot": relational.q_events_pivot,
         "orders_running_total": relational.q_orders_running_total,
         "events_sessionize": relational.q_events_sessionize,
         "supplier_balance": relational.q_supplier_balance,

@@ -50,7 +50,7 @@ def check(name, con):
     "top_terms", "kmeans_assign", "hash_sample", "stratified_sample",
     "group_quantile", "tfidf_top_term", "dedup_clusters",
     "normalize_text", "lang_vocab", "orders_running_total",
-    "events_hopping_window", "embedding_stats",
+    "events_hopping_window", "embedding_stats", "events_pivot",
 ])
 def test_oracle(name, con):
     check(name, con)

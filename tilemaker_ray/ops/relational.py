@@ -464,6 +464,37 @@ def q_events_hopping_window(sf_dir: str) -> pd.DataFrame:
               .reset_index(drop=True))
 
 
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / conditional aggregation: one row per day, one count and
+    value-sum column per event type. Per-batch partial over
+    (day, type) keeps the exchange tiny; the pivot itself is a
+    vectorized unstack over the aggregated frame (days × types — small
+    by construction at any input scale)."""
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = b.column("ts").to_numpy().astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({"day": pa.array(day),
+                         "event_type": b.column("event_type"),
+                         "value": b.column("value")})
+
+    agg = (ds.map_batches(add_day, batch_format="pyarrow")
+             .groupby(["day", "event_type"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value", alias_name="s"))).to_pandas()
+    wide = agg.pivot(index="day", columns="event_type")
+    out = pd.DataFrame({"day": wide.index})
+    for t in PIVOT_TYPES:
+        out[f"{t}_n"] = wide[("n", t)].fillna(0).astype("int64").to_numpy()
+        out[f"{t}_value"] = wide[("s", t)].fillna(0.0).round(2).to_numpy()
+    return out.sort_values("day").reset_index(drop=True)
+
+
 GROUP_QUANTILE_QS = (0.5, 0.9)
 
 
@@ -640,6 +671,14 @@ ORACLES = {
         )
         SELECT event_id, user_id, round(value - prev, 2) AS delta
         FROM g WHERE prev IS NOT NULL ORDER BY event_id
+    """,
+    "events_pivot": f"""
+        SELECT date_trunc('day', ts) AS day,
+               {", ".join(
+                   f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_n, "
+                   f"round(coalesce(sum(value) FILTER (WHERE event_type = '{t}'), 0), 2)"
+                   f" AS {t}_value" for t in PIVOT_TYPES)}
+        FROM events GROUP BY day ORDER BY day
     """,
     "orders_running_total": """
         SELECT o_orderkey, o_custkey,
