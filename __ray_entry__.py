@@ -49,6 +49,12 @@ def _flagship_point_counts(sf_dir: str):
     return q_flagship_point_counts(sf_dir)
 
 
+def _hll_distinct_urls(sf_dir: str):
+    from tilemaker_ray.ops.sketch import q_hll_distinct_urls
+
+    return q_hll_distinct_urls(sf_dir)
+
+
 def _image_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_image_features
 
@@ -189,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic content-hash sampling (resume/retry-stable)
         "hash_sample": sampling.q_hash_sample,
         "stratified_sample": sampling.q_stratified_sample,
+        # mergeable HLL cardinality sketch (rows-only: approximate by
+        # construction; 3-sigma error bound asserted in tests)
+        "hll_distinct_urls": _hll_distinct_urls,
         # multimodal plumbing (real BMP/PGM/PPM, WAV-PCM, raw-PGM-video
         # codecs; jpeg/webp/mp3/h264 stubbed at marked swap-in points;
         # schema/actor wiring real — rows-only)

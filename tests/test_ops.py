@@ -378,3 +378,29 @@ def test_global_quantile_two_point_masses():
     got = R.q_global_quantile(f"{d}/sf_fake2")
     for _, row in got.iterrows():
         assert abs(row["value"] - round(exp[row["q"]], 6)) < 1e-6, row
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_within_error_bound():
+    """HLL estimate within the 3-sigma bound (~3 * 1.04/sqrt(4096) ≈
+    4.9%) of the exact distinct-URL count, and the register merge is
+    order-insensitive (max is commutative/idempotent)."""
+    import duckdb
+    from tilemaker_ray.ops.sketch import (HLL_M, _hash64, hll_estimate,
+                                          hll_registers,
+                                          q_hll_distinct_urls)
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    pages = pages_path(rows_for_sf(SF))
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT url) FROM read_parquet('{pages}/*.parquet')"
+    ).fetchone()[0]
+    est = q_hll_distinct_urls(SF)["estimate"].iloc[0]
+    assert abs(est - exact) / exact < 0.05
+
+    # merge property: split-and-max == whole
+    vals = [f"u{i}" for i in range(5000)]
+    whole = hll_registers(_hash64(vals))
+    a = hll_registers(_hash64(vals[:2000]))
+    b = hll_registers(_hash64(vals[2000:]))
+    assert (np.maximum(a, b) == whole).all()
+    assert abs(hll_estimate(whole) - 5000) / 5000 < 0.05
