@@ -166,11 +166,10 @@ _AXIAL_SQL = f"""
 
 _OFFSETS_SQL = ", ".join(f"({dq}, {dr})" for dq, dr in KRING1)
 
+# hex_bin has no separate driver entry: hex_kring's `n` column IS the
+# bin count, so its oracle row covers the binning operator too (the
+# q_hex_bin function remains for tests and library use).
 ORACLES = {
-    "hex_bin": f"""
-SELECT hex_q, hex_r, CAST(count(*) AS BIGINT) AS n
-FROM ({_AXIAL_SQL}) GROUP BY hex_q, hex_r
-""",
     "hex_kring": f"""
 WITH binned AS (
   SELECT hex_q, hex_r, CAST(count(*) AS BIGINT) AS n
