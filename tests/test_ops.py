@@ -404,3 +404,157 @@ def test_hll_distinct_within_error_bound():
     b = hll_registers(_hash64(vals[2000:]))
     assert (np.maximum(a, b) == whole).all()
     assert abs(hll_estimate(whole) - 5000) / 5000 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_quantile_point_mass_group(tmp_path, monkeypatch):
+    """ADVICE r3: a group whose rank-straddling bin is a point mass
+    larger than GATHER_CAP must refine through the capped recursive
+    path instead of gathering the whole mass onto the driver — while
+    sibling normal groups keep the bulk-gather fast path."""
+    import tilemaker_ray.ops.relational as R
+    rng = np.random.default_rng(11)
+    a = np.concatenate([np.full(8_000, 100.0), rng.uniform(0, 1000, 200)])
+    b = rng.uniform(0, 500, 1_000)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf_gq"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * len(a) + ["B"] * len(b)),
+        "l_extendedprice": pa.array(np.concatenate([a, b])),
+    }), str(d / "lineitem.parquet"))
+    monkeypatch.setattr(R, "GATHER_CAP", 1_000)
+    got = R.q_group_quantile(str(d)).set_index("l_returnflag")
+    for g, v in (("A", a), ("B", b)):
+        for q, name in zip(R.GROUP_QUANTILE_QS, ("p50", "p90")):
+            exp = float(np.quantile(v, q, method="linear"))
+            assert abs(got.loc[g, name] - round(exp, 6)) < 1e-6, (g, name)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_pivot_absent_type(tmp_path):
+    """ADVICE r3: an event type entirely absent from the input must
+    emit all-zero columns (like the SQL FILTER oracle), not KeyError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tilemaker_ray.ops.relational import PIVOT_TYPES, q_events_pivot
+    d = tmp_path / "sf_pivot"
+    d.mkdir()
+    ts = pa.array(np.array(["2024-01-01T10:00:00", "2024-01-01T11:00:00",
+                            "2024-01-02T10:00:00"], dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "ts": ts,
+        "event_type": pa.array(["click", "view", "click"]),
+        "value": pa.array([1.5, 2.0, 3.0]),
+    }), str(d / "events.parquet"))
+    out = q_events_pivot(str(d))
+    assert len(out) == 2
+    for t in PIVOT_TYPES:
+        assert f"{t}_n" in out.columns and f"{t}_value" in out.columns
+    assert out["click_n"].tolist() == [1, 1]
+    for t in ("purchase", "signup", "error"):
+        assert out[f"{t}_n"].tolist() == [0, 0]
+        assert out[f"{t}_value"].tolist() == [0.0, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_window_oracle_timezone_free():
+    """ADVICE r3: the hopping-window oracle must produce identical
+    window_start values regardless of the DuckDB session time zone
+    (the Ray side is naive int64 epoch arithmetic)."""
+    import duckdb
+    import __ray_entry__ as E
+    sql = E.oracle_sql()["events_hopping_window"]
+    frames = []
+    for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+        c = duckdb.connect()
+        c.sql(f"SET TimeZone='{tz}'")
+        c.sql(f"CREATE VIEW events AS SELECT * FROM "
+              f"read_parquet('{SF}/events.parquet')")
+        frames.append(c.sql(sql).df())
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    pd.testing.assert_frame_equal(frames[0], frames[2])
+
+
+def test_mvt_value_memo_skips_nan():
+    """ADVICE r3: float NaN never hits the memo (NaN != NaN), so it
+    must not insert dead entries that evict useful ones."""
+    from tilemaker_ray import mvt
+    mvt._VALUE_MEMO.clear()
+    a = mvt._encode_value_memo(float("nan"))
+    b = mvt._encode_value_memo(float("nan"))
+    assert a == b == mvt._encode_value(float("nan"))
+    assert len(mvt._VALUE_MEMO) == 0
+    # normal floats still memoize
+    mvt._encode_value_memo(1.25)
+    assert len(mvt._VALUE_MEMO) == 1
+
+
+def test_dedup_exact_shuffle_carries_hash_not_text():
+    """VERDICT r3 #3: the exact-dedup exchange rows are (h128, doc_id)
+    — 24 bytes/row — never the document text."""
+    import hashlib
+    import pyarrow as pa
+    from tilemaker_ray.ops.dedup import exact_hash_rows
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["same text", "same text", "other"])})
+    out = exact_hash_rows(b)
+    assert out.column_names == ["h_hi", "h_lo", "doc_id"]
+    assert "text" not in out.column_names
+    hi = out.column("h_hi").to_pylist()
+    lo = out.column("h_lo").to_pylist()
+    assert (hi[0], lo[0]) == (hi[1], lo[1])
+    assert (hi[0], lo[0]) != (hi[2], lo[2])
+    d = hashlib.md5(b"same text").digest()
+    assert hi[0] == int.from_bytes(d[:8], "little", signed=True)
+    assert lo[0] == int.from_bytes(d[8:], "little", signed=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_max_df_bounds_hot_shingle(tmp_path):
+    """VERDICT r3 #4: the pipeline entrypoint caps shingle document
+    frequency by default (a df=m stop-shingle emits O(m²) pair rows);
+    pairs supported only by a hot shingle vanish under the cap while
+    true near-dups (many low-df shingles) survive.  The oracle query
+    passes max_df=None and stays exact."""
+    import inspect
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tilemaker_ray.ops.dedup import (ngram_jaccard_pairs_ds,
+                                         q_ngram_jaccard_pairs)
+    # default is ON for pipeline use
+    sig = inspect.signature(ngram_jaccard_pairs_ds)
+    assert sig.parameters["max_df"].default is not None
+    d = tmp_path / "sf_hot"
+    d.mkdir()
+    hot = ["the quick fox"] * 12            # one shingle, df=12
+    near = ["aa bb cc dd ee ff gg hh",      # 5 of 6 shingles shared
+            "aa bb cc dd ee ff gg zz"]      # J = 5/7 >= 0.5, all df=2
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(14), pa.int64()),
+        "text": pa.array(hot + near),
+    }), str(d / "documents.parquet"))
+    capped = ngram_jaccard_pairs_ds(str(d), max_df=5).to_pandas()
+    got = set(zip(capped.doc_a.astype(int), capped.doc_b.astype(int)))
+    assert got == {(12, 13)}  # hot-shingle pairs dropped, true dup kept
+    exact = q_ngram_jaccard_pairs(str(d))  # oracle variant: max_df=None
+    pairs = set(zip(exact.doc_a.astype(int), exact.doc_b.astype(int)))
+    assert (12, 13) in pairs and len(pairs) == 66 + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact_confirm_path(tmp_path):
+    """The two-pass exact dedup (hash exchange + candidate-only text
+    confirm) on data that actually HAS duplicate groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tilemaker_ray.ops.dedup import q_dedup_exact
+    d = tmp_path / "sf_dups"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 4, 0], pa.int64()),
+        "text": pa.array(["x", "x", "x", "y", "y", "z"]),
+    }), str(d / "documents.parquet"))
+    out = q_dedup_exact(str(d))
+    assert out.values.tolist() == [[1, 3], [3, 2]]

@@ -161,3 +161,36 @@ def test_node_store_range_sharding_lazy_load():
                       .iter_batches(batch_format="pyarrow", batch_size=64)))
     out = wa(batch)
     assert len(out) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_way_assembler_lru_eviction_bounded():
+    """VERDICT r3 #5: feeding lookups spanning ALL ranges keeps the
+    assembler's resident bytes <= its budget (LRU eviction), while
+    every lookup stays correct — including re-touching an evicted
+    range (reloads from plasma)."""
+    import numpy as np
+    import ray
+    from tilemaker_ray.pipelines.osm import WayAssembler, build_node_store
+    store = build_node_store(MONACO, num_shards=8)
+    refs, _ = store
+    shards = ray.get(list(refs))
+    sizes = [sum(a.nbytes for a in s) for s in shards]
+    budget = max(sizes) + 1  # roughly one shard resident at a time
+    wa = WayAssembler(store, cache_bytes=budget)
+    nonempty = [k for k, s in enumerate(shards) if len(s[0])]
+    assert len(nonempty) >= 2
+    for k in nonempty:
+        s = shards[k]
+        probe = np.asarray(s[0][:8])
+        lat, lon, ok = wa.lookup(probe)
+        assert ok.all()
+        assert np.allclose(lat, s[1][:len(probe)])
+        assert np.allclose(lon, s[2][:len(probe)])
+        assert wa.loaded_bytes <= budget
+    assert len(wa.cache) < len(nonempty)  # something was evicted
+    # evicted range still answers correctly on re-touch
+    k0 = nonempty[0]
+    probe = np.asarray(shards[k0][0][:8])
+    lat, _, ok = wa.lookup(probe)
+    assert ok.all() and np.allclose(lat, shards[k0][1][:len(probe)])

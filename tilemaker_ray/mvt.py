@@ -66,6 +66,8 @@ _VALUE_MEMO_MAX = 65536
 
 
 def _encode_value_memo(v) -> bytes:
+    if v != v:                  # float NaN: NaN != NaN means the memo
+        return _encode_value(v)  # key never hits — don't grow dead entries
     try:
         k = (v.__class__, v)
         enc = _VALUE_MEMO.get(k)

@@ -310,7 +310,8 @@ def q_global_quantile(sf_dir: str) -> pd.DataFrame:
     need = sorted({int(np.floor(r)) for r in ranks.values()} |
                   {int(np.ceil(r)) for r in ranks.values()})
 
-    kv = _exact_kth_values(read, "l_extendedprice", need, lo, hi)
+    kv = _exact_kth_values(read, "l_extendedprice", need, lo, hi,
+                           cap=GATHER_CAP)
 
     rows = []
     for q in QUANTILE_QS:
@@ -325,6 +326,22 @@ def q_global_quantile(sf_dir: str) -> pd.DataFrame:
 GATHER_CAP = 200_000
 
 
+def _chain_mask(v: np.ndarray, lo: float, hi: float,
+                chain: tuple) -> np.ndarray:
+    """Membership predicate for a refinement level: the root range
+    filter plus, per descended level, the EXACT bin-id expression that
+    produced that level's counts (`_bin_index(v, slo, shi) == b`).
+    Re-deriving child edges arithmetically (slo + b*w) can disagree
+    with floor((v-slo)*scale) by one ulp at bin boundaries, silently
+    shifting an 'exact' order statistic by one rank — so membership is
+    always defined by the identical expression that binned the parent
+    (ADVICE r3)."""
+    m = (v >= lo) & (v < hi)
+    for slo, shi, b in chain:
+        m &= _bin_index(v, slo, shi) == b
+    return m
+
+
 def _exact_kth_values(read, col: str, ks: list[int], lo: float, hi: float,
                       cap: int = GATHER_CAP) -> dict[int, float]:
     """Exact 0-based order statistics of `col` without a distributed
@@ -332,24 +349,30 @@ def _exact_kth_values(read, col: str, ks: list[int], lo: float, hi: float,
     exceeds the gather cap narrows to that bin and re-bins next level
     (so two ranks straddling two different overweight bins both refine
     — neither forces an oversized driver gather), while ranks whose
-    bins fit are resolved with one filtered gather. A range that can
-    no longer shrink in float64 holds values within one ulp of each
-    other; its rank resolves from a single representative row."""
+    bins fit are resolved with one filtered gather. Child membership
+    is the parent's own bin-id expression (see _chain_mask), so counts
+    and gathers always agree. A scale range that can no longer shrink
+    in float64 holds values within one ulp of each other; its rank
+    resolves from a single representative row."""
+    import functools
+
     from ray.data.aggregate import Sum
 
-    # per-rank state: (range_lo, range_hi_exclusive, count_below_lo)
-    pend: dict[int, tuple] = {k: (lo, hi + 1e-9, 0) for k in ks}
+    root_lo, root_hi = lo, hi + 1e-9
+    # per-rank state: (scale_lo, scale_hi, chain of (slo, shi, bin),
+    #                  count_below_range)
+    pend: dict[int, tuple] = {k: (root_lo, root_hi, (), 0) for k in ks}
     resolved: dict[int, float] = {}
     while pend:
         by_range: dict[tuple, list[int]] = {}
         for k, rng in pend.items():
             by_range.setdefault(rng, []).append(k)
         pend = {}
-        for (clo, chi, off), kk in by_range.items():
+        for (clo, chi, chain, off), kk in by_range.items():
 
-            def hist(b: pa.Table, clo=clo, chi=chi) -> pa.Table:
+            def hist(b: pa.Table, clo=clo, chi=chi, chain=chain) -> pa.Table:
                 v = b.column(col).to_numpy()
-                v = v[(v >= clo) & (v < chi)]
+                v = v[_chain_mask(v, root_lo, root_hi, chain)]
                 bins, counts = np.unique(_bin_index(v, clo, chi),
                                          return_counts=True)
                 return pa.table({"bin": pa.array(bins),
@@ -369,16 +392,18 @@ def _exact_kth_values(read, col: str, ks: list[int], lo: float, hi: float,
                 nlo, nhi = clo + b * w, clo + (b + 1) * w
                 shrinks = nlo < nhi and (nhi - nlo) < (chi - clo)
                 if counts[b] > cap and shrinks:
-                    pend[k] = (nlo, nhi, off + int(cum[b]))
+                    pend[k] = (nlo, nhi, chain + ((clo, chi, b),),
+                               off + int(cum[b]))
                 else:
                     gather_bins.setdefault(b, []).append(k)
             if not gather_bins:
                 continue
             normal = sorted(b for b in gather_bins if counts[b] <= cap)
 
-            def gather(b: pa.Table, clo=clo, chi=chi, bset=None) -> pa.Table:
+            def gather(b: pa.Table, clo=clo, chi=chi, chain=chain,
+                       bset=None) -> pa.Table:
                 v = b.column(col).to_numpy()
-                v = v[(v >= clo) & (v < chi)]
+                v = v[_chain_mask(v, root_lo, root_hi, chain)]
                 bi = _bin_index(v, clo, chi)
                 keep = np.isin(bi, bset)
                 return pa.table({"bin": pa.array(bi[keep]),
@@ -386,7 +411,6 @@ def _exact_kth_values(read, col: str, ks: list[int], lo: float, hi: float,
 
             per_bin: dict[int, np.ndarray] = {}
             if normal:
-                import functools
                 cdf = read().map_batches(
                     functools.partial(gather, bset=tuple(normal)),
                     batch_format="pyarrow").to_pandas()
@@ -396,7 +420,6 @@ def _exact_kth_values(read, col: str, ks: list[int], lo: float, hi: float,
                 if counts[b] > cap:
                     # non-shrinkable point mass: every value in the bin
                     # is within 1 ulp — one representative row suffices
-                    import functools
                     rep = (read().map_batches(
                                functools.partial(gather, bset=(b,)),
                                batch_format="pyarrow")
@@ -488,6 +511,10 @@ def q_events_pivot(sf_dir: str) -> pd.DataFrame:
              .aggregate(Count(alias_name="n"),
                         Sum("value", alias_name="s"))).to_pandas()
     wide = agg.pivot(index="day", columns="event_type")
+    # an event type absent from the input must still emit all-zero
+    # columns (like the SQL FILTER oracle), not raise KeyError
+    wide = wide.reindex(
+        columns=pd.MultiIndex.from_product([["n", "s"], PIVOT_TYPES]))
     out = pd.DataFrame({"day": wide.index})
     for t in PIVOT_TYPES:
         out[f"{t}_n"] = wide[("n", t)].fillna(0).astype("int64").to_numpy()
@@ -539,8 +566,14 @@ def q_group_quantile(sf_dir: str) -> pd.DataFrame:
                  .groupby([gcol, "bin"]).aggregate(Sum("cnt", alias_name="cnt"))
                  .to_pandas())
 
-    # per group: cumulative bin counts → needed bins per quantile rank
+    # per group: cumulative bin counts → needed bins per quantile rank.
+    # Groups whose rank-straddling bin exceeds GATHER_CAP (a point-mass
+    # bin would otherwise pull that entire mass onto the driver) refine
+    # through _exact_kth_values on a group-filtered read instead
+    # (ADVICE r3); the common case stays one bulk gather for all groups.
     need: dict[str, dict] = {}
+    group_ks: dict[str, list[int]] = {}
+    overweight: set[str] = set()
     for g, sub in hdf.groupby(gcol):
         counts = np.zeros(QUANTILE_BINS, dtype=np.int64)
         counts[sub["bin"].to_numpy()] = sub["cnt"].to_numpy()
@@ -548,13 +581,18 @@ def q_group_quantile(sf_dir: str) -> pd.DataFrame:
         n = rng[g][2]
         ks = sorted({int(np.floor((n - 1) * q)) for q in GROUP_QUANTILE_QS} |
                     {int(np.ceil((n - 1) * q)) for q in GROUP_QUANTILE_QS})
+        group_ks[g] = ks
         bset = sorted({int(np.searchsorted(cum, k, side="right") - 1) for k in ks})
+        if any(counts[b] > GATHER_CAP for b in bset):
+            overweight.add(g)
         need[g] = {"cum": cum, "bins": set(bset)}
 
     def gather(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         keep_g, keep_b, keep_v = [], [], []
         for g, sub in df.groupby(gcol):
+            if g in overweight:
+                continue
             lo, hi, _ = rng[g]
             v = sub[vcol].to_numpy()
             bi = _bin_index(v, lo, hi)
@@ -566,15 +604,34 @@ def q_group_quantile(sf_dir: str) -> pd.DataFrame:
                          "bin": pa.array(keep_b, pa.int64()),
                          "v": pa.array(keep_v, pa.float64())})
 
-    cdf = read().map_batches(gather, batch_format="pyarrow").to_pandas()
-    per_bin = {(g, b): np.sort(sub["v"].to_numpy())
-               for (g, b), sub in cdf.groupby([gcol, "bin"])}
+    per_bin: dict = {}
+    if len(overweight) < len(rng):
+        cdf = read().map_batches(gather, batch_format="pyarrow").to_pandas()
+        per_bin = {(g, b): np.sort(sub["v"].to_numpy())
+                   for (g, b), sub in cdf.groupby([gcol, "bin"])}
+
+    # overweight groups: capped recursive refinement, one group at a time
+    kv_over: dict[str, dict[int, float]] = {}
+    for g in sorted(overweight):
+        lo, hi, _ = rng[g]
+
+        def read_g(g=g):
+            def only(b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                return pa.table({vcol: pa.array(
+                    df.loc[df[gcol] == g, vcol].to_numpy(), pa.float64())})
+            return read().map_batches(only, batch_format="pyarrow")
+
+        kv_over[g] = _exact_kth_values(read_g, vcol, group_ks[g],
+                                       lo, hi - 1e-9, cap=GATHER_CAP)
 
     rows = []
     for g in sorted(rng):
         cum, n = need[g]["cum"], rng[g][2]
 
         def kth(k: int) -> float:
+            if g in overweight:
+                return kv_over[g][k]
             b = int(np.searchsorted(cum, k, side="right") - 1)
             return float(per_bin[(g, b)][k - int(cum[b])])
 
@@ -690,13 +747,16 @@ ORACLES = {
     """,
     "events_hopping_window": f"""
         WITH w AS (
+          -- make_timestamp(micros) is timezone-free (epoch arithmetic on
+          -- the naive TIMESTAMP), unlike to_timestamp() which yields
+          -- TIMESTAMPTZ and would shift by the session TZ on non-UTC hosts
           SELECT event_type, value,
                  unnest([
-                   CAST(to_timestamp(floor(epoch(ts) / {HOP_SECONDS})
-                                     * {HOP_SECONDS}) AS TIMESTAMP),
-                   CAST(to_timestamp(floor(epoch(ts) / {HOP_SECONDS})
-                                     * {HOP_SECONDS} - {HOP_SECONDS})
-                        AS TIMESTAMP)
+                   make_timestamp(CAST(floor(epoch(ts) / {HOP_SECONDS})
+                                       * {HOP_SECONDS} AS BIGINT) * 1000000),
+                   make_timestamp((CAST(floor(epoch(ts) / {HOP_SECONDS})
+                                        * {HOP_SECONDS} AS BIGINT)
+                                   - {HOP_SECONDS}) * 1000000)
                  ]) AS window_start
           FROM events
         )

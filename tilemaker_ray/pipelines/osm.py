@@ -284,21 +284,40 @@ class WayAssembler:
 
     Shards load LAZILY per range actually referenced (VERDICT r2 #5):
     with range sharding, an actor's batches reference id-local nodes,
-    so it holds ~touched/num_shards of the store, not a full copy."""
+    so it holds ~touched/num_shards of the store, not a full copy.
+    Resident shards are LRU-evicted against a byte budget (VERDICT r3
+    #5): a long-lived actor that eventually touches every range stays
+    bounded instead of re-accumulating the whole store — evicted
+    shards remain in plasma and reload on next touch."""
 
-    def __init__(self, node_store):
+    CACHE_BYTES = 512 << 20  # per-actor resident node-shard budget
+
+    def __init__(self, node_store, cache_bytes: int | None = None):
+        from collections import OrderedDict
         shard_refs, boundaries = node_store
         self.refs_ = list(shard_refs)
         self.boundaries = np.asarray(boundaries, dtype=np.int64)
-        self.cache: dict[int, tuple] = {}
-        self.loaded_bytes = 0
+        self.cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self.cache_bytes = (self.CACHE_BYTES if cache_bytes is None
+                            else cache_bytes)
+        self._sizes: dict[int, int] = {}
+        self.loaded_bytes = 0  # resident (post-eviction) bytes
 
     def _shard(self, k: int) -> tuple:
         s = self.cache.get(k)
-        if s is None:
-            s = ray.get(self.refs_[k])
-            self.cache[k] = s
-            self.loaded_bytes += sum(a.nbytes for a in s)
+        if s is not None:
+            self.cache.move_to_end(k)
+            return s
+        s = ray.get(self.refs_[k])
+        nb = sum(a.nbytes for a in s)
+        self.cache[k] = s
+        self._sizes[k] = nb
+        self.loaded_bytes += nb
+        # evict least-recently-used ranges down to the byte budget —
+        # never the shard just loaded (a single oversized shard stays)
+        while self.loaded_bytes > self.cache_bytes and len(self.cache) > 1:
+            old_k, _ = self.cache.popitem(last=False)
+            self.loaded_bytes -= self._sizes.pop(old_k)
         return s
 
     def lookup(self, refs: np.ndarray):
