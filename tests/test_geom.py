@@ -306,3 +306,39 @@ class TestRemoveSpikes:
                       [5., 14.], [5., 15.], [5., 10.], [0., 10.], [0., 0.]])
         out = core.remove_spikes_ring(r)
         assert abs(abs(core.ring_signed_area(out)) - 100.0) < 1e-9
+
+
+def test_encode_features_np_byte_identical():
+    """The vectorized cross-feature geometry encoder must be
+    byte-identical to the scalar per-feature encoders over randomized
+    point/line/polygon features (open/closed rings, multi-part,
+    negative deltas, >2^14 LineTo counts)."""
+    import numpy as np
+    from tilemaker_ray import mvt
+    rng = np.random.default_rng(42)
+    specs, expected = [], []
+    for _ in range(200):
+        kind = int(rng.integers(0, 3))
+        if kind == mvt.FEAT_POINTS:
+            pts = rng.integers(-9000, 9000, (int(rng.integers(1, 30)), 2)).tolist()
+            specs.append((mvt.FEAT_POINTS, [pts]))
+            expected.append(mvt.LayerBuilder.encode_points(pts))
+        elif kind == mvt.FEAT_LINE:
+            parts = [rng.integers(-9000, 9000, (int(rng.integers(2, 40)), 2)).tolist()
+                     for _ in range(int(rng.integers(1, 5)))]
+            specs.append((mvt.FEAT_LINE, parts))
+            expected.append(mvt.LayerBuilder.encode_multilinestring(parts))
+        else:
+            rings = []
+            for _ in range(int(rng.integers(1, 4))):
+                r = rng.integers(-9000, 9000, (int(rng.integers(3, 30)), 2)).tolist()
+                if rng.random() < 0.7:
+                    r = r + [r[0]]
+                rings.append(r)
+            specs.append((mvt.FEAT_POLYGON, rings))
+            expected.append(mvt.LayerBuilder.encode_polygon(rings))
+    assert mvt.encode_features_np(specs) == expected
+    # array inputs (the assembler's fast path) and a long line
+    big = rng.integers(-9000, 9000, (30000, 2))
+    assert (mvt.encode_features_np([(mvt.FEAT_LINE, [big])])[0]
+            == mvt.LayerBuilder.encode_multilinestring([big.tolist()]))

@@ -223,6 +223,126 @@ class LayerBuilder:
         return bytes(out)
 
 
+# --- batch (cross-feature) geometry encoding -----------------------------
+#
+# Per-feature numpy varint encoding is a measured 10x LOSS (a typical
+# feature is ~18 varints; np dispatch dominates — BASELINE.md negative
+# results).  Encoding EVERY feature of a tile in ONE numpy pass
+# amortizes the dispatch over the tile's whole vertex set, which is
+# where the real CPU lives (vertex-heavy low/mid-zoom tiles).  Output
+# is byte-identical to encode_points/encode_multilinestring/
+# encode_polygon (golden suite + randomized equivalence test).
+
+FEAT_POINTS, FEAT_LINE, FEAT_POLYGON = 0, 1, 2
+
+
+def _varint_encode_tokens(tok: np.ndarray):
+    """Vectorized LEB128 for an int64 array of non-negative tokens.
+    Returns (buf uint8 array, byte_off exclusive-prefix offsets with a
+    final total-bytes entry)."""
+    nb = np.ones(len(tok), dtype=np.int64)
+    rem = tok >> 7
+    while rem.any():
+        nb += rem > 0
+        rem >>= 7
+    byte_off = np.empty(len(tok) + 1, dtype=np.int64)
+    byte_off[0] = 0
+    np.cumsum(nb, out=byte_off[1:])
+    buf = np.empty(byte_off[-1], dtype=np.uint8)
+    cur, pos, left = tok, byte_off[:-1].copy(), nb
+    while len(cur):
+        more = left > 1
+        buf[pos] = (cur & 0x7F) | np.where(more, 0x80, 0)
+        cur = cur[more] >> 7
+        pos = pos[more] + 1
+        left = left[more] - 1
+    return buf, byte_off
+
+
+def encode_features_np(specs: list) -> list[bytes]:
+    """Geometry bytes for a LIST of features in one vectorized pass.
+    specs: (kind, parts) per feature — kind in {FEAT_POINTS, FEAT_LINE,
+    FEAT_POLYGON}, parts a list of point sequences (list-of-[x,y] or
+    (m,2) int arrays): one run for points, parts for lines, closed
+    rings for polygons (closing point dropped → ClosePath, as the
+    scalar encoders do)."""
+    arrs: list[np.ndarray] = []
+    m_l: list[int] = []
+    kind_l: list[int] = []
+    close_l: list[bool] = []
+    fstart_l: list[bool] = []
+    feat_nparts: list[int] = []
+    for kind, parts in specs:
+        np_count = 0
+        for p in parts:
+            a = np.ascontiguousarray(p, dtype=np.int64).reshape(-1, 2)
+            if (kind == FEAT_POLYGON and len(a) > 1
+                    and a[0, 0] == a[-1, 0] and a[0, 1] == a[-1, 1]):
+                a = a[:-1]
+            arrs.append(a)
+            m_l.append(len(a))
+            kind_l.append(kind)
+            close_l.append(kind == FEAT_POLYGON)
+            fstart_l.append(np_count == 0)
+            np_count += 1
+        feat_nparts.append(np_count)
+    if not arrs:
+        return [b"" for _ in specs]
+    m = np.asarray(m_l, dtype=np.int64)
+    kinds = np.asarray(kind_l, dtype=np.int64)
+    close = np.asarray(close_l)
+    fstart = np.asarray(fstart_l)
+    is_path = kinds != FEAT_POINTS
+
+    tok_count = np.where(is_path, 2 + 2 * m + close, 1 + 2 * m)
+    tok_start = np.empty(len(m) + 1, dtype=np.int64)
+    tok_start[0] = 0
+    np.cumsum(tok_count, out=tok_start[1:])
+    tokens = np.empty(tok_start[-1], dtype=np.int64)
+
+    # command tokens
+    tokens[tok_start[:-1]] = np.where(
+        is_path, (1 << 3) | MOVE_TO, (m << 3) | MOVE_TO)
+    path_idx = np.nonzero(is_path)[0]
+    tokens[tok_start[path_idx] + 3] = ((m[path_idx] - 1) << 3) | LINE_TO
+    close_idx = np.nonzero(close)[0]
+    tokens[tok_start[close_idx] + tok_count[close_idx] - 1] = \
+        (1 << 3) | CLOSE_PATH
+
+    # vertex tokens: zigzag deltas with cursor persisting across parts
+    # of one feature, reset at feature starts
+    verts = np.concatenate(arrs, axis=0)
+    pt_start = np.empty(len(m) + 1, dtype=np.int64)
+    pt_start[0] = 0
+    np.cumsum(m, out=pt_start[1:])
+    prev = np.empty_like(verts)
+    prev[0] = 0
+    prev[1:] = verts[:-1]
+    reset = pt_start[:-1][fstart]
+    prev[reset[reset < len(verts)]] = 0
+    d = verts - prev
+    zz = (d << 1) ^ (d >> 63)
+    part_of = np.repeat(np.arange(len(m)), m)
+    j = np.arange(len(verts)) - pt_start[part_of]
+    pos_x = tok_start[part_of] + 1 + 2 * j + (is_path[part_of] & (j > 0))
+    tokens[pos_x] = zz[:, 0]
+    tokens[pos_x + 1] = zz[:, 1]
+
+    buf, byte_off = _varint_encode_tokens(tokens)
+    raw = buf.tobytes()
+    out: list[bytes] = []
+    p0 = 0
+    for nparts in feat_nparts:
+        if nparts == 0:
+            out.append(b"")
+            continue
+        b0 = byte_off[tok_start[p0]]
+        b1 = byte_off[tok_start[p0 + nparts]]
+        out.append(raw[b0:b1])
+        p0 += nparts
+    return out
+
+
 class TileBuilder:
     def __init__(self):
         self.layers: list[LayerBuilder] = []

@@ -53,6 +53,22 @@ def pack_int_parts(parts: list[list[tuple[int, int]]]) -> bytes:
     return b"".join(out)
 
 
+def unpack_int_part_arrays(blob: bytes) -> list[np.ndarray]:
+    """unpack_int_parts without the .tolist(): (m, 2) int32 views into
+    the blob, feeding the vectorized cross-feature geometry encoder
+    (mvt.encode_features_np) with zero python-object materialization."""
+    (n,) = struct.unpack_from("<I", blob, 0)
+    off = 4
+    parts = []
+    for _ in range(n):
+        (m,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        parts.append(np.frombuffer(blob, dtype=np.int32, count=m * 2,
+                                   offset=off).reshape(m, 2))
+        off += m * 8
+    return parts
+
+
 def unpack_int_parts(blob: bytes) -> list[list[tuple[int, int]]]:
     (n,) = struct.unpack_from("<I", blob, 0)
     off = 4
@@ -447,11 +463,17 @@ class TileAssembler:
             "n_bytes": np.array(out["n_bytes"], dtype=np.int64),
         })
 
+    # below this many vertices in a tile, per-feature scalar encoding
+    # beats the vectorized batch encoder (numpy dispatch overhead —
+    # measured crossover ≈ a few hundred vertices)
+    NP_ENCODE_MIN_VERTS = 384
+
     def _assemble_tile(self, cols: dict, s: int, e: int, zoom: int):
         extent = 8192 if self.config.high_resolution else 4096
         tb = mvt.TileBuilder()
         nfeat = 0
         layer_arr = cols["layer"][s:e]
+        pending: list = []  # (lb, geom_const, feat_kind, parts, tags, fid)
         for phys in self.phys_order:
             lb = tb.layer(phys, self.config.mvt_version, extent)
             for ld in self.sub_by_phys[phys]:
@@ -462,54 +484,80 @@ class TileAssembler:
                     continue
                 if 0 < ld.feature_limit < len(sel) and zoom < ld.feature_limit_below:
                     sel = sel[:ld.feature_limit]
-                nfeat += self._assemble(cols, sel, ld, zoom, lb)
+                nfeat += self._assemble(cols, sel, ld, zoom, lb, pending)
         if nfeat == 0:
             return None, 0
+        # encode all pending geometries: ONE vectorized cross-feature
+        # pass when the tile carries enough vertices (VERDICT r3 #6 /
+        # BASELINE round-3 open item), else the scalar fast path
+        total_verts = sum(len(p) for _, _, _, parts, _, _ in pending
+                          for p in parts)
+        if total_verts >= self.NP_ENCODE_MIN_VERTS:
+            geoms = mvt.encode_features_np(
+                [(kind, parts) for _, _, kind, parts, _, _ in pending])
+        else:
+            geoms = [self._encode_scalar(kind, parts)
+                     for _, _, kind, parts, _, _ in pending]
+        for (lb, gconst, _, _, tags, fid), geom in zip(pending, geoms):
+            lb.add_feature(gconst, geom, tags, fid)
         blob = tb.serialize()
         if self.compress:
             blob = mvt.compress_tile(blob, gzip_fmt=self.config.compress == "gzip")
         return blob, nfeat
 
+    @staticmethod
+    def _encode_scalar(kind: int, parts: list) -> bytes:
+        lists = [p.tolist() if isinstance(p, np.ndarray) else p
+                 for p in parts]
+        if kind == mvt.FEAT_POINTS:
+            pts = lists[0] if len(lists) == 1 else \
+                [q for p in lists for q in p]
+            return mvt.LayerBuilder.encode_points(pts)
+        if kind == mvt.FEAT_LINE:
+            return mvt.LayerBuilder.encode_multilinestring(lists)
+        return mvt.LayerBuilder.encode_polygon(lists)
+
     def _assemble(self, cols: dict, sel: np.ndarray, ld, zoom: int,
-                  lb: mvt.LayerBuilder) -> int:
+                  lb: mvt.LayerBuilder, pending: list) -> int:
         gt = cols["geom_type"]
         zo = cols["zo_sort"]
         at = cols["attrs"]
         fid = cols["feature_id"]
         blobs = cols["pts"]
+        include_ids = self.config.include_ids
         n = 0
         k = 0
         sel = list(sel)
         while k < len(sel):
             i = sel[k]
             if gt[i] == gc.POINT_:
-                pts = unpack_int_parts(blobs[i])[0]
+                runs = [unpack_int_part_arrays(blobs[i])[0]]
                 while (k + 1 < len(sel) and ld.combine_points
                        and _compat(gt, zo, at, i, sel[k + 1])):
                     k += 1
-                    pts.extend(unpack_int_parts(blobs[sel[k]])[0])
-                lb.add_feature(mvt.GEOM_POINT, lb.encode_points(pts),
-                               self._tags(at[i], zoom),
-                               int(fid[i]) if self.config.include_ids else None)
+                    runs.append(unpack_int_part_arrays(blobs[sel[k]])[0])
+                pts = runs[0] if len(runs) == 1 else np.concatenate(runs)
+                pending.append((lb, mvt.GEOM_POINT, mvt.FEAT_POINTS, [pts],
+                                self._tags(at[i], zoom),
+                                int(fid[i]) if include_ids else None))
                 n += 1
             elif gt[i] in (gc.LINESTRING_, gc.MULTILINESTRING_):
-                parts = unpack_int_parts(blobs[i])
+                parts = unpack_int_part_arrays(blobs[i])
                 if zoom < self.config.combine_below:
                     while k + 1 < len(sel) and _compat(gt, zo, at, i, sel[k + 1]):
                         k += 1
-                        parts.extend(unpack_int_parts(blobs[sel[k]]))
+                        parts.extend(unpack_int_part_arrays(blobs[sel[k]]))
                     arrs = [np.asarray(p, dtype=np.float64) for p in parts]
-                    parts = [np.asarray(ls, dtype=np.int64).tolist()
+                    parts = [np.asarray(ls, dtype=np.int64)
                              for ls in reorder_multilinestring(arrs)]
                 parts = [p for p in parts if len(p) > 1]
                 if parts:
-                    lb.add_feature(mvt.GEOM_LINESTRING,
-                                   lb.encode_multilinestring(parts),
-                                   self._tags(at[i], zoom),
-                                   int(fid[i]) if self.config.include_ids else None)
+                    pending.append((lb, mvt.GEOM_LINESTRING, mvt.FEAT_LINE,
+                                    parts, self._tags(at[i], zoom),
+                                    int(fid[i]) if include_ids else None))
                     n += 1
             else:
-                rings = unpack_int_parts(blobs[i])
+                rings = unpack_int_part_arrays(blobs[i])
                 if zoom < ld.combine_polygons_below:
                     # ProcessObjects' combine-polygons loop
                     # (tile_worker.cpp:351-361): compatible consecutive
@@ -518,13 +566,16 @@ class TileAssembler:
                     group = [rings]
                     while k + 1 < len(sel) and _compat(gt, zo, at, i, sel[k + 1]):
                         k += 1
-                        group.append(unpack_int_parts(blobs[sel[k]]))
+                        group.append(unpack_int_part_arrays(blobs[sel[k]]))
                     if len(group) > 1:
-                        rings = _dissolve_int_rings(group)
+                        # the dissolve sweep operates on python pairs
+                        rings = _dissolve_int_rings(
+                            [[r.tolist() if isinstance(r, np.ndarray)
+                              else r for r in feat] for feat in group])
                 if rings:
-                    lb.add_feature(mvt.GEOM_POLYGON, lb.encode_polygon(rings),
-                                   self._tags(at[i], zoom),
-                                   int(fid[i]) if self.config.include_ids else None)
+                    pending.append((lb, mvt.GEOM_POLYGON, mvt.FEAT_POLYGON,
+                                    rings, self._tags(at[i], zoom),
+                                    int(fid[i]) if include_ids else None))
                     n += 1
             k += 1
         return n
