@@ -59,7 +59,24 @@ def run_bench() -> dict:
             batch_format="pandas").to_pandas().sum()
         return time.time() - t0, int(agg["tiles"]), int(agg["features"])
 
+    # best-of-N (default 2) everywhere: this shared sandbox has ±2-3x
+    # noisy-neighbor phases (BASELINE.md), so single-shot per-op numbers
+    # whipsaw between rounds; min-of-n is the same defense the scaling
+    # legs already use (VERDICT r3 #7)
+    best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(best_of):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     headline, n_tiles, n_features = one_headline()
+    if best_of > 1:
+        h2, _, _ = one_headline()
+        headline = min(headline, h2)
     queries["flagship_tiles"] = round(headline, 3)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
@@ -103,25 +120,21 @@ def run_bench() -> dict:
         ("minhash_pairs", dedup.q_minhash_pairs),
         ("cosine_topk", similarity.q_cosine_topk),
     ]:
-        t0 = time.time()
-        fn(sf_dir)
-        queries[name] = round(time.time() - t0, 3)
+        queries[name] = timed(lambda fn=fn: fn(sf_dir))
 
     # joined flagship + OSM fixture pipeline walls
-    t0 = time.time()
-    tile_dataset(pages, with_joins=True).count()
-    queries["flagship_joined"] = round(time.time() - t0, 3)
+    queries["flagship_joined"] = timed(
+        lambda: tile_dataset(pages, with_joins=True).count())
     from tilemaker_ray.pipelines.osm import osm_tile_dataset
-    t0 = time.time()
-    osm_tile_dataset("/root/reference/test/monaco.pbf").count()
-    queries["osm_monaco"] = round(time.time() - t0, 3)
+    queries["osm_monaco"] = timed(
+        lambda: osm_tile_dataset("/root/reference/test/monaco.pbf").count())
     # full OpenMapTiles production profile over the same fixture
     from tilemaker_ray.profiles.openmaptiles import (OpenMapTilesProfile,
                                                      openmaptiles_config)
-    t0 = time.time()
-    osm_tile_dataset("/root/reference/test/monaco.pbf", openmaptiles_config(),
-                     profile=OpenMapTilesProfile()).count()
-    queries["osm_monaco_omt"] = round(time.time() - t0, 3)
+    queries["osm_monaco_omt"] = timed(
+        lambda: osm_tile_dataset("/root/reference/test/monaco.pbf",
+                                 openmaptiles_config(),
+                                 profile=OpenMapTilesProfile()).count())
 
     # multi-block synthetic PBF (node-store build + way assembly at
     # 1M nodes / 50k ways — BASELINE r2 candidate #6)
@@ -132,10 +145,8 @@ def run_bench() -> dict:
         from synth_pbf import synthesize
         synthesize(synth, 1_000_000, 50_000)
     n_entities = 1_050_200
-    t0 = time.time()
-    osm_tile_dataset(synth).count()
-    dt = time.time() - t0
-    queries["osm_synth_1m"] = round(dt, 3)
+    dt = timed(lambda: osm_tile_dataset(synth).count())
+    queries["osm_synth_1m"] = dt
     osm_entities_per_sec = round(n_entities / dt, 1)
 
     ray.shutdown()
