@@ -74,7 +74,8 @@ def run_bench() -> dict:
         return round(best, 3)
 
     headline, n_tiles, n_features = one_headline()
-    if best_of > 1:
+    if best_of > 1 and not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # (headline-only mode already reruns below for the warm leg)
         h2, _, _ = one_headline()
         headline = min(headline, h2)
     queries["flagship_tiles"] = round(headline, 3)
