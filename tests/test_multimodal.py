@@ -7,7 +7,7 @@ from tilemaker_ray.ops import multimodal as mm
 
 class TestDecode:
     def test_fake_codec_deterministic(self):
-        t = mm.synth_image_table(5)
+        t = mm.synth_image_table(12)
         i = t.column("media_type").to_pylist().index("image/fake")
         p = t.column("payload")[i].as_py()
         a = mm.decode_image(p, "image/fake")
@@ -17,7 +17,7 @@ class TestDecode:
 
     def test_unknown_codec_raises(self):
         with pytest.raises(NotImplementedError, match="codec"):
-            mm.decode_image(b"\x00" * 16, "image/jpeg")
+            mm.decode_image(b"\x00" * 16, "image/webp")
 
 
 class TestFeaturizer:
@@ -234,3 +234,84 @@ class TestPng:
         import numpy as np
         img = np.full((7, 7), 42, dtype=np.uint8)
         assert (mm.decode_image(png.encode_png(img), "image/png") == img).all()
+
+
+class TestJpeg:
+    """Baseline JPEG codec (ops/jpeg.py — VERDICT r3 #10): huffman +
+    DCT round-trips within quantization error; subsampling, restart
+    markers, odd sizes, progressive rejection, dispatch."""
+
+    def test_gray_roundtrip_quality_ladder(self):
+        from tilemaker_ray.ops.jpeg import decode_jpeg, encode_jpeg
+        rng = np.random.default_rng(3)
+        img = (np.add.outer(np.linspace(0, 200, 80),
+                            np.linspace(0, 255, 96)) / 2).astype(np.uint8)
+        img = np.clip(img + rng.integers(-8, 8, img.shape),
+                      0, 255).astype(np.uint8)
+        prev_size = None
+        for q in (95, 85, 60):
+            data = encode_jpeg(img, quality=q)
+            assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+            dec = decode_jpeg(data)
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert dec.shape == img.shape
+            assert err.mean() < 5 and err.max() < 25
+            if prev_size is not None:
+                assert len(data) < prev_size  # lower quality → smaller
+            prev_size = len(data)
+
+    def test_color_420_and_444(self):
+        from tilemaker_ray.ops.jpeg import decode_jpeg, encode_jpeg
+        rgb = np.zeros((50, 70, 3), np.uint8)
+        rgb[..., 0] = np.linspace(0, 255, 70)[None, :]
+        rgb[..., 1] = np.linspace(255, 0, 50)[:, None]
+        rgb[..., 2] = 128
+        for sub in (True, False):
+            data = encode_jpeg(rgb, quality=90, subsample=sub)
+            dec = decode_jpeg(data, color=True)
+            assert dec.shape == rgb.shape
+            assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 4
+            luma = decode_jpeg(data)
+            exp = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                   + 0.114 * rgb[..., 2])
+            assert np.abs(luma - exp).mean() < 2
+
+    def test_restart_markers(self):
+        from tilemaker_ray.ops.jpeg import decode_jpeg, encode_jpeg
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        for ri in (1, 3, 7):
+            enc = encode_jpeg(img, quality=90, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI present
+            assert np.array_equal(decode_jpeg(enc), base)
+
+    def test_odd_sizes(self):
+        from tilemaker_ray.ops.jpeg import decode_jpeg, encode_jpeg
+        rng = np.random.default_rng(7)
+        for shape in ((17, 23), (8, 8), (9, 33, 3)):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quality=95),
+                              color=len(shape) == 3)
+            assert dec.shape == img.shape
+
+    def test_progressive_rejected(self):
+        from tilemaker_ray.ops.jpeg import decode_jpeg, encode_jpeg
+        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        i = data.index(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            decode_jpeg(bytes(data))
+
+    def test_decode_image_dispatch_and_synth_mix(self):
+        from tilemaker_ray.ops.jpeg import encode_jpeg
+        img = np.full((16, 16), 99, dtype=np.uint8)
+        out = mm.decode_image(encode_jpeg(img, quality=95), "image/jpeg")
+        assert np.abs(out.astype(int) - 99).max() <= 3
+        t = mm.synth_image_table(12)
+        mts = t.column("media_type").to_pylist()
+        assert "image/jpeg" in mts
+        i = mts.index("image/jpeg")
+        dec = mm.decode_image(t.column("payload")[i].as_py(), "image/jpeg")
+        assert dec.shape == (t.column("height")[i].as_py(),
+                             t.column("width")[i].as_py())

@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-Decode kernels: PNG (ops/png.py — all five scanline filters, gray/
-RGB/RGBA/palette, CRC-checked), BMP (24-bit / 8-bit paletted) and
-PGM/PPM are REAL
-pure-numpy decoders of the public formats; compressed formats
-(jpeg/webp — no codec libraries in this container) use the
-deterministic fake codec and raise NotImplementedError otherwise, the
-marked swap-in point for PIL/torchvision/ffmpeg.  Everything around
+Decode kernels: baseline JPEG (ops/jpeg.py — huffman + DCT with
+subsampling and restart markers), PNG (ops/png.py — all five scanline
+filters, gray/RGB/RGBA/palette, CRC-checked), BMP (24-bit / 8-bit
+paletted) and PGM/PPM are REAL pure-python decoders of the public
+formats; the remaining formats (webp/mp3/h264 — no codec libraries in
+this container) use the deterministic fake codec and raise
+NotImplementedError otherwise, the marked swap-in point for
+PIL/torchvision/ffmpeg.  Everything around
 them — schema, batch sizing for large binary payloads, actor
 signature, broadcast model weights, output layout — is real and
 tested.
@@ -48,7 +49,7 @@ def synth_image_table(n: int, seed: int = 7) -> pa.Table:
     for i in range(n):
         w = int(rng.integers(16, 128))
         h = int(rng.integers(16, 128))
-        kind = i % 5
+        kind = i % 6
         if kind == 0:
             img = rng.integers(0, 256, (h, w), dtype=np.uint8)
             payload = encode_bmp_gray(img)
@@ -67,6 +68,11 @@ def synth_image_table(n: int, seed: int = 7) -> pa.Table:
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payload = encode_png(img)
             mt = "image/png"
+        elif kind == 4:
+            from .jpeg import encode_jpeg
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = encode_jpeg(img, quality=85)
+            mt = "image/jpeg"
         else:
             payload = struct.pack("<II", w, h) + rng.bytes(w * h // 4)
             mt = "image/fake"
@@ -156,13 +162,17 @@ def decode_pnm(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an encoded image to (h, w) uint8 grayscale.
 
-    Real pure-numpy codecs: BMP (24-bit RGB / 8-bit paletted) and
-    PGM/PPM.  The deterministic fake codec ("image/fake") stands in
-    for formats whose codecs aren't in this container (jpeg/webp);
-    those raise NotImplementedError — the marked swap-in point for
-    PIL/libjpeg."""
+    Real pure-python codecs: baseline JPEG (ops/jpeg.py — huffman +
+    DCT, 4:2:0/4:2:2/4:4:4, restart markers), PNG, BMP (24-bit RGB /
+    8-bit paletted) and PGM/PPM.  The deterministic fake codec
+    ("image/fake") stands in for the remaining formats (webp — no
+    codec library in this container); those raise NotImplementedError
+    — the marked swap-in point for PIL."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
+    if media_type == "image/jpeg":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     if media_type == "image/png":
         from .png import decode_png
         return decode_png(payload)
