@@ -375,6 +375,26 @@ class WayAssembler:
         })
 
 
+# per-worker-process assembler cache: Ray reuses worker processes, so
+# plain map_batches tasks keep the lazily-loaded shard views across
+# tasks without a dedicated actor pool.  Shards are plasma objects —
+# ray.get returns zero-copy shared-memory views on the same node — so
+# N worker processes do NOT hold N copies; a fresh actor pool per call
+# was paying 8 process startups + imports (~3-5 s) to protect state
+# that is effectively free to share.
+_ASSEMBLER_CACHE: dict[tuple, "WayAssembler"] = {}
+
+
+def _cached_assembler(node_store) -> "WayAssembler":
+    key = tuple(r.hex() for r in node_store[0])
+    wa = _ASSEMBLER_CACHE.get(key)
+    if wa is None:
+        _ASSEMBLER_CACHE.clear()  # one store per worker at a time
+        wa = WayAssembler(node_store)
+        _ASSEMBLER_CACHE[key] = wa
+    return wa
+
+
 def assembled_ways(path: str, num_partitions: int = 8,
                    node_store=None) -> ray.data.Dataset:
     """Ways with coordinates (J1): node-store gather, not a join.
@@ -382,9 +402,11 @@ def assembled_ways(path: str, num_partitions: int = 8,
     if node_store is None:
         node_store = build_node_store(path)
     ways = entity_dataset(path, kinds=("way",))
-    return ways.map_batches(WayAssembler, batch_format="pyarrow",
-                            fn_constructor_args=(node_store,),
-                            concurrency=(1, 8))
+
+    def assemble(b: pa.Table) -> pd.DataFrame:
+        return _cached_assembler(node_store)(b)
+
+    return ways.map_batches(assemble, batch_format="pyarrow")
 
 
 def multipolygon_members(path: str) -> dict[int, list[tuple[int, str, str]]]:
