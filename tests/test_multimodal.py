@@ -17,7 +17,7 @@ class TestDecode:
 
     def test_unknown_codec_raises(self):
         with pytest.raises(NotImplementedError, match="codec"):
-            mm.decode_image(b"\x00" * 16, "image/webp")
+            mm.decode_image(b"\x00" * 16, "image/heic")
 
 
 class TestFeaturizer:
