@@ -51,6 +51,7 @@ def check(name, con):
     "group_quantile", "tfidf_top_term", "dedup_clusters",
     "normalize_text", "lang_vocab", "orders_running_total",
     "events_hopping_window", "embedding_stats", "events_pivot",
+    "cms_heavy_hitters", "bloom_semi_join",
 ])
 def test_oracle(name, con):
     check(name, con)
@@ -404,6 +405,43 @@ def test_hll_distinct_within_error_bound():
     b = hll_registers(_hash64(vals[2000:]))
     assert (np.maximum(a, b) == whole).all()
     assert abs(hll_estimate(whole) - 5000) / 5000 < 0.05
+
+
+def test_cms_overestimate_and_merge_properties():
+    """CMS guarantees: point estimates never under-count (min over d
+    rows of non-negative sums), and partials merge by elementwise sum
+    (linear sketch) — split-and-sum equals whole."""
+    from tilemaker_ray.ops.sketch import cms_estimate, cms_partial
+    rng = np.random.default_rng(5)
+    toks = [f"t{i}" for i in range(400)]
+    counts = rng.integers(1, 50, 400).astype(np.int64)
+    whole = cms_partial(toks, counts)
+    a = cms_partial(toks[:150], counts[:150])
+    b = cms_partial(toks[150:], counts[150:])
+    assert (a + b == whole).all()
+    est = cms_estimate(whole, toks)
+    assert (est >= counts).all()          # never under-estimates
+    # with 400 keys over 4x4096 counters, collisions are rare: most
+    # estimates are exact
+    assert (est == counts).mean() > 0.9
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    from tilemaker_ray.ops.sketch import bloom_bits, bloom_contains
+    rng = np.random.default_rng(6)
+    m_bits = 1 << 17
+    members = rng.choice(10_000_000, 8_000, replace=False).astype(np.int64)
+    bits = bloom_bits(members, m_bits)
+    assert bloom_contains(bits, members, m_bits).all()   # zero FN, always
+    others = np.setdiff1d(
+        rng.choice(10_000_000, 60_000, replace=False).astype(np.int64),
+        members)
+    fpr = bloom_contains(bits, others, m_bits).mean()
+    assert fpr < 0.02, fpr    # ~0.3% theoretical at 16 bits/key, k=5
+    # OR-merge property: split-and-or equals whole
+    a = bloom_bits(members[:3000], m_bits)
+    b = bloom_bits(members[3000:], m_bits)
+    assert (np.bitwise_or(a, b) == bits).all()
 
 
 @pytest.mark.usefixtures("ray_session")
