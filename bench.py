@@ -108,7 +108,7 @@ def run_bench() -> dict:
 
     # secondary operator pipelines over the sf tables
     from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
-                                   s2ops, similarity, web)
+                                   s2ops, similarity, sketch, web)
     for name, fn in [
         ("tile_assign_points", geospatial.q_tile_assign_points),
         ("pip_join", geospatial.q_pip_join),
@@ -126,6 +126,8 @@ def run_bench() -> dict:
         ("dedup_keep_first", dedup.q_dedup_keep_first),
         ("minhash_pairs", dedup.q_minhash_pairs),
         ("cosine_topk", similarity.q_cosine_topk),
+        ("cms_heavy_hitters", sketch.q_cms_heavy_hitters),
+        ("bloom_semi_join", sketch.q_bloom_semi_join),
     ]:
         queries[name] = timed(lambda fn=fn: fn(sf_dir))
 
