@@ -120,9 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in round 3), so every oracled query MUST precede every rows-only
     one.  Exactly 50 oracled entries fill the window (hex_bin is
     covered by hex_kring's `n` column; token_count_bpe merged into
-    token_count); two more oracled entries added in round 4
-    (cms_heavy_hitters, bloom_semi_join) sit just past it, ahead of
-    the rows-only tail, and are verified locally by
+    token_count); six more oracled entries added in round 4
+    (cms_heavy_hitters, bloom_semi_join, repetition_score,
+    decontaminate, url_canonicalize, domain_cap) sit just past it,
+    ahead of the rows-only tail, and are verified locally by
     scripts/check_oracles.py.  Rows-only pipelines (approximate-by-
     construction, codec-bound, or MVT-blob outputs gated by golden
     fixtures) come last."""
@@ -212,6 +213,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom-accelerated semi-join both produce exact results
         "cms_heavy_hitters": sketch.q_cms_heavy_hitters,
         "bloom_semi_join": sketch.q_bloom_semi_join,
+        # Gopher-style repetition quality signals / benchmark
+        # decontamination over the documents table
+        "repetition_score": text.q_repetition_score,
+        "decontaminate": text.q_decontaminate,
+        # crawl hygiene over the input-hint pages table: canonical URL
+        # forms and the deterministic per-domain page cap
+        "url_canonicalize": web.q_url_canonicalize,
+        "domain_cap": web.q_domain_cap,
         # --- rows-only (no oracle by construction) ---
         # ring-traced polygonize (ring geometry round-trip-tested vs
         # fill_rings in unit tests)
@@ -258,11 +267,15 @@ def oracle_sql() -> dict[str, str]:
     # the flagship-points oracle reads the synthetic pages parquet: the
     # driver compares at sf0.01 ⇒ 20k rows; pages_path materializes (or
     # reuses) the deterministic table and returns its directory
-    from tilemaker_ray.ops.web import domain_stats_oracle_sql
+    from tilemaker_ray.ops.web import (domain_cap_oracle_sql,
+                                       domain_stats_oracle_sql,
+                                       url_canonicalize_oracle_sql)
     from tilemaker_ray.pipelines.flagship import flagship_points_oracle_sql
     from tilemaker_ray.sources.pages import pages_path
     out["flagship_point_counts"] = flagship_points_oracle_sql(pages_path(20_000))
     out["domain_stats"] = domain_stats_oracle_sql(pages_path(20_000))
+    out["url_canonicalize"] = url_canonicalize_oracle_sql(pages_path(20_000))
+    out["domain_cap"] = domain_cap_oracle_sql(pages_path(20_000))
     from tilemaker_ray.ops import sketch
     out["cms_heavy_hitters"] = sketch.cms_heavy_hitters_oracle_sql()
     out["bloom_semi_join"] = sketch.bloom_semi_join_oracle_sql()

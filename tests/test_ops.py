@@ -52,6 +52,7 @@ def check(name, con):
     "normalize_text", "lang_vocab", "orders_running_total",
     "events_hopping_window", "embedding_stats", "events_pivot",
     "cms_heavy_hitters", "bloom_semi_join",
+    "repetition_score", "decontaminate",
 ])
 def test_oracle(name, con):
     check(name, con)
@@ -227,6 +228,73 @@ def test_domain_stats_oracle():
     a, b = normalize(mine), normalize(exp)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ["url_canonicalize", "domain_cap"])
+def test_web_pages_oracles(name):
+    """URL canonicalization / per-domain cap vs their SQL twins over
+    the sf0.001-equivalent pages dir (same pinning caveat as
+    test_domain_stats_oracle)."""
+    import duckdb
+    from tilemaker_ray.ops import web
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    fn = {"url_canonicalize": web.q_url_canonicalize,
+          "domain_cap": web.q_domain_cap}[name]
+    sql = {"url_canonicalize": web.url_canonicalize_oracle_sql,
+           "domain_cap": web.domain_cap_oracle_sql}[name]
+    mine = fn(SF)
+    c = duckdb.connect()
+    exp = c.sql(sql(pages_path(rows_for_sf(SF)))).df()
+    a, b = normalize(mine), normalize(exp)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_canonicalize_urls_crafted():
+    """Rule-by-rule URL canonical forms on crafted inputs: fragment,
+    tracking params at head/middle/tail, default-port drop (scheme-
+    sensitive), trailing slash off non-root paths only, case folding
+    limited to scheme+host."""
+    from tilemaker_ray.ops.web import canonicalize_urls
+    cases = {
+        "HTTP://Example.COM:80/a/b/#frag":
+            "http://example.com/a/b",
+        "https://example.com:443/?utm_source=x&q=1":
+            "https://example.com/?q=1",
+        "https://example.com:8443/path/":
+            "https://example.com:8443/path",
+        "http://example.com/p?a=1&utm_medium=m&b=2&fbclid=z":
+            "http://example.com/p?a=1&b=2",
+        "http://example.com/p?utm_campaign=c":
+            "http://example.com/p",
+        "https://Example.com/KeepCase/Path?X=Y":
+            "https://example.com/KeepCase/Path?X=Y",
+        "http://example.com":
+            "http://example.com/",
+        "http://example.com/":
+            "http://example.com/",
+    }
+    got = canonicalize_urls(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+
+
+def test_domain_cap_partial_bounds_shuffle():
+    """The per-batch combiner must emit at most cap rows per domain
+    seen in the batch, so the exchange carries caps — not pages — and
+    its selection (smallest md5 first) must agree with the final cap."""
+    import hashlib
+    import pyarrow as pa
+    from tilemaker_ray.ops.web import DOMAIN_CAP, _domain_cap_partial
+    urls = [f"https://big.example.com/p{i}" for i in range(500)] + \
+           [f"https://tiny.example.org/p{i}" for i in range(2)]
+    out = _domain_cap_partial(pa.table({"url": urls}), DOMAIN_CAP).to_pandas()
+    assert out.groupby("domain").size().max() <= DOMAIN_CAP
+    assert len(out) == DOMAIN_CAP + 2
+    big = sorted((u for u in urls if "big" in u),
+                 key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u))
+    assert sorted(out.loc[out.domain.eq("big.example.com"), "url"]) == \
+        sorted(big[:DOMAIN_CAP])
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -407,6 +407,105 @@ def q_tfidf_top_term(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_score(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    distinct-word ratio and the fraction of bigram slots taken by the
+    modal bigram (Rae et al. 2021 §A1.1 "repetition" filters —
+    high modal-bigram fraction ⇒ boilerplate / keyword-stuffed page).
+
+    Fully vectorized: ONE str.split + explode per batch, bigrams via a
+    shifted copy of the token frame, counts via pandas groupby — no
+    per-row Python loop.  Per-doc outputs only, so the stage streams
+    with zero shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
+                           "text": b.column("text").to_pandas()})
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        f = toks.reset_index(name="tok")
+        n = f.groupby("doc_id", sort=True)["tok"].size()
+        d = f.groupby("doc_id", sort=True)["tok"].nunique()
+        # bigrams: pair each token with the next one in the SAME doc
+        nxt = f["tok"].shift(-1)
+        same = f["doc_id"] == f["doc_id"].shift(-1)
+        bg = f.loc[same, ["doc_id"]].assign(
+            bg=f.loc[same, "tok"].str.cat(nxt[same], sep=" "))
+        mx = (bg.groupby(["doc_id", "bg"]).size()
+                .groupby("doc_id").max().reindex(n.index, fill_value=0))
+        out = pd.DataFrame({
+            "doc_id": n.index,
+            "distinct_ratio": (d / n).round(6),
+            "top_bigram_frac": np.where(
+                n > 1, (mx / (n - 1).clip(lower=1)).round(6), 0.0),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# Train/test decontamination: probe grams are derived deterministically
+# from the corpus itself (first PROBE_WORDS words of every doc with
+# doc_id % PROBE_MOD == 0) — in production the probe set is the
+# benchmark suite's n-grams, a small broadcast-side input by nature.
+PROBE_MOD = 101
+PROBE_WORDS = 8
+
+
+def _probe_grams(sf_dir: str) -> pd.DataFrame:
+    """(probe_id, gram) — tiny by construction (1/PROBE_MOD of docs)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(ids % PROBE_MOD == 0))
+
+    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    gram = (df["text"].str.split(" ").str[:PROBE_WORDS].str.join(" "))
+    return pd.DataFrame({"probe_id": df["doc_id"], "gram": gram}) \
+             .sort_values("probe_id").reset_index(drop=True)
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag every document whose text
+    contains any probe gram as a raw substring; emit (doc_id,
+    probe_id) with the smallest matching probe.  The probe table is
+    broadcast once via ray.put and scanned per batch with vectorized
+    str.contains — never shuffled against the corpus.  At real probe
+    volumes (10^4-10^6 grams) the per-probe scan upgrades to one
+    Aho-Corasick automaton built per actor in __init__; substring
+    (not token-aligned) semantics match the SQL oracle exactly."""
+    probes = _probe_grams(sf_dir)
+    probes_ref = ray.put(probes)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class Match:
+        def __init__(self, ref):
+            p = ray.get(ref)
+            # ascending probe_id ⇒ first match is the min probe_id
+            self.pids = p["probe_id"].to_numpy()
+            self.grams = p["gram"].tolist()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            txt = b.column("text").to_pandas()
+            ids = b.column("doc_id").to_numpy()
+            best = np.full(len(txt), -1, dtype=np.int64)
+            for pid, g in zip(self.pids, self.grams):
+                hit = txt.str.contains(g, regex=False).to_numpy() & (best < 0)
+                best[hit] = pid
+            m = best >= 0
+            return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                             "probe_id": pa.array(best[m], pa.int64())})
+
+    out = ds.map_batches(Match, fn_constructor_kwargs={"ref": probes_ref},
+                         batch_format="pyarrow", concurrency=(1, 8))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 _LANG_SQL_SETS = {
     "de": "['der','die','und','stadt']",
     "en": "['the','and','of','travel','city','guide']",
@@ -415,6 +514,43 @@ _LANG_SQL_SETS = {
 }
 
 ORACLES = {
+    "repetition_score": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), f AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos
+          FROM w
+        ), dw AS (
+          SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+          FROM f GROUP BY doc_id
+        ), b AS (
+          SELECT a.doc_id, a.tok || ' ' || c.tok AS bg
+          FROM f a JOIN f c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+        ), bc AS (
+          SELECT doc_id, bg, count(*) AS nb FROM b GROUP BY doc_id, bg
+        ), mb AS (
+          SELECT doc_id, max(nb) AS mx FROM bc GROUP BY doc_id
+        )
+        SELECT dw.doc_id,
+               round(dw.d * 1.0 / dw.n, 6) AS distinct_ratio,
+               CASE WHEN dw.n > 1
+                    THEN round(coalesce(mb.mx, 0) * 1.0 / (dw.n - 1), 6)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM dw LEFT JOIN mb USING (doc_id) ORDER BY doc_id
+    """,
+    "decontaminate": f"""
+        WITH probes AS (
+          SELECT doc_id AS probe_id,
+                 array_to_string(
+                   list_slice(string_split(text, ' '), 1, {PROBE_WORDS}),
+                   ' ') AS gram
+          FROM documents WHERE doc_id % {PROBE_MOD} = 0
+        )
+        SELECT d.doc_id, min(p.probe_id) AS probe_id
+        FROM documents d JOIN probes p ON contains(d.text, p.gram)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
     "winnow_fingerprint": _winnow_oracle_sql(),
     "normalize_text": """
         WITH c AS (

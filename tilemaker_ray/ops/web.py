@@ -12,6 +12,8 @@ not pages (the A6 push-partials pattern).
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -67,4 +69,152 @@ def domain_stats_oracle_sql(pages_dir: str) -> str:
                count(DISTINCT lang) AS n_langs,
                max(warc_ts) AS last_crawl
         FROM p GROUP BY domain ORDER BY domain
+    """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+# One regex chain, applied identically by the Ray kernel (vectorized
+# pandas str.replace) and the DuckDB oracle (regexp_replace ... 'g'),
+# so canonical forms are byte-identical on both sides:
+#   1. strip the fragment
+#   2. strip utm_* / fbclid tracking params (any position), then any
+#      dangling '?' / '&'
+#   3. lowercase scheme and host; drop the scheme-default port
+#   4. strip one trailing slash from a non-root path
+# Crawl dedup by canonical URL is the first stage of every web corpus
+# build; the reference has no URL path (geospatial engine) — this op
+# comes from the web-table input hint (BASELINE.json input_hint).
+
+_FRAGMENT_RE = r"#.*$"
+_TRACKING_RE = r"([?&])((utm_[A-Za-z0-9_]*|fbclid)=[^&#]*(&|$))+"
+_DANGLING_RE = r"[?&]+$"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+_TRAILSLASH_RE = r"^(/[^?#]*[^/?#])/($|\?)"
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized canonical form of a Series of URLs (rules above)."""
+    u = urls.str.replace(_FRAGMENT_RE, "", regex=True)
+    u = u.str.replace(_TRACKING_RE, r"\1", regex=True)
+    u = u.str.replace(_DANGLING_RE, "", regex=True)
+    scheme = u.str.extract(_SCHEME_RE, expand=False).str.lower()
+    host = u.str.extract(_HOSTPORT_RE, expand=False).str.lower()
+    for sch, port in _DEFAULT_PORTS.items():
+        host = host.mask(scheme.eq(sch) & host.str.endswith(port),
+                         host.str[:-len(port)])
+    rest = u.str.replace(_REST_RE, "", regex=True)
+    rest = rest.str.replace(_TRAILSLASH_RE, r"\1\2", regex=True)
+    rest = rest.mask(rest.eq("") | rest.str.startswith("?"), "/" + rest)
+    return scheme + "://" + host + rest
+
+
+def q_url_canonicalize(sf_dir: str) -> pd.DataFrame:
+    """(url, canonical_url, host) per page — plain streaming
+    map_batches, no shuffle; the canonical column is what a crawl-dedup
+    stage groups on (see q_domain_cap for the bounded per-key pattern)."""
+    pages = pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages, columns=["url"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b.column("url").to_pandas()
+        c = canonicalize_urls(u)
+        host = c.str.extract(_HOSTPORT_RE, expand=False)
+        return pa.table({"url": pa.array(u), "canonical_url": pa.array(c),
+                         "host": pa.array(host)})
+
+    df = ds.map_batches(canon, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def url_canonicalize_oracle_sql(pages_dir: str) -> str:
+    return f"""
+        WITH s0 AS (
+          SELECT url,
+                 regexp_replace(regexp_replace(regexp_replace(url,
+                     '{_FRAGMENT_RE}', ''),
+                     '{_TRACKING_RE}', '\\1', 'g'),
+                     '{_DANGLING_RE}', '') AS u
+          FROM read_parquet('{pages_dir}/*.parquet')
+        ), s1 AS (
+          SELECT url, u,
+                 lower(regexp_extract(u, '{_SCHEME_RE}', 1)) AS scheme,
+                 lower(regexp_extract(u, '{_HOSTPORT_RE}', 1)) AS hostport,
+                 regexp_replace(regexp_replace(u, '{_REST_RE}', ''),
+                                '{_TRAILSLASH_RE}', '\\1\\2') AS rest
+          FROM s0
+        ), s2 AS (
+          SELECT url, scheme,
+                 CASE WHEN scheme = 'http'
+                        THEN regexp_replace(hostport, ':80$', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(hostport, ':443$', '')
+                      ELSE hostport END AS host,
+                 CASE WHEN rest = '' OR rest LIKE '?%'
+                        THEN '/' || rest ELSE rest END AS rest
+          FROM s1
+        )
+        SELECT url, scheme || '://' || host || rest AS canonical_url,
+               regexp_extract(url, '{_HOSTPORT_RE}', 1) AS host
+        FROM s2 ORDER BY url
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap sampling
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 5
+
+
+def _domain_cap_partial(b: pa.Table, cap: int) -> pa.Table:
+    """Per-batch combiner: keep the cap smallest (md5, url) rows per
+    domain, so the shuffle carries at most cap × domains-per-batch
+    rows — never the full page list of a hot domain."""
+    df = pd.DataFrame({"url": b.column("url").to_pandas()})
+    df["domain"] = df["url"].str.extract(DOMAIN_RE, expand=False)
+    df["h"] = [hashlib.md5(u.encode()).hexdigest() for u in df["url"]]
+    df = df.sort_values(["domain", "h", "url"])
+    return pa.Table.from_pandas(df.groupby("domain").head(cap),
+                                preserve_index=False)
+
+
+def q_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP) -> pd.DataFrame:
+    """Keep at most `cap` pages per domain, deterministically (smallest
+    md5(url) first) — the per-host quota every crawl corpus applies so
+    one giant domain can't dominate the training mix.
+
+    Scale shape: _domain_cap_partial combines BEFORE the shuffle; the
+    final map_groups re-applies the cap per domain.  Deterministic by
+    content (md5), so retries / resumed runs select the same pages."""
+    pages = pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages, columns=["url"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "url"]).head(cap)
+        return g[["domain", "url"]]
+
+    out = (ds.map_batches(lambda b: _domain_cap_partial(b, cap),
+                          batch_format="pyarrow")
+             .groupby("domain").map_groups(final))
+    df = out.to_pandas().sort_values(["domain", "url"]).reset_index(drop=True)
+    return df[["domain", "url"]]
+
+
+def domain_cap_oracle_sql(pages_dir: str, cap: int = DOMAIN_CAP) -> str:
+    return f"""
+        WITH p AS (
+          SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain, url,
+                 row_number() OVER (
+                   PARTITION BY regexp_extract(url, '{DOMAIN_RE}', 1)
+                   ORDER BY md5(url), url) AS rk
+          FROM read_parquet('{pages_dir}/*.parquet')
+        )
+        SELECT domain, url FROM p WHERE rk <= {cap}
+        ORDER BY domain, url
     """
