@@ -47,12 +47,11 @@ def check(name, con):
     "quality_score", "dedup_keep_first", "cosine_topk",
     "winnow_fingerprint", "ngram_jaccard_pairs",
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
-    "top_terms", "kmeans_assign", "hash_sample", "stratified_sample",
+    "top_terms", "kmeans_assign", "hash_sample",
     "group_quantile", "tfidf_top_term", "dedup_clusters",
-    "normalize_text", "lang_vocab", "orders_running_total",
+    "lang_vocab", "orders_running_total",
     "events_hopping_window", "embedding_stats", "events_pivot",
-    "cms_heavy_hitters", "bloom_semi_join",
-    "repetition_score", "decontaminate",
+    "cms_heavy_hitters", "bloom_semi_join", "decontaminate",
 ])
 def test_oracle(name, con):
     check(name, con)
@@ -165,8 +164,10 @@ def test_dedup_exact_finds_planted_duplicates():
 
 @pytest.mark.usefixtures("ray_session")
 def test_simhash_langid_fingerprint_minhash_oracles(con):
-    """The round-2 generated-SQL oracles match bit/row-exactly."""
-    for name in ("simhash", "langid", "fingerprint", "minhash_pairs"):
+    """The round-2 generated-SQL oracles match bit/row-exactly
+    (simhash rides the merged fingerprint row; langid the merged
+    quality_score row)."""
+    for name in ("fingerprint", "quality_score", "minhash_pairs"):
         check(name, con)
 
 
