@@ -5,7 +5,9 @@ options_parser.cpp:18-46) on the Ray Data engine:
     python -m tilemaker_ray --input pages_dir/ --output tiles.pmtiles --joins
     python -m tilemaker_ray --input pages_dir/ --output tiles_dir/ --resume
 
-Input is a .osm.pbf file OR a directory of web-page parquet. Output
+Input is a .osm.pbf file, a .warc[.gz] crawl archive (text + lang are
+derived on the fly — sources/warc.py), OR a directory of web-page
+parquet. Output
 container chosen by extension (.mbtiles / .pmtiles / directory of
 z/x/y .pbf). Reference flags without a Ray-side meaning (--store,
 --compact, --shard-stores, node compression) are accepted and ignored
@@ -59,9 +61,10 @@ def main(argv=None) -> int:
     if not os.path.exists(args.input):
         print(f"error: input not found: {args.input}", file=sys.stderr)
         return 2
-    if not args.input.endswith(".pbf") and not os.path.isdir(args.input):
-        print(f"error: input must be a .osm.pbf file or a parquet directory: "
-              f"{args.input}", file=sys.stderr)
+    if (not args.input.endswith((".pbf", ".warc", ".warc.gz"))
+            and not os.path.isdir(args.input)):
+        print(f"error: input must be a .osm.pbf file, a .warc[.gz] crawl, "
+              f"or a parquet directory: {args.input}", file=sys.stderr)
         return 2
 
     import ray
@@ -99,7 +102,10 @@ def main(argv=None) -> int:
         config.bbox = tuple(float(x) for x in args.bbox.split(","))
 
     if not args.quiet:
-        print(f"Reading {'OSM pbf' if is_pbf else 'pages parquet'}: {args.input}")
+        kind = ("OSM pbf" if is_pbf else
+                "WARC crawl" if args.input.endswith((".warc", ".warc.gz"))
+                else "pages parquet")
+        print(f"Reading {kind}: {args.input}")
 
     if args.resume and not _is_container(args.output):
         from .pipelines.resumable import run_resumable

@@ -95,11 +95,10 @@ class LangId:
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        txt = b.column("text").to_pylist()
+    def predict(self, texts) -> tuple[list[str], list[int]]:
         langs = []
         scores = []
-        for t in txt:
+        for t in texts:
             words = set(t.split(" "))
             best, bs = "und", 0
             for lang, prof in sorted(self.profiles.items()):
@@ -108,6 +107,10 @@ class LangId:
                     best, bs = lang, s
             langs.append(best)
             scores.append(bs)
+        return langs, scores
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        langs, scores = self.predict(b.column("text").to_pylist())
         return pa.table({
             "doc_id": b.column("doc_id"),
             "pred_lang": pa.array(langs, pa.string()),
