@@ -45,7 +45,7 @@ def check(name, con):
     "tile_assign_points", "tile_zoom_rollup", "pip_join", "knn",
     "zorder_encode", "lineitem_agg", "events_window", "token_count",
     "quality_score", "dedup_keep_first", "cosine_topk",
-    "winnow_fingerprint", "ngram_jaccard_pairs",
+    "fingerprint", "ngram_jaccard_pairs",
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
     "top_terms", "kmeans_assign", "hash_sample",
     "group_quantile", "tfidf_top_term", "dedup_clusters",
