@@ -81,6 +81,58 @@ def test_read_plain_warc(pages, tmp_path):
     assert all(x == y for x, y in zip(got.html, exp.html))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_read_warc_many_chunks_mid_member_boundaries(pages, warc_gz):
+    """Index-free chunked read with far more chunks than bytes-per-
+    member: most chunk boundaries fall MID-member and some chunks own
+    no member start at all — the straddling-member ownership rule must
+    still partition the records exactly once."""
+    got = _norm(read_warc(warc_gz, n_shards=97).to_pandas())
+    exp = _norm(pages.select(["url", "warc_ts", "html"]).to_pandas())
+    assert list(got.url) == list(exp.url)
+    assert all(x == y for x, y in zip(got.html, exp.html))
+
+
+def test_sync_skips_false_magic_in_stored_blocks(tmp_path):
+    """Self-synchronization must reject gzip-magic byte sequences that
+    are just payload: level-0 gzip members use stored deflate blocks,
+    so GZ_MAGIC planted in the html appears LITERALLY in the compressed
+    stream. Every chunk must still find only real member starts."""
+    from tilemaker_ray.sources.warc import (GZ_MAGIC, _parse_gz_chunk,
+                                            _record, _warc_date)
+    html = (b"<html>" + GZ_MAGIC + b"WARC/1.1\r\n" + GZ_MAGIC * 40
+            + b"trap" + GZ_MAGIC + b"</html>")
+    p = str(tmp_path / "trap.warc.gz")
+    ts = np.datetime64("2024-03-01T00:00:00.000001", "us")
+    with open(p, "wb") as f:
+        for i in range(30):
+            http = (b"HTTP/1.1 200 OK\r\nContent-Length: "
+                    + str(len(html)).encode() + b"\r\n\r\n" + html)
+            rec = _record(
+                [(b"WARC-Type", b"response"),
+                 (b"WARC-Target-URI", b"https://t.example/%d" % i),
+                 (b"WARC-Date", _warc_date(ts)),
+                 (b"Content-Type", b"application/http; msgtype=response")],
+                http)
+            f.write(gzip.compress(rec, 0))  # stored blocks: magic is literal
+    import os
+    size = os.path.getsize(p)
+    # verify the trap is armed: raw stream contains magic mid-member
+    raw = open(p, "rb").read()
+    member_len = size // 30
+    assert raw.count(GZ_MAGIC) > 30
+    # parse via many small chunks, all boundaries landing mid-member
+    step = max(97, member_len // 3)
+    bounds = list(range(0, size, step)) + [size]
+    tabs = [_parse_gz_chunk(p, a, b) for a, b in zip(bounds, bounds[1:])]
+    import pyarrow as pa
+    got = pa.concat_tables(tabs).to_pandas()
+    assert len(got) == 30
+    assert sorted(got.url) == ["https://t.example/%d" % i for i in
+                               sorted(range(30), key=str)]
+    assert all(h == html for h in got.html)
+
+
 def test_non_response_records_skipped(pages, warc_gz):
     with open(warc_gz, "rb") as f:
         import io

@@ -24,7 +24,6 @@ fixtures from the synthetic pages table — no external data.
 from __future__ import annotations
 
 import gzip
-import io
 import zlib
 
 import numpy as np
@@ -96,27 +95,36 @@ def index_warc_gz(path: str) -> list[tuple[int, int]]:
     multi-member .warc.gz — the record index that makes the file
     parallel-readable. One sequential pass with a raw-deflate
     decompressobj: inflate (discarding output) until each member's
-    trailer, note the boundary, continue. Only ever holds one 64 KiB
-    window in memory."""
+    trailer, note the boundary, continue. Streams the file in 64 KiB
+    windows — never holds more than window + carry in memory.
+
+    This is the exact-index fallback (tests, tiny files); `read_warc`
+    doesn't need it: the chunk tasks self-synchronize on member magic
+    (`_sync_to_member`), so no driver pass touches the bytes at all."""
     ranges: list[tuple[int, int]] = []
+    win = 1 << 16
     with open(path, "rb") as f:
-        data = f.read()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        start = pos
+        carry = b""          # bytes already read but past the last eof
+        fpos = 0             # absolute offset of the end of all bytes fed
+        start = 0
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        chunk = pos
         while True:
-            piece = data[chunk:chunk + (1 << 16)]
+            if carry:
+                piece, carry = carry, b""   # already counted in fpos
+            else:
+                piece = f.read(win)
+                fpos += len(piece)
             if not piece:
-                raise ValueError(f"truncated gzip member at {start}")
-            d.decompress(piece)
-            chunk += len(piece)
-            if d.eof:
-                pos = chunk - len(d.unused_data)
+                if fpos != start:   # mid-member EOF
+                    raise ValueError(f"truncated gzip member at {start}")
                 break
-        ranges.append((start, pos))
+            d.decompress(piece)
+            if d.eof:
+                carry = d.unused_data
+                end = fpos - len(carry)
+                ranges.append((start, end))
+                start = end
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
     return ranges
 
 
@@ -161,6 +169,84 @@ def parse_warc_records(raw: bytes) -> pa.Table:
     })
 
 
+GZ_MAGIC = b"\x1f\x8b\x08"          # gzip header, deflate method
+CHUNK_TARGET = 64 << 20             # max raw bytes per index-free shard
+
+
+def _inflate_member(f, start: int, out_cap: int | None = None):
+    """Inflate the gzip member at absolute offset `start`, reading the
+    file in 64 KiB windows. Returns (decompressed bytes, end offset) or
+    None if `start` is not a valid member (bad header / corrupt stream
+    / truncated) — which is how candidate magic offsets inside
+    compressed payloads get rejected. `out_cap` stops early once that
+    many output bytes exist (enough to check the WARC/ prefix cheaply
+    during sync)."""
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    out = bytearray()
+    f.seek(start)
+    pos = start
+    try:
+        while True:
+            piece = f.read(1 << 16)
+            if not piece:
+                return None          # truncated member
+            out += d.decompress(piece)
+            pos += len(piece)
+            if d.eof:
+                return bytes(out), pos - len(d.unused_data)
+            if out_cap is not None and len(out) >= out_cap:
+                return bytes(out), -1   # prefix available, end unknown
+    except zlib.error:
+        return None
+
+
+def _sync_to_member(f, start: int, limit: int) -> int:
+    """First offset in [start, limit) that begins a REAL gzip member
+    (valid header + inflates + payload starts with 'WARC/'), or -1.
+    The self-synchronization that lets byte-chunk tasks index a
+    concatenated-member .warc.gz with no driver pass: magic candidates
+    that are just compressed-payload bytes fail the inflate/prefix
+    check and are skipped (exercised by a stored-block test fixture)."""
+    win = 1 << 20
+    pos = start
+    tail = b""
+    while pos < limit:
+        f.seek(pos)
+        piece = f.read(min(win, limit - pos) + len(GZ_MAGIC))
+        if len(piece) < len(GZ_MAGIC):
+            return -1               # EOF before limit, no room for magic
+        buf = tail + piece
+        base = pos - len(tail)
+        i = buf.find(GZ_MAGIC)
+        while i != -1 and base + i < limit:
+            cand = base + i
+            got = _inflate_member(f, cand, out_cap=8)
+            if got is not None and got[0][:5] == b"WARC/":
+                return cand
+            i = buf.find(GZ_MAGIC, i + 1)
+        pos = base + len(buf) - (len(GZ_MAGIC) - 1)
+        tail = buf[-(len(GZ_MAGIC) - 1):]
+    return -1
+
+
+def _parse_gz_chunk(path: str, cstart: int, cend: int) -> pa.Table:
+    """Parse every gzip member whose first byte lies in [cstart, cend):
+    sync to the first member at-or-after cstart, then walk member by
+    member (a member straddling cend is owned — and fully read — by
+    this chunk). Memory: one inflated member at a time."""
+    tabs = []
+    with open(path, "rb") as f:
+        pos = 0 if cstart == 0 else _sync_to_member(f, cstart, cend)
+        while 0 <= pos < cend:
+            got = _inflate_member(f, pos)
+            if got is None:
+                raise ValueError(f"truncated gzip member at {pos}")
+            raw, pos = got
+            tabs.append(parse_warc_records(raw))
+    return (pa.concat_tables(tabs) if tabs else
+            parse_warc_records(b""))
+
+
 def _shard_ranges(ranges: list[tuple[int, int]],
                   n_shards: int) -> list[tuple[int, int]]:
     """Group contiguous member ranges into ~byte-balanced shards, each
@@ -181,48 +267,66 @@ def _shard_ranges(ranges: list[tuple[int, int]],
 
 def read_warc(path: str, n_shards: int = 32):
     """Ray Dataset of (url, warc_ts, html) from a .warc.gz (per-record
-    gzip members) or plain .warc. Index pass on the driver (offsets
-    only — O(file/64 KiB) work, no payload retained), then each shard
-    is one range read parsed by `parse_warc_records` inside
-    map_batches: the blocked-source pattern (S1 PBF reader twin)."""
+    gzip members) or plain .warc.
+
+    .gz path is INDEX-FREE and fully distributed: the driver computes
+    only file-size/n byte chunk boundaries (a stat call — zero byte
+    reads); each chunk task self-synchronizes to the first real gzip
+    member at-or-after its start (`_sync_to_member`: magic scan +
+    validated inflate + WARC/ prefix, the same resync trick as the
+    newline-aligned JSONL chunking in sources/geojson.py) and parses
+    every member that STARTS inside its range — a member straddling
+    the boundary is owned by the chunk holding its first byte, so the
+    partition is exact with no coordination. Chunks are capped at
+    CHUNK_TARGET raw bytes so a huge segment can't blow a worker's
+    heap (the blocked-source pattern; S1 PBF reader twin)."""
+    import os
+
     import ray.data
 
     if path.endswith(".gz"):
-        ranges = index_warc_gz(path)
-        shards = _shard_ranges(ranges, n_shards)
+        size = os.path.getsize(path)
+        n = max(n_shards, -(-size // CHUNK_TARGET))
+        bounds = [size * i // n for i in range(n + 1)]
+        shards = [(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
 
         def parse(batch: pa.Table) -> pa.Table:
-            tabs = []
-            for row in batch.to_pylist():
-                with open(path, "rb") as f:
-                    f.seek(row["start"])
-                    blob = f.read(row["end"] - row["start"])
-                raw = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
-                tabs.append(parse_warc_records(raw))
+            tabs = [_parse_gz_chunk(path, row["start"], row["end"])
+                    for row in batch.to_pylist()]
             return pa.concat_tables(tabs)
     else:
-        # plain .warc: record boundaries need header walking, which the
-        # index pass does once; shards carry explicit record offsets
-        with open(path, "rb") as f:
-            raw_all = f.read()
+        # plain .warc: records are Content-Length framed with no
+        # resync-able magic, so boundaries need a sequential header
+        # walk — but only the HEADERS are read (seek past payloads),
+        # so the driver pass is O(records × header bytes), not O(file)
+        size = os.path.getsize(path)
         offs: list[int] = []
-        pos, n = 0, len(raw_all)
-        while pos < n:
-            while pos < n and raw_all[pos:pos + 2] == CRLF:
-                pos += 2
-            if pos >= n:
-                break
-            offs.append(pos)
-            hdr_end = raw_all.index(CRLF + CRLF, pos)
-            for line in raw_all[pos:hdr_end].split(CRLF)[1:]:
-                k, _, v = line.partition(b": ")
-                if k.lower() == b"content-length":
-                    pos = hdr_end + 4 + int(v)
+        with open(path, "rb") as f:
+            pos = 0
+            while pos < size:
+                f.seek(pos)
+                head = f.read(4096)
+                while head[:2] == CRLF:      # inter-record CRLFs
+                    pos += 2
+                    head = head[2:]
+                if not head:
                     break
-            else:
-                raise ValueError(f"record without Content-Length at {pos}")
+                while CRLF + CRLF not in head:
+                    more = f.read(4096)
+                    if not more:
+                        raise ValueError(f"unterminated header at {pos}")
+                    head += more
+                offs.append(pos)
+                hdr_len = head.index(CRLF + CRLF)
+                for line in head[:hdr_len].split(CRLF)[1:]:
+                    k, _, v = line.partition(b": ")
+                    if k.lower() == b"content-length":
+                        pos = pos + hdr_len + 4 + int(v)
+                        break
+                else:
+                    raise ValueError(f"record without Content-Length at {pos}")
         ranges = [(a, b) for a, b in
-                  zip(offs, offs[1:] + [n])]
+                  zip(offs, offs[1:] + [size])]
         shards = _shard_ranges(ranges, n_shards)
 
         def parse(batch: pa.Table) -> pa.Table:
