@@ -58,14 +58,16 @@ def _flagship_point_counts(sf_dir: str):
 
 
 def _doc_quality(sf_dir: str):
-    """quality_score ⊕ repetition_score ⊕ langid (all per-doc scoring
-    signals) in one driver row."""
-    from tilemaker_ray.ops import text
+    """quality_score ⊕ repetition_score ⊕ langid ⊕ dup_span_chars (all
+    per-doc scoring signals) in one driver row."""
+    from tilemaker_ray.ops import dedup, text
 
     a = text.q_quality_score(sf_dir)
     b = text.q_repetition_score(sf_dir)
     c = text.q_langid(sf_dir)
+    d = dedup.q_dup_span_chars(sf_dir)
     return (a.merge(b, on="doc_id").merge(c, on="doc_id")
+             .merge(d, on="doc_id")
              .sort_values("doc_id").reset_index(drop=True))
 
 
@@ -353,11 +355,14 @@ def oracle_sql() -> dict[str, str]:
     # Ray side performs, so each merged row still checks every op.
     q, r, l = (out.pop("quality_score"), out.pop("repetition_score"),
                out.pop("langid"))
+    dsp = out.pop("dup_span_chars")
     out["quality_score"] = f"""
         SELECT q.doc_id, q.stop_ratio, q.mean_tok_len,
-               r.distinct_ratio, r.top_bigram_frac, l.pred_lang, l.evidence
+               r.distinct_ratio, r.top_bigram_frac, l.pred_lang, l.evidence,
+               d.dup_span_chars, d.dup_span_frac
         FROM ({q}) q JOIN ({r}) r ON q.doc_id = r.doc_id
                      JOIN ({l}) l ON q.doc_id = l.doc_id
+                     JOIN ({dsp}) d ON q.doc_id = d.doc_id
     """
     f, s = out.pop("fingerprint"), out.pop("simhash")
     wn = out.pop("winnow_fingerprint")

@@ -57,6 +57,39 @@ def test_oracle(name, con):
     check(name, con)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dup_span_chars_properties(tmp_path):
+    """Substring-dedup semantics on a controlled corpus: a shared
+    S-char substring covers exactly S chars in both docs; all-unique
+    text covers 0; a self-repetitive doc is covered end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.dedup import DUP_SPAN_L, q_dup_span_chars
+    assert DUP_SPAN_L == 20
+    shared = "0123456789abcdefghijklmnopqrs"          # 29 unique chars
+    assert len(shared) == 29
+    d = tmp_path / "sf_span"
+    d.mkdir()
+    # neighbors of `shared` differ between the two docs, so the shared
+    # run is exactly the 29 chars (shared delimiters would extend it)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "AAAA BBBB CCCC DDDD-" + shared + "-EEEE FFFF GGGG",
+            "hhhh iiii jjjj kkkk_" + shared + "_llll mmmm nnnn",
+            "every gram here is globally unique, no repeats at all.",
+            "Z" * 50,                                  # self-repetitive
+        ]),
+    }), str(d / "documents.parquet"))
+    got = q_dup_span_chars(str(d)).set_index("doc_id")
+    assert got.loc[0, "dup_span_chars"] == len(shared)
+    assert got.loc[1, "dup_span_chars"] == len(shared)
+    assert got.loc[2, "dup_span_chars"] == 0
+    assert got.loc[3, "dup_span_chars"] == 50
+    assert got.loc[3, "dup_span_frac"] == 1.0
+
+
 def test_winnow_shared_substring_guarantee():
     """Winnowing's core property (Schleimer et al. 2003 thm): any
     shared substring of length >= W+K-1 produces at least one shared

@@ -423,6 +423,151 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+DUP_SPAN_L = 20  # char L-grams; a span must be >= L chars to register
+
+
+def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L) -> ray.data.Dataset:
+    """Exact duplicate-substring coverage per document (the substring-
+    level dedup signal of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a char position is DUPLICATED when
+    the L-gram starting there occurs >= 2 times in the corpus (any doc,
+    any offset); per doc we return the total characters covered by
+    duplicated L-grams — the "how much of this doc is boilerplate /
+    copied text" number that drives substring-level filtering.
+
+    Distributed shape: explode (gram_hash, doc_id, pos) rows in
+    map_batches (24 B/row, never the text) → groupby(hash BUCKET)
+    keeps hashes occurring >= 2 times → groupby(doc BUCKET) merges the
+    surviving [pos, pos+L) intervals: covered = L + Σ min(Δpos, L)
+    over sorted positions.  Two key-int shuffles, no driver text, no
+    O(m²) blowup (a hash occurring m times emits m rows, not pairs).
+    Both groupbys key on a COARSE bucket (hash>>52, doc_id%512), not
+    the raw value: the exact same exchange volume, but each map_groups
+    call gets thousands of rows and runs pure-numpy — grouping by raw
+    hash costs one Python frame per (mostly singleton) group, which
+    measured 20× slower on this data.
+
+    Hashes are the md5 low-64 convention (`winnow_hashes` twin) so the
+    DuckDB oracle reproduces every hash exactly via md5_number_lower;
+    a Karp-Rabin rolling hash is the drop-in for production runs."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out_h, out_id, out_i = [], [], []
+        for k, t in enumerate(b.column("text").to_pylist()):
+            n = len(t) - L + 1
+            if n <= 0:
+                continue
+            hv = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(t[i:i + L].encode()).digest()[8:16],
+                    "little") for i in range(n)),
+                dtype=np.uint64, count=n)
+            out_h.append(hv.view(np.int64))
+            out_id.append(np.full(n, ids[k], np.int64))
+            out_i.append(np.arange(1, n + 1, dtype=np.int64))  # SQL 1-based
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        h = cat(out_h)
+        return pa.table({"h": pa.array(h),
+                         "hb": pa.array(h >> 52),  # 4096 coarse buckets
+                         "doc_id": pa.array(cat(out_id)),
+                         "i": pa.array(cat(out_i))})
+
+    exploded = ds.map_batches(grams, batch_format="pyarrow")
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        """All rows of this hash bucket at once: keep positions whose
+        exact hash occurs >= 2 times (vectorized unique+counts)."""
+        h = g["h"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True,
+                                return_counts=True)
+        keep = cnt[inv] >= 2
+        doc = g["doc_id"].to_numpy()[keep]
+        return pd.DataFrame({"db": doc % 512, "doc_id": doc,
+                             "i": g["i"].to_numpy()[keep]})
+
+    def per_docs(g: pd.DataFrame) -> pd.DataFrame:
+        """All docs of this doc bucket at once: interval-union per doc
+        via one sort + segment-reset diff (pure numpy)."""
+        order = np.lexsort((g["i"].to_numpy(), g["doc_id"].to_numpy()))
+        doc = g["doc_id"].to_numpy()[order]
+        i = g["i"].to_numpy()[order]
+        contrib = np.empty(len(i), np.int64)
+        contrib[0] = L
+        if len(i) > 1:
+            newdoc = doc[1:] != doc[:-1]
+            contrib[1:] = np.where(newdoc, L,
+                                   np.minimum(i[1:] - i[:-1], L))
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc[1:] != doc[:-1])))
+        sums = np.add.reduceat(contrib, starts)
+        return pd.DataFrame({"doc_id": doc[starts],
+                             "dup_span_chars": sums})
+
+    return (exploded.groupby("hb")
+                    .map_groups(dup_positions, batch_format="pandas")
+                    .groupby("db")
+                    .map_groups(per_docs, batch_format="pandas"))
+
+
+def q_dup_span_chars(sf_dir: str, L: int = DUP_SPAN_L) -> pd.DataFrame:
+    """(doc_id, dup_span_chars, dup_span_frac) for EVERY document —
+    docs with no duplicated L-gram get 0 (left join against the
+    lengths scan, which also supplies the char denominators)."""
+    import pyarrow.compute as pc
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": pc.utf8_length(b.column("text"))})
+
+    lens = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(lengths, batch_format="pyarrow").to_pandas())
+    dup = dup_span_stats_ds(sf_dir, L).to_pandas()
+    out = lens.merge(dup, on="doc_id", how="left")
+    out["dup_span_chars"] = (out["dup_span_chars"].fillna(0)
+                             .astype(np.int64))
+    # round half AWAY from zero (DuckDB round()), not banker's: ratios
+    # like 164/512 = 0.3203125 are exact ties at the 6th decimal
+    out["dup_span_frac"] = np.floor(
+        out["dup_span_chars"] / out["n_chars"] * 1e6 + 0.5) / 1e6
+    return (out[["doc_id", "dup_span_chars", "dup_span_frac"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _dup_span_oracle_sql(L: int = DUP_SPAN_L) -> str:
+    return f"""
+        WITH g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 md5_number_lower(substring(text, CAST(i AS INT), {L}))
+                   AS h
+          FROM documents, unnest(range(1, length(text) - {L} + 2)) AS t(i)
+        ), d AS (
+          SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        ), p AS (
+          SELECT g.doc_id, g.i FROM g JOIN d USING (h)
+        ), q AS (
+          SELECT doc_id,
+                 coalesce(least(i - lag(i) OVER (PARTITION BY doc_id
+                                                 ORDER BY i), {L}),
+                          {L}) AS c
+          FROM p
+        ), s AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_span_chars
+          FROM q GROUP BY doc_id
+        )
+        SELECT doc.doc_id,
+               coalesce(s.dup_span_chars, 0) AS dup_span_chars,
+               round(coalesce(s.dup_span_chars, 0) * 1.0
+                     / length(doc.text), 6) AS dup_span_frac
+        FROM documents doc LEFT JOIN s USING (doc_id)
+        ORDER BY doc.doc_id
+    """
+
+
 SIMHASH_SHINGLE_K = 2
 
 
@@ -632,6 +777,7 @@ def _minhash_pairs_oracle_sql(threshold: float = 0.5) -> str:
 
 
 ORACLES = {
+    "dup_span_chars": _dup_span_oracle_sql(),
     "dedup_exact": """
         SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
         FROM documents
