@@ -124,12 +124,19 @@ def run_bench() -> dict:
         ("lineitem_agg", relational.q_lineitem_agg),
         ("events_window", relational.q_events_window),
         ("dedup_keep_first", dedup.q_dedup_keep_first),
+        ("dup_span_chars", dedup.q_dup_span_chars),
         ("minhash_pairs", dedup.q_minhash_pairs),
         ("cosine_topk", similarity.q_cosine_topk),
         ("cms_heavy_hitters", sketch.q_cms_heavy_hitters),
         ("bloom_semi_join", sketch.q_bloom_semi_join),
     ]:
         queries[name] = timed(lambda fn=fn: fn(sf_dir))
+
+    # WARC source: index-free chunk-synchronized parse of the same
+    # crawl as a .warc.gz (fixture built untimed, cached)
+    from tilemaker_ray.sources.warc import read_warc, warc_path
+    wp = warc_path(rows_for_sf(sf_dir))
+    queries["warc_read"] = timed(lambda: read_warc(wp).count())
 
     # joined flagship + OSM fixture pipeline walls
     queries["flagship_joined"] = timed(

@@ -90,6 +90,31 @@ def write_warc(table: pa.Table, path: str, compress: bool = True) -> int:
     return len(urls)
 
 
+def warc_path(n_rows: int, seed: int = 42,
+              root: str = "/tmp/tilemaker_ray_warc") -> str:
+    """Materialize (once, cached) the deterministic synthetic crawl as
+    a per-record-gzip .warc.gz — the bench/test twin of
+    `pages.pages_path` for the WARC source path."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .pages import pages_path
+
+    os.makedirs(root, exist_ok=True)
+    p = os.path.join(root, f"n{n_rows}_s{seed}.warc.gz")
+    if os.path.exists(p):
+        return p
+    d = pages_path(n_rows, seed)
+    tabs = [pq.read_table(f)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    tmp = p + ".tmp"
+    write_warc(pa.concat_tables(tabs), tmp)
+    os.replace(tmp, p)
+    return p
+
+
 def index_warc_gz(path: str) -> list[tuple[int, int]]:
     """Byte ranges [(start, end), ...] of the gzip members of a
     multi-member .warc.gz — the record index that makes the file
@@ -229,12 +254,27 @@ def _sync_to_member(f, start: int, limit: int) -> int:
     return -1
 
 
+PARSE_FLUSH = 32 << 20  # inflate this many record bytes per parse call
+
+
 def _parse_gz_chunk(path: str, cstart: int, cend: int) -> pa.Table:
     """Parse every gzip member whose first byte lies in [cstart, cend):
     sync to the first member at-or-after cstart, then walk member by
     member (a member straddling cend is owned — and fully read — by
-    this chunk). Memory: one inflated member at a time."""
+    this chunk). Inflated records accumulate and parse in ~32 MB runs
+    (one Arrow table per run, not one per record); memory is bounded
+    by PARSE_FLUSH + one member."""
     tabs = []
+    pending: list[bytes] = []
+    npend = 0
+
+    def flush():
+        nonlocal npend
+        if pending:
+            tabs.append(parse_warc_records(b"".join(pending)))
+            pending.clear()
+            npend = 0
+
     with open(path, "rb") as f:
         pos = 0 if cstart == 0 else _sync_to_member(f, cstart, cend)
         while 0 <= pos < cend:
@@ -242,7 +282,11 @@ def _parse_gz_chunk(path: str, cstart: int, cend: int) -> pa.Table:
             if got is None:
                 raise ValueError(f"truncated gzip member at {pos}")
             raw, pos = got
-            tabs.append(parse_warc_records(raw))
+            pending.append(raw)
+            npend += len(raw)
+            if npend >= PARSE_FLUSH:
+                flush()
+    flush()
     return (pa.concat_tables(tabs) if tabs else
             parse_warc_records(b""))
 
