@@ -288,6 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": web.q_url_canonicalize,
         "domain_cap": web.q_domain_cap,
         # --- rows-only (no oracle by construction) ---
+        # substring keep-first cleaning (Lee et al. ExactSubstr): the
+        # cleaned TEXT is the product; its removed-char counts are
+        # oracled in-window inside quality_score (dup_removed_chars)
+        # and test-asserted equal
+        "dedup_substring_clean": dedup.q_dedup_substring_clean,
         # (winnow_fingerprint was folded into the in-window merged
         # "fingerprint" row as exact per-doc count+bit_xor — the
         # exploded-rows variant was driver-green in round 3 and stays
@@ -359,7 +364,7 @@ def oracle_sql() -> dict[str, str]:
     out["quality_score"] = f"""
         SELECT q.doc_id, q.stop_ratio, q.mean_tok_len,
                r.distinct_ratio, r.top_bigram_frac, l.pred_lang, l.evidence,
-               d.dup_span_chars, d.dup_span_frac
+               d.dup_span_chars, d.dup_removed_chars, d.dup_span_frac
         FROM ({q}) q JOIN ({r}) r ON q.doc_id = r.doc_id
                      JOIN ({l}) l ON q.doc_id = l.doc_id
                      JOIN ({dsp}) d ON q.doc_id = d.doc_id

@@ -88,6 +88,20 @@ def test_dup_span_chars_properties(tmp_path):
     assert got.loc[2, "dup_span_chars"] == 0
     assert got.loc[3, "dup_span_chars"] == 50
     assert got.loc[3, "dup_span_frac"] == 1.0
+    # keep-first removal: doc0 holds the first occurrence of every
+    # shared gram, so only doc1 loses the 29 chars; the self-repeating
+    # doc keeps one gram's worth of lead chars (positions 2.. removed)
+    assert got.loc[0, "dup_removed_chars"] == 0
+    assert got.loc[1, "dup_removed_chars"] == len(shared)
+    assert got.loc[3, "dup_removed_chars"] == 49
+    from tilemaker_ray.ops.dedup import q_dedup_substring_clean
+    cl = q_dedup_substring_clean(str(d)).set_index("doc_id")
+    assert shared in cl.loc[0, "clean_text"]
+    assert shared not in cl.loc[1, "clean_text"]
+    assert cl.loc[1, "clean_text"] == (
+        "hhhh iiii jjjj kkkk_" "_llll mmmm nnnn")
+    assert cl.loc[3, "clean_text"] == "Z"
+    assert (cl["removed_chars"] == got["dup_removed_chars"]).all()
 
 
 def test_winnow_shared_substring_guarantee():

@@ -480,21 +480,26 @@ def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L) -> ray.data.Dataset:
 
     def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
         """All rows of this hash bucket at once: keep positions whose
-        exact hash occurs >= 2 times (vectorized unique+counts)."""
-        h = g["h"].to_numpy()
-        _, inv, cnt = np.unique(h, return_inverse=True,
-                                return_counts=True)
-        keep = cnt[inv] >= 2
-        doc = g["doc_id"].to_numpy()[keep]
-        return pd.DataFrame({"db": doc % 512, "doc_id": doc,
-                             "i": g["i"].to_numpy()[keep]})
-
-    def per_docs(g: pd.DataFrame) -> pd.DataFrame:
-        """All docs of this doc bucket at once: interval-union per doc
-        via one sort + segment-reset diff (pure numpy)."""
-        order = np.lexsort((g["i"].to_numpy(), g["doc_id"].to_numpy()))
+        exact hash occurs >= 2 times; flag each hash's lexicographic-
+        min (doc_id, i) occurrence as `first` (the copy keep-first
+        removal retains). Vectorized: one lexsort + run-length pass."""
+        order = np.lexsort((g["i"].to_numpy(), g["doc_id"].to_numpy(),
+                            g["h"].to_numpy()))
+        h = g["h"].to_numpy()[order]
         doc = g["doc_id"].to_numpy()[order]
         i = g["i"].to_numpy()[order]
+        new = np.concatenate(([True], h[1:] != h[:-1]))
+        run = np.cumsum(new) - 1
+        cnt = np.bincount(run)
+        keep = cnt[run] >= 2
+        doc, i, first = doc[keep], i[keep], new[keep]
+        return pd.DataFrame({"db": doc % 512, "doc_id": doc,
+                             "i": i, "first": first})
+
+    def _interval_union(doc: np.ndarray, i: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, covered chars) per doc for sorted-by-(doc,i)
+        [i, i+L) intervals: covered = L + Σ min(Δi, L), reset per doc."""
         contrib = np.empty(len(i), np.int64)
         contrib[0] = L
         if len(i) > 1:
@@ -503,9 +508,24 @@ def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L) -> ray.data.Dataset:
                                    np.minimum(i[1:] - i[:-1], L))
         starts = np.flatnonzero(
             np.concatenate(([True], doc[1:] != doc[:-1])))
-        sums = np.add.reduceat(contrib, starts)
-        return pd.DataFrame({"doc_id": doc[starts],
-                             "dup_span_chars": sums})
+        return doc[starts], np.add.reduceat(contrib, starts)
+
+    def per_docs(g: pd.DataFrame) -> pd.DataFrame:
+        """All docs of this doc bucket at once: two interval unions —
+        ALL dup positions (coverage) and non-first positions only
+        (chars keep-first removal would delete)."""
+        order = np.lexsort((g["i"].to_numpy(), g["doc_id"].to_numpy()))
+        doc = g["doc_id"].to_numpy()[order]
+        i = g["i"].to_numpy()[order]
+        first = g["first"].to_numpy()[order]
+        docs, covered = _interval_union(doc, i)
+        out = pd.DataFrame({"doc_id": docs, "dup_span_chars": covered,
+                            "dup_removed_chars": 0})
+        out = out.set_index("doc_id")
+        if (~first).any():
+            rdocs, removed = _interval_union(doc[~first], i[~first])
+            out.loc[rdocs, "dup_removed_chars"] = removed
+        return out.reset_index()
 
     return (exploded.groupby("hb")
                     .map_groups(dup_positions, batch_format="pandas")
@@ -514,9 +534,11 @@ def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L) -> ray.data.Dataset:
 
 
 def q_dup_span_chars(sf_dir: str, L: int = DUP_SPAN_L) -> pd.DataFrame:
-    """(doc_id, dup_span_chars, dup_span_frac) for EVERY document —
-    docs with no duplicated L-gram get 0 (left join against the
-    lengths scan, which also supplies the char denominators)."""
+    """(doc_id, dup_span_chars, dup_removed_chars, dup_span_frac) for
+    EVERY document — docs with no duplicated L-gram get 0 (left join
+    against the lengths scan, which also supplies the denominators).
+    dup_removed_chars = chars deleted by keep-first removal (positions
+    whose gram has an earlier (doc_id, i) occurrence)."""
     import pyarrow.compute as pc
 
     def lengths(b: pa.Table) -> pa.Table:
@@ -534,7 +556,10 @@ def q_dup_span_chars(sf_dir: str, L: int = DUP_SPAN_L) -> pd.DataFrame:
     # like 164/512 = 0.3203125 are exact ties at the 6th decimal
     out["dup_span_frac"] = np.floor(
         out["dup_span_chars"] / out["n_chars"] * 1e6 + 0.5) / 1e6
-    return (out[["doc_id", "dup_span_chars", "dup_span_frac"]]
+    out["dup_removed_chars"] = (out["dup_removed_chars"].fillna(0)
+                                .astype(np.int64))
+    return (out[["doc_id", "dup_span_chars", "dup_removed_chars",
+                 "dup_span_frac"]]
             .sort_values("doc_id").reset_index(drop=True))
 
 
@@ -548,7 +573,10 @@ def _dup_span_oracle_sql(L: int = DUP_SPAN_L) -> str:
         ), d AS (
           SELECT h FROM g GROUP BY h HAVING count(*) >= 2
         ), p AS (
-          SELECT g.doc_id, g.i FROM g JOIN d USING (h)
+          SELECT g.doc_id, g.i,
+                 row_number() OVER (PARTITION BY g.h
+                                    ORDER BY g.doc_id, g.i) AS rn
+          FROM g JOIN d USING (h)
         ), q AS (
           SELECT doc_id,
                  coalesce(least(i - lag(i) OVER (PARTITION BY doc_id
@@ -558,14 +586,134 @@ def _dup_span_oracle_sql(L: int = DUP_SPAN_L) -> str:
         ), s AS (
           SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_span_chars
           FROM q GROUP BY doc_id
+        ), q2 AS (
+          SELECT doc_id,
+                 coalesce(least(i - lag(i) OVER (PARTITION BY doc_id
+                                                 ORDER BY i), {L}),
+                          {L}) AS c
+          FROM p WHERE rn >= 2
+        ), s2 AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_removed_chars
+          FROM q2 GROUP BY doc_id
         )
         SELECT doc.doc_id,
                coalesce(s.dup_span_chars, 0) AS dup_span_chars,
+               coalesce(s2.dup_removed_chars, 0) AS dup_removed_chars,
                round(coalesce(s.dup_span_chars, 0) * 1.0
                      / length(doc.text), 6) AS dup_span_frac
         FROM documents doc LEFT JOIN s USING (doc_id)
+                           LEFT JOIN s2 USING (doc_id)
         ORDER BY doc.doc_id
     """
+
+
+def dedup_substring_clean_ds(sf_dir: str,
+                             L: int = DUP_SPAN_L) -> ray.data.Dataset:
+    """The ACTIONABLE substring dedup (Lee et al. 2022 ExactSubstr):
+    delete from each document every char covered by a duplicated
+    L-gram whose gram has an earlier (doc_id, pos) occurrence — the
+    corpus keeps exactly one copy of each duplicated substring run.
+
+    Distributed: the same (hash-bucket → keep-first flags) stage as
+    `dup_span_stats_ds`, then ONE doc-bucket cogroup of removable
+    positions WITH the texts (tagged union — text rows ride as i=-1),
+    building cleaned strings under a boolean keep-mask per doc.  Note
+    (inherent to the method, flagged in the paper): deleting a span
+    can join previously-distant chars into new L-grams; the output is
+    one-pass cleaned, not a fixpoint."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out_h, out_id, out_i = [], [], []
+        for k, t in enumerate(b.column("text").to_pylist()):
+            n = len(t) - L + 1
+            if n <= 0:
+                continue
+            hv = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(t[i:i + L].encode()).digest()[8:16],
+                    "little") for i in range(n)),
+                dtype=np.uint64, count=n)
+            out_h.append(hv.view(np.int64))
+            out_id.append(np.full(n, ids[k], np.int64))
+            out_i.append(np.arange(1, n + 1, dtype=np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        h = cat(out_h)
+        return pa.table({"h": pa.array(h),
+                         "hb": pa.array(h >> 52),
+                         "doc_id": pa.array(cat(out_id)),
+                         "i": pa.array(cat(out_i))})
+
+    def removable_positions(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["i"].to_numpy(), g["doc_id"].to_numpy(),
+                            g["h"].to_numpy()))
+        h = g["h"].to_numpy()[order]
+        doc = g["doc_id"].to_numpy()[order]
+        i = g["i"].to_numpy()[order]
+        new = np.concatenate(([True], h[1:] != h[:-1]))
+        run = np.cumsum(new) - 1
+        cnt = np.bincount(run)
+        keep = (cnt[run] >= 2) & ~new       # non-first dup occurrences
+        doc, i = doc[keep], i[keep]
+        return pa.table({"db": pa.array(doc % 512),
+                         "doc_id": pa.array(doc), "i": pa.array(i),
+                         "text": pa.nulls(len(doc), pa.string())})
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy()
+        return pa.table({"db": pa.array(doc % 512),
+                         "doc_id": b.column("doc_id"),
+                         "i": pa.array(np.full(len(doc), -1, np.int64)),
+                         "text": b.column("text")})
+
+    removable = (ds.map_batches(grams, batch_format="pyarrow")
+                   .groupby("hb")
+                   .map_groups(removable_positions, batch_format="pandas"))
+    tagged = removable.union(ds.map_batches(text_rows,
+                                            batch_format="pyarrow"))
+
+    def clean_docs(g: pd.DataFrame) -> pd.DataFrame:
+        ids, texts, removed = [], [], []
+        for doc_id, sub in g.groupby("doc_id", sort=True):
+            t = sub.loc[sub["i"] == -1, "text"]
+            if t.empty:        # positions for a doc outside this read?
+                continue       # cannot happen: same source, same bucket
+            text = t.iloc[0]
+            pos = sub.loc[sub["i"] > 0, "i"].to_numpy()
+            if len(pos):
+                mask = np.ones(len(text), bool)
+                # vectorized interval paint via diff array
+                d = np.zeros(len(text) + 1, np.int64)
+                np.add.at(d, pos - 1, 1)                 # 1-based → 0
+                np.add.at(d, np.minimum(pos - 1 + L, len(text)), -1)
+                mask &= np.cumsum(d[:-1]) == 0
+                arr = np.frombuffer(text.encode("utf-32-le"),
+                                    dtype=np.uint32)
+                cleaned = arr[mask].tobytes().decode("utf-32-le")
+                removed.append(int((~mask).sum()))
+            else:
+                cleaned = text
+                removed.append(0)
+            ids.append(doc_id)
+            texts.append(cleaned)
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "clean_text": texts,
+                             "removed_chars": np.array(removed,
+                                                       np.int64)})
+
+    return tagged.groupby("db").map_groups(clean_docs,
+                                           batch_format="pandas")
+
+
+def q_dedup_substring_clean(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry (cleaned TEXT is the product; the removed
+    -char counts it implies are oracled inside quality_score via
+    dup_removed_chars — test-asserted equal)."""
+    return (dedup_substring_clean_ds(sf_dir).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 SIMHASH_SHINGLE_K = 2
