@@ -98,12 +98,14 @@ def _doc_fingerprints(sf_dir: str):
 
 def _token_counts(sf_dir: str):
     """token_count (ws + BPE-regex) ⊕ normalize_text (clean form +
-    clean-token count, renamed n_clean_tokens)."""
+    clean-token count, renamed n_clean_tokens) ⊕ lm_bits (self-trained
+    smoothed-bigram LM score, the CCNet-style LM filter)."""
     from tilemaker_ray.ops import text
 
     a = text.q_token_count(sf_dir)
     b = text.q_normalize_text(sf_dir).rename(
         columns={"n_tokens": "n_clean_tokens"})
+    a = a.merge(text.q_lm_bits(sf_dir), on="doc_id")
     return (a.merge(b, on="doc_id")
              .sort_values("doc_id").reset_index(drop=True))
 
@@ -379,10 +381,12 @@ def oracle_sql() -> dict[str, str]:
               FROM ({wn}) GROUP BY doc_id) w ON f.doc_id = w.doc_id
     """
     t, n = out.pop("token_count"), out.pop("normalize_text")
+    lm = out.pop("lm_bits")
     out["token_count"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_chars, t.n_bpe_tokens,
-               n.clean_text, n.n_tokens AS n_clean_tokens
+               l.lm_bits, n.clean_text, n.n_tokens AS n_clean_tokens
         FROM ({t}) t JOIN ({n}) n ON t.doc_id = n.doc_id
+                     JOIN ({lm}) l ON t.doc_id = l.doc_id
     """
     h, st = out.pop("hash_sample"), out.pop("stratified_sample")
     out["hash_sample"] = f"""

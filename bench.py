@@ -108,7 +108,7 @@ def run_bench() -> dict:
 
     # secondary operator pipelines over the sf tables
     from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
-                                   s2ops, similarity, sketch, web)
+                                   s2ops, similarity, sketch, text, web)
     for name, fn in [
         ("tile_assign_points", geospatial.q_tile_assign_points),
         ("pip_join", geospatial.q_pip_join),
@@ -125,6 +125,7 @@ def run_bench() -> dict:
         ("events_window", relational.q_events_window),
         ("dedup_keep_first", dedup.q_dedup_keep_first),
         ("dup_span_chars", dedup.q_dup_span_chars),
+        ("lm_bits", text.q_lm_bits),
         ("minhash_pairs", dedup.q_minhash_pairs),
         ("cosine_topk", similarity.q_cosine_topk),
         ("cms_heavy_hitters", sketch.q_cms_heavy_hitters),

@@ -104,6 +104,33 @@ def test_dup_span_chars_properties(tmp_path):
     assert (cl["removed_chars"] == got["dup_removed_chars"]).all()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lm_bits_hand_computed(tmp_path):
+    """Smoothed-bigram LM score on a 2-doc corpus small enough to do
+    by hand: N=5 tokens, V=2 vocab, C(a)=3 C(b)=2, C(ab)=2 C(ba)=1."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.text import LM_ALPHA, q_lm_bits
+    assert LM_ALPHA == 0.5
+    d = tmp_path / "sf_lm"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b a", "a b"]),
+    }), str(d / "documents.parquet"))
+    got = q_lm_bits(str(d)).set_index("doc_id")
+    p1 = 3.5 / 6            # (C(a)+α)/(N+αV)
+    pab = 2.5 / 4           # (C(ab)+α)/(C(a)+αV)
+    pba = 1.5 / 3           # (C(ba)+α)/(C(b)+αV)
+    exp0 = round(-(math.log2(p1) + math.log2(pab) + math.log2(pba)) / 3, 6)
+    exp1 = round(-(math.log2(p1) + math.log2(pab)) / 2, 6)
+    assert got.loc[0, "lm_bits"] == exp0
+    assert got.loc[1, "lm_bits"] == exp1
+
+
 def test_winnow_shared_substring_guarantee():
     """Winnowing's core property (Schleimer et al. 2003 thm): any
     shared substring of length >= W+K-1 produces at least one shared

@@ -12,6 +12,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 STOPWORDS = ("the", "a")
@@ -449,6 +450,176 @@ def q_repetition_score(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+LM_ALPHA = 0.5      # add-α smoothing
+LM_BUCKETS = 1024   # coarse groupby buckets (amortize map_groups)
+
+
+def _kb(s: pd.Series) -> np.ndarray:
+    """Deterministic coarse bucket for string keys (pandas' fixed-key
+    siphash — stable across workers/sessions)."""
+    return (pd.util.hash_pandas_object(s, index=False).to_numpy()
+            % LM_BUCKETS).astype(np.int64)
+
+
+def q_lm_bits(sf_dir: str) -> pd.DataFrame:
+    """Self-trained smoothed-bigram LM quality score, bits/token — the
+    LM-filtering stage of CCNet/C4-style web-text pipelines (Wenzek et
+    al. 2020 score pages with a pretrained KenLM; here the add-α
+    bigram model is trained ON the corpus in the same job, keeping the
+    op deterministic, self-contained and exactly SQL-oracle-able).
+    High bits/token ⇒ improbable token sequences ⇒ noisy page.
+
+      P(w₁)        = (C(w₁) + α) / (N + αV)
+      P(wₜ|wₜ₋₁)   = (C(wₜ₋₁wₜ) + α) / (C(wₜ₋₁) + αV)
+      lm_bits(doc) = -Σ log2 P / n_tokens
+
+    Distributed shape: the token table materializes once (spill-backed,
+    ~corpus-sized — the deliberate memory-for-CPU trade; every stage
+    below re-reads it).  (1) bigram counts annotate their own
+    positions inside ONE bucketed groupby — the count rows ARE the
+    positions; (2) unigram counts via tagged union (each position
+    contributes its token once and looks up its predecessor — or
+    itself at i=1); (3) a doc-bucketed cogroup of the two annotation
+    streams computes the per-doc mean.  Three token-volume shuffles,
+    no driver text; V and N are scalar aggregates."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
+                           "text": b.column("text").to_pandas()})
+        toks = df.set_index("doc_id")["text"].str.split(" ").explode()
+        f = toks.reset_index(name="w")
+        f["i"] = f.groupby("doc_id").cumcount() + 1
+        prev = f["w"].shift(1)
+        f["wp"] = prev.where(f["i"] > 1, "")
+        # plain pa.table (not from_pandas): pandas-metadata schemas
+        # defeat Ray's shuffle schema dedup and spam reduce-side logs
+        return pa.table({"doc_id": pa.array(f["doc_id"].to_numpy()),
+                         "i": pa.array(f["i"].to_numpy()),
+                         "w": pa.array(f["w"], pa.string()),
+                         "wp": pa.array(f["wp"], pa.string())})
+
+    tok = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    n_tokens = tok.count()
+    vocab_size = (tok.map_batches(
+        lambda b: pa.table({"w": pc.unique(b.column("w"))}),
+        batch_format="pyarrow").groupby("w").count().count())
+    a, av = LM_ALPHA, LM_ALPHA * vocab_size
+
+    def bigram_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("i"), 1))
+        keys = (pd.Series(t.column("wp").to_pylist()) + "\x00"
+                + pd.Series(t.column("w").to_pylist()))
+        return pa.table({"kb": pa.array(
+                             _kb(keys) if len(keys)
+                             else np.empty(0, np.int64)),
+                         "key": pa.array(keys, pa.string()),
+                         "doc_id": t.column("doc_id"),
+                         "i": t.column("i")})
+
+    def annotate_bigrams(g: pd.DataFrame) -> pa.Table:
+        code, _ = pd.factorize(g["key"])
+        cnt = np.bincount(code)
+        n = len(code)
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy()),
+                         "i": pa.array(g["i"].to_numpy()),
+                         "c": pa.array(cnt[code].astype(np.int64)),
+                         "kind": pa.array(np.zeros(n, np.int64))})
+
+    big_ann = (tok.map_batches(bigram_rows, batch_format="pyarrow")
+                  .groupby("kb")
+                  .map_groups(annotate_bigrams, batch_format="pandas"))
+
+    def uni_tagged(b: pa.Table) -> pa.Table:
+        w = pd.Series(b.column("w").to_pylist())
+        i = b.column("i").to_numpy()
+        doc = b.column("doc_id").to_numpy()
+        wp = pd.Series(b.column("wp").to_pylist())
+        look = wp.where(i > 1, w)      # predecessor, or self at i=1
+        keys = pd.concat([w, look], ignore_index=True)
+        return pa.table({
+            "kb": pa.array(_kb(keys)),
+            "key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(np.concatenate(
+                [np.full(len(w), -1, np.int64), doc])),
+            "i": pa.array(np.concatenate(
+                [np.zeros(len(w), np.int64), i])),
+        })
+
+    def annotate_unigrams(g: pd.DataFrame) -> pa.Table:
+        code, _ = pd.factorize(g["key"])
+        contrib = g["doc_id"].to_numpy() < 0
+        cnt = np.bincount(code, weights=contrib).astype(np.int64)
+        tgt = ~contrib
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy()[tgt]),
+                         "i": pa.array(g["i"].to_numpy()[tgt]),
+                         "c": pa.array(cnt[code[tgt]]),
+                         "kind": pa.array(
+                             np.ones(int(tgt.sum()), np.int64))})
+
+    uni_ann = (tok.map_batches(uni_tagged, batch_format="pyarrow")
+                  .groupby("kb")
+                  .map_groups(annotate_unigrams, batch_format="pandas"))
+
+    def per_docs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, sub in g.groupby("doc_id", sort=True):
+            uni = sub[sub["kind"] == 1].set_index("i")["c"]
+            big = sub[sub["kind"] == 0].set_index("i")["c"]
+            n = len(uni)
+            bits = -np.log2((uni.loc[1] + a) / (n_tokens + av))
+            if n > 1:
+                idx = np.arange(2, n + 1)
+                bits += (-np.log2((big.loc[idx].to_numpy() + a)
+                                  / (uni.loc[idx].to_numpy() + av))).sum()
+            rows.append((doc_id, round(bits / n, 6)))
+        return pd.DataFrame(rows, columns=["doc_id", "lm_bits"])
+
+    ann = big_ann.union(uni_ann).map_batches(
+        lambda b: b.append_column(
+            "db", pa.array(b.column("doc_id").to_numpy() % 512)),
+        batch_format="pyarrow")
+    out = (ann.groupby("db").map_groups(per_docs, batch_format="pandas")
+              .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lm_bits_oracle_sql() -> str:
+    a = LM_ALPHA
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i, ws[CAST(i AS INT)] AS w,
+                 CASE WHEN i >= 2 THEN ws[CAST(i AS INT) - 1]
+                      ELSE '' END AS wp
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+               unnest(range(1, len(ws) + 1)) AS t(i)
+        ), uni AS (
+          SELECT w, count(*) AS c FROM tok GROUP BY w
+        ), big AS (
+          SELECT wp, w, count(*) AS c FROM tok WHERE i >= 2 GROUP BY wp, w
+        ), consts AS (
+          SELECT (SELECT count(*) FROM uni) AS v,
+                 (SELECT count(*) FROM tok) AS n
+        ), scored AS (
+          SELECT t.doc_id,
+                 CASE WHEN t.i = 1 THEN
+                   -log2((u1.c + {a}) / (consts.n + {a} * consts.v))
+                 ELSE
+                   -log2((b.c + {a}) / (ud.c + {a} * consts.v))
+                 END AS bits
+          FROM tok t
+          CROSS JOIN consts
+          LEFT JOIN uni u1 ON t.i = 1 AND u1.w = t.w
+          LEFT JOIN big b ON t.i >= 2 AND b.wp = t.wp AND b.w = t.w
+          LEFT JOIN uni ud ON t.i >= 2 AND ud.w = t.wp
+        )
+        SELECT doc_id, round(sum(bits) / count(*), 6) AS lm_bits
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 # Train/test decontamination: probe grams are derived deterministically
 # from the corpus itself (first PROBE_WORDS words of every doc with
 # doc_id % PROBE_MOD == 0) — in production the probe set is the
@@ -517,6 +688,7 @@ _LANG_SQL_SETS = {
 }
 
 ORACLES = {
+    "lm_bits": _lm_bits_oracle_sql(),
     "repetition_score": """
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
