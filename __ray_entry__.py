@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled in-window inside quality_score (dup_removed_chars)
         # and test-asserted equal
         "dedup_substring_clean": dedup.q_dedup_substring_clean,
+        # mergeable KLL-style quantile sketch (approximate by
+        # construction; rank-error bound asserted vs the exact
+        # quantile op in tests)
+        "quantile_sketch": sketch.q_quantile_sketch,
         # (winnow_fingerprint was folded into the in-window merged
         # "fingerprint" row as exact per-doc count+bit_xor — the
         # exploded-rows variant was driver-green in round 3 and stays

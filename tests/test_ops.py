@@ -550,6 +550,39 @@ def test_hll_distinct_within_error_bound():
     assert abs(hll_estimate(whole) - 5000) / 5000 < 0.05
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch_rank_error_and_properties():
+    """KLL-style sketch: every estimate lands within 1.5% RANK error of
+    its target quantile on the real column; the pipeline is
+    deterministic across runs; and a levelwise merge of two partials
+    answers as accurately as one sketch over the whole data."""
+    import duckdb
+    from tilemaker_ray.ops.sketch import (QSKETCH_QS, QuantileSketch,
+                                          q_quantile_sketch)
+    df = q_quantile_sketch(SF)
+    v = np.sort(duckdb.connect().execute(
+        f"SELECT l_extendedprice FROM read_parquet('{SF}/lineitem.parquet')"
+    ).df().iloc[:, 0].to_numpy())
+    n = len(v)
+    for q, est in zip(df["q"], df["estimate"]):
+        rank = np.searchsorted(v, est, side="left")
+        assert abs(rank - q * n) / n < 0.015, (q, est)
+    assert (q_quantile_sketch(SF)["estimate"] == df["estimate"]).all()
+
+    # merge property: split-insert-merge stays within the same bound
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 100_000)
+    a = QuantileSketch().insert(data[:60_000])
+    b = QuantileSketch().insert(data[60_000:])
+    for lvl, vals in enumerate(b.levels):
+        if len(vals):
+            a.merge_level(lvl, vals)
+    s = np.sort(data)
+    for q, est in zip(QSKETCH_QS, a.quantile(list(QSKETCH_QS))):
+        rank = np.searchsorted(s, est, side="left")
+        assert abs(rank - q * len(s)) / len(s) < 0.015, (q, est)
+
+
 def test_cms_overestimate_and_merge_properties():
     """CMS guarantees: point estimates never under-count (min over d
     rows of non-negative sums), and partials merge by elementwise sum

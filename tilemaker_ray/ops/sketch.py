@@ -336,3 +336,104 @@ def bloom_semi_join_oracle_sql() -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+# --- KLL-style mergeable quantile sketch ------------------------------------
+
+KLL_K = 200  # compactor width; rank error ~ O(1/k) observed, test-asserted
+
+
+class QuantileSketch:
+    """Deterministic KLL-style quantile sketch (the Karnin/Lang/Liberty
+    2016 compactor hierarchy, with deterministic alternating selection
+    in place of coin flips — same shape and memory, deterministic
+    across runs/retries like every sketch in this module).  Level i
+    holds values of weight 2^i; a level past k values sorts, promotes
+    every other value to level i+1 and discards the rest.  Memory is
+    O(k log(n/k)); merge = levelwise concatenation + one compaction
+    pass, which is what makes per-batch partials shuffle-friendly."""
+
+    def __init__(self, k: int = KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+
+    def insert(self, values: np.ndarray) -> "QuantileSketch":
+        self.levels[0] = np.concatenate(
+            [self.levels[0], np.asarray(values, np.float64)])
+        self._compact()
+        return self
+
+    def _grow(self, n: int) -> None:
+        while len(self.levels) < n:
+            self.levels.append(np.empty(0, np.float64))
+            self.parity.append(0)
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                s = np.sort(self.levels[i])
+                off = self.parity[i]
+                self.parity[i] ^= 1
+                self._grow(i + 2)
+                self.levels[i] = np.empty(0, np.float64)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], s[off::2]])
+            i += 1
+
+    def merge_level(self, level: int, values: np.ndarray) -> None:
+        self._grow(level + 1)
+        self.levels[level] = np.concatenate(
+            [self.levels[level], np.asarray(values, np.float64)])
+        self._compact()
+
+    def quantile(self, qs: list[float]) -> list[float]:
+        vals = np.concatenate(self.levels)
+        w = np.concatenate([np.full(len(v), 1 << i, np.int64)
+                            for i, v in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            idx = int(np.searchsorted(cum, q * total, side="left"))
+            out.append(float(vals[min(idx, len(vals) - 1)]))
+        return out
+
+
+QSKETCH_QS = [0.5, 0.9, 0.99]
+
+
+def q_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate l_extendedprice quantiles via mergeable per-batch
+    KLL partials: each batch emits its compactor levels as (level,
+    float64-bytes) rows — O(k log n) bytes per batch, never the rows —
+    and the driver merges canonically (rows sorted, so the result is
+    independent of block arrival order).  no_oracle (approximate by
+    construction); rank-error bound asserted in tests vs the exact
+    quantile op."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch().insert(
+            b.column("l_extendedprice").to_numpy().astype(np.float64))
+        lv = [i for i, v in enumerate(sk.levels) if len(v)]
+        return pa.table({
+            "level": pa.array(lv, pa.int64()),
+            "vals": pa.array([sk.levels[i].tobytes() for i in lv],
+                             pa.binary()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .to_pandas().sort_values(["level", "vals"])
+               .reset_index(drop=True))
+    merged = QuantileSketch()
+    for _, row in parts.iterrows():
+        merged.merge_level(int(row["level"]),
+                           np.frombuffer(row["vals"], np.float64))
+    est = merged.quantile(QSKETCH_QS)
+    return pd.DataFrame({"q": QSKETCH_QS,
+                         "estimate": [round(v, 6) for v in est]})
