@@ -131,6 +131,35 @@ def test_lm_bits_hand_computed(tmp_path):
     assert got.loc[1, "lm_bits"] == exp1
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_gram_hash_parity():
+    """The vectorized Karp-Rabin production path: equal L-grams hash
+    equal wherever they sit (the property dup-span relies on), distinct
+    grams collide never on this corpus, and the full dup-span pipeline
+    returns IDENTICAL results under 'rolling' and 'md5' hashing."""
+    from tilemaker_ray.ops.dedup import (DUP_SPAN_L, _gram_hashes,
+                                         dup_span_stats_ds)
+    t = "abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox"
+    h = _gram_hashes(t, DUP_SPAN_L, "rolling")
+    assert len(h) == len(t) - DUP_SPAN_L + 1
+    # same gram at two offsets hashes equal
+    u = "XX" + t[5:25] + "YYYY" + t[5:25] + "Z"
+    hu = _gram_hashes(u, DUP_SPAN_L, "rolling")
+    assert hu[2] == hu[26]
+    # all distinct grams of t hash distinct
+    assert len(np.unique(h)) == len(h)
+    # unicode beyond ASCII round-trips through the utf-32 view
+    v = "héllo wörld ünicode — ça va très bien aujourd'hui ici"
+    hv = _gram_hashes(v, DUP_SPAN_L, "rolling")
+    assert len(hv) == len(v) - DUP_SPAN_L + 1
+
+    a = (dup_span_stats_ds(SF, hash_method="md5").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dup_span_stats_ds(SF, hash_method="rolling").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_winnow_shared_substring_guarantee():
     """Winnowing's core property (Schleimer et al. 2003 thm): any
     shared substring of length >= W+K-1 produces at least one shared

@@ -425,8 +425,45 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
 DUP_SPAN_L = 20  # char L-grams; a span must be >= L chars to register
 
+_KR_B = np.uint64(0x100000001B3)          # odd ⇒ invertible mod 2^64
+_KR_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
-def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L) -> ray.data.Dataset:
+
+def _gram_hashes(t: str, L: int, method: str = "md5") -> np.ndarray:
+    """64-bit hash per L-char gram of `t` (len(t) >= L).
+
+    'md5': digest[8:16] little-endian — matches DuckDB
+    md5_number_lower, which is what makes the dup-span SQL oracle
+    exact; ~0.5 µs per gram.
+    'rolling': vectorized Karp-Rabin (h(i) = Σ c[j]·B^(L-1-j+i) mod
+    2^64, computed as B^(L-1+i) · (p[i+L]-p[i]) with p the
+    Binv-weighted prefix sum — all uint64 wraparound, ~5 numpy passes
+    per doc, no per-gram Python). The production path for corpus-scale
+    substring dedup; 64-bit collisions are possible in principle (the
+    md5 path has the same exposure) and only ever mark an extra
+    position duplicated."""
+    if method == "md5":
+        n = len(t) - L + 1
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(t[i:i + L].encode()).digest()[8:16],
+                            "little") for i in range(n)),
+            dtype=np.uint64, count=n)
+    with np.errstate(over="ignore"):
+        c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+        n = len(c)
+        binv_pow = np.concatenate(
+            ([np.uint64(1)],
+             np.cumprod(np.full(n, _KR_BINV, np.uint64))))   # Binv^j
+        p = np.concatenate(([np.uint64(0)],
+                            np.cumsum(c * binv_pow[:-1])))   # prefix
+        b_pow = np.concatenate(
+            ([np.uint64(1)],
+             np.cumprod(np.full(n, _KR_B, np.uint64))))      # B^k, k=0..n
+        return (p[L:] - p[:n - L + 1]) * b_pow[L - 1:n]
+
+
+def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L,
+                      hash_method: str = "md5") -> ray.data.Dataset:
     """Exact duplicate-substring coverage per document (the substring-
     level dedup signal of Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): a char position is DUPLICATED when
@@ -460,11 +497,7 @@ def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L) -> ray.data.Dataset:
             n = len(t) - L + 1
             if n <= 0:
                 continue
-            hv = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(t[i:i + L].encode()).digest()[8:16],
-                    "little") for i in range(n)),
-                dtype=np.uint64, count=n)
+            hv = _gram_hashes(t, L, hash_method)
             out_h.append(hv.view(np.int64))
             out_id.append(np.full(n, ids[k], np.int64))
             out_i.append(np.arange(1, n + 1, dtype=np.int64))  # SQL 1-based
@@ -607,8 +640,8 @@ def _dup_span_oracle_sql(L: int = DUP_SPAN_L) -> str:
     """
 
 
-def dedup_substring_clean_ds(sf_dir: str,
-                             L: int = DUP_SPAN_L) -> ray.data.Dataset:
+def dedup_substring_clean_ds(sf_dir: str, L: int = DUP_SPAN_L,
+                             hash_method: str = "md5") -> ray.data.Dataset:
     """The ACTIONABLE substring dedup (Lee et al. 2022 ExactSubstr):
     delete from each document every char covered by a duplicated
     L-gram whose gram has an earlier (doc_id, pos) occurrence — the
@@ -631,11 +664,7 @@ def dedup_substring_clean_ds(sf_dir: str,
             n = len(t) - L + 1
             if n <= 0:
                 continue
-            hv = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(t[i:i + L].encode()).digest()[8:16],
-                    "little") for i in range(n)),
-                dtype=np.uint64, count=n)
+            hv = _gram_hashes(t, L, hash_method)
             out_h.append(hv.view(np.int64))
             out_id.append(np.full(n, ids[k], np.int64))
             out_i.append(np.arange(1, n + 1, dtype=np.int64))
