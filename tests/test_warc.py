@@ -133,6 +133,35 @@ def test_sync_skips_false_magic_in_stored_blocks(tmp_path):
     assert all(h == html for h in got.html)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_write_warc_dir_roundtrip_and_resume(pages, tmp_path):
+    """Distributed sink: one part per block, atomic + content-addressed
+    (a second run writes nothing new), and the parts read back to the
+    exact input rows."""
+    import glob
+    import os
+
+    import ray.data
+
+    from tilemaker_ray.sources.warc import write_warc_dir
+
+    d = str(tmp_path / "crawl_parts")
+    ds = ray.data.from_arrow(pages).repartition(4)
+    n1 = write_warc_dir(ds, d)
+    files = sorted(glob.glob(os.path.join(d, "part-*.warc.gz")))
+    assert n1 == len(files) == 4
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert write_warc_dir(ray.data.from_arrow(pages).repartition(4),
+                          d) == 4
+    assert [os.path.getmtime(f) for f in files] == mtimes  # resumed
+
+    dfs = [read_warc(f, n_shards=2).to_pandas() for f in files]
+    back = _norm(pd.concat(dfs, ignore_index=True))
+    exp = _norm(pages.select(["url", "warc_ts", "html"]).to_pandas())
+    assert list(back.url) == list(exp.url)
+    assert all(x == y for x, y in zip(back.html, exp.html))
+
+
 def test_non_response_records_skipped(pages, warc_gz):
     with open(warc_gz, "rb") as f:
         import io

@@ -3,19 +3,23 @@
 The graft's input hint is a parquet table of Common-Crawl-style pages
 (url, warc_ts, html, text, lang); real crawls arrive as .warc.gz where
 EVERY record is its own gzip member, which is exactly what makes the
-format parallel-readable: a cheap sequential index pass finds member
-byte ranges, then record parsing fans out as range reads — the same
-blocked-source shape as the PBF reader (sources/pbf.py: blob index →
-per-blob tasks; reference /root/reference/src/pbf_reader.cpp).
+format parallel-readable — the same blocked-source shape as the PBF
+reader (sources/pbf.py: blob index → per-blob tasks; reference
+/root/reference/src/pbf_reader.cpp).
 
 Scale notes (100 TB crawl):
-- The index pass is IO-bound sequential gunzip-header walking (no
-  payload inflate beyond member boundaries) and in production lives
-  next to the object store (Common-Crawl publishes *.warc.gz together
-  with a cdx index — `index_warc_gz` is the fallback when no index
-  exists). Each shard task then reads ONLY its byte range.
-- Parsing is per-shard and stateless; the Dataset downstream streams
-  into the same extract → tile pipeline as the parquet source.
+- .gz reads are INDEX-FREE and fully distributed: the driver computes
+  size/n chunk boundaries from a stat call (zero byte reads); each
+  chunk task self-synchronizes to the first real gzip member in its
+  range (magic scan + validated inflate + WARC/ prefix) and owns every
+  member STARTING in-range, so the partition is exact with no
+  coordination.  `index_warc_gz` (streaming exact member index)
+  remains for tests / tools that want explicit ranges.
+- Parsing is per-shard and stateless, batched into ~32 MB Arrow
+  tables; the Dataset downstream streams into the same extract → tile
+  pipeline as the parquet source.
+- `write_warc_dir` is the distributed sink twin: one content-addressed
+  part per block, atomic renames → restart-safe resumable output.
 
 Writer included so tests and benchmarks synthesize deterministic WARC
 fixtures from the synthetic pages table — no external data.
@@ -88,6 +92,37 @@ def write_warc(table: pa.Table, path: str, compress: bool = True) -> int:
                 http)
             emit(rec, f)
     return len(urls)
+
+
+def write_warc_dir(ds, out_dir: str, compress: bool = True) -> int:
+    """Distributed WARC sink: each block of the pages Dataset writes
+    its own part-NNNNN.warc.gz (atomic rename, so a restarted job can
+    skip finished parts — the resumable-output rule). Per-record gzip
+    members keep every part parallel-readable by `read_warc`; reading
+    the directory back is `union of read_warc(part) per file`, or any
+    standard WARC tool. Returns the number of parts written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(b: pa.Table) -> pa.Table:
+        # content-addressed name (md5 of the block's url column):
+        # deterministic for a given block, so retries land on their
+        # own part instead of duplicating it
+        import hashlib
+        tag = hashlib.md5(
+            "\n".join(b.column("url").to_pylist()).encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{tag}.warc.gz")
+        if not os.path.exists(path):
+            tmp = path + f".tmp-{os.getpid()}"
+            write_warc(b, tmp, compress=compress)
+            os.replace(tmp, path)
+        return pa.table({"part": pa.array([path], pa.string()),
+                         "records": pa.array([len(b)], pa.int64())})
+
+    parts = ds.map_batches(write_part, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return len(parts)
 
 
 def warc_path(n_rows: int, seed: int = 42,
