@@ -124,6 +124,12 @@ def _content_samples(sf_dir: str):
     return pd.concat([a, b], ignore_index=True)
 
 
+def _bpe_merges(sf_dir: str):
+    from tilemaker_ray.ops.bpe import q_bpe_merges
+
+    return q_bpe_merges(sf_dir)
+
+
 def _hll_distinct_urls(sf_dir: str):
     from tilemaker_ray.ops.sketch import q_hll_distinct_urls
 
@@ -299,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # construction; rank-error bound asserted vs the exact
         # quantile op in tests)
         "quantile_sketch": sketch.q_quantile_sketch,
+        # distributed BPE tokenizer training (iterative algorithm — no
+        # SQL oracle; bit-identical to the pure-Python reference
+        # trainer by test)
+        "bpe_merges": _bpe_merges,
         # (winnow_fingerprint was folded into the in-window merged
         # "fingerprint" row as exact per-doc count+bit_xor — the
         # exploded-rows variant was driver-green in round 3 and stays

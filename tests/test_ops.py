@@ -612,6 +612,34 @@ def test_quantile_sketch_rank_error_and_properties():
         assert abs(rank - q * len(s)) / len(s) < 0.015, (q, est)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_distributed_matches_reference():
+    """Distributed BPE training reproduces the classic single-threaded
+    algorithm bit-identically (same merge sequence, deterministic
+    tie-break), and the apply-side tokenizer compresses: learned-token
+    count per doc sits between the word count and the char count."""
+    import duckdb
+    from tilemaker_ray.ops.bpe import (bpe_apply_ds, bpe_train,
+                                       bpe_train_reference)
+    m_dist = bpe_train(SF, 12)
+    wf = dict(duckdb.connect().execute(
+        f"SELECT tok, count(*) FROM (SELECT unnest(string_split(text,' '))"
+        f" AS tok FROM read_parquet('{SF}/documents.parquet'))"
+        f" GROUP BY tok").fetchall())
+    assert m_dist == bpe_train_reference(wf, 12)
+    assert len(m_dist) == 12
+
+    df = bpe_apply_ds(SF, m_dist).to_pandas()
+    lens = duckdb.connect().execute(
+        f"SELECT doc_id, len(string_split(text,' ')) AS nw, length(text)"
+        f" AS nc FROM read_parquet('{SF}/documents.parquet')").df()
+    m = df.merge(lens, on="doc_id")
+    assert (m.n_bpe_trained_tokens >= m.nw).all()       # >= 1 tok/word
+    assert (m.n_bpe_trained_tokens <= m.nc + m.nw).all()  # <= chars+EOW
+    # merges actually fire: strictly fewer symbols than no-merge bound
+    assert (m.n_bpe_trained_tokens < m.nc - m.nw + 1 + m.nw).any()
+
+
 def test_cms_overestimate_and_merge_properties():
     """CMS guarantees: point estimates never under-count (min over d
     rows of non-negative sums), and partials merge by elementwise sum
