@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL oracle; bit-identical to the pure-Python reference
         # trainer by test)
         "bpe_merges": _bpe_merges,
+        # full-data distributed Lloyd k-means training (iterative — no
+        # SQL oracle; parity with a local Lloyd run test-asserted)
+        "kmeans_train": similarity.q_kmeans_train,
         # (winnow_fingerprint was folded into the in-window merged
         # "fingerprint" row as exact per-doc count+bit_xor — the
         # exploded-rows variant was driver-green in round 3 and stays

@@ -613,6 +613,40 @@ def test_quantile_sketch_rank_error_and_properties():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kmeans_train_matches_local_lloyd():
+    """Distributed Lloyd training equals a single-process run of the
+    same algorithm (same deterministic init, same iteration count) to
+    float-sum-reorder tolerance, and its final centroids have lower
+    inertia than the init."""
+    from tilemaker_ray.ops.similarity import (KMEANS_K,
+                                              KMEANS_TRAIN_ITERS,
+                                              _load_queries_k,
+                                              kmeans_train)
+    c = kmeans_train(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["embedding"])
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    _, qmat = _load_queries_k(SF, KMEANS_K)
+    ref = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    init = ref.copy()
+    for _ in range(KMEANS_TRAIN_ITERS):
+        best = np.argmax(x @ ref.T, axis=1)
+        nxt = ref.copy()
+        for j in range(KMEANS_K):
+            m = x[best == j]
+            if len(m):
+                v = m.mean(axis=0)
+                nxt[j] = v / np.linalg.norm(v)
+        ref = nxt
+    assert np.allclose(c, ref, atol=1e-9)
+
+    def inertia(cent):
+        return float((1 - (x @ cent.T).max(axis=1)).sum())
+    assert inertia(c) < inertia(init)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_distributed_matches_reference():
     """Distributed BPE training reproduces the classic single-threaded
     algorithm bit-identically (same merge sequence, deterministic

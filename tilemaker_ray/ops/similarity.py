@@ -198,6 +198,72 @@ def _table_rows(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
 
 
+KMEANS_TRAIN_ITERS = 5
+
+
+def kmeans_train(sf_dir: str, k: int = KMEANS_K,
+                 iters: int = KMEANS_TRAIN_ITERS) -> np.ndarray:
+    """Fully distributed Lloyd's k-means over the WHOLE embeddings
+    table (the trainer `q_kmeans_assign` is the inner step of):
+    deterministic init (vec_id < k, the same centroids the assign
+    oracle uses), cosine metric, ties to the lowest cluster id.
+
+    Each iteration broadcasts the centroid matrix (ray.put) and every
+    batch emits PARTIAL (cluster, sum_vec, count) rows — the map-side
+    combiner — so the per-iteration exchange is k x dim floats per
+    block regardless of n; the k-row reduce happens on the driver.
+    Empty clusters keep their previous centroid.  Unlike the bounded-
+    sample `_centroids` (the IVF path), this is the exact full-data
+    trainer."""
+    qid, qmat = _load_queries_k(sf_dir, k)
+    c = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    for _ in range(iters):
+        cref = ray.put(c)
+
+        def part(b: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            emb = np.stack(b.column("embedding")
+                           .to_numpy(zero_copy_only=False)).astype(np.float64)
+            en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            best = np.argmax(en @ cc.T, axis=1)
+            js, sums, ns = [], [], []
+            for j in np.unique(best):
+                m = en[best == j]
+                js.append(int(j))
+                sums.append(m.sum(axis=0).tobytes())
+                ns.append(len(m))
+            return pa.table({"j": pa.array(js, pa.int64()),
+                             "s": pa.array(sums, pa.binary()),
+                             "n": pa.array(ns, pa.int64())})
+
+        rows = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        nxt = c.copy()
+        for j, sub in rows.groupby("j"):
+            total = np.sum([np.frombuffer(s, np.float64)
+                            for s in sub["s"]], axis=0)
+            v = total / sub["n"].sum()
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                nxt[int(j)] = v / nrm
+        c = nxt
+    return c
+
+
+def q_kmeans_train(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry: final centroids exploded to
+    (centroid_id, dim, value) — iterative algorithm, no SQL oracle;
+    parity with a local single-process Lloyd run is test-asserted."""
+    c = kmeans_train(sf_dir)
+    k, d = c.shape
+    return pd.DataFrame({
+        "centroid_id": np.repeat(np.arange(k, dtype=np.int64), d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), k),
+        "value": np.round(c.ravel(), 6),
+    })
+
+
 def _centroids(sf_dir: str, n_rows: int | None = None) -> np.ndarray:
     """Deterministic sampled k-means: sqrt(n) centroids, 2 Lloyd
     iterations from seeded init over a bounded sample (<=
