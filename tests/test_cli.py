@@ -81,3 +81,31 @@ class TestCli:
                 if ranges[z][0] <= x <= ranges[z][1]
                 and ranges[z][2] <= y <= ranges[z][3]}
         assert t_clip == kept
+
+    def test_warc_input_to_mbtiles(self, tmp_path):
+        """A .warc.gz crawl through the CLI matches the parquet pages
+        path tile-for-tile (text re-derived from html on the fly)."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tilemaker_ray.sources.pages import pages_path
+        from tilemaker_ray.sources.warc import write_warc
+
+        pages_dir = pages_path(500)
+        tabs = [pq.read_table(p)
+                for p in sorted(glob.glob(pages_dir + "/*.parquet"))]
+        warc = str(tmp_path / "crawl.warc.gz")
+        write_warc(pa.concat_tables(tabs), warc)
+
+        out_w = str(tmp_path / "w.mbtiles")
+        out_p = str(tmp_path / "p.mbtiles")
+        r = run_cli("--input", warc, "--output", out_w, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        r = run_cli("--input", pages_dir, "--output", out_p, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+
+        from tilemaker_ray.sinks.mbtiles import read_mbtiles
+        tw, tp = read_mbtiles(out_w), read_mbtiles(out_p)
+        assert set(tw.keys()) == set(tp.keys()) and len(tw) > 10
