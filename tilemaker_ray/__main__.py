@@ -28,8 +28,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="tilemaker_ray",
         description="Convert .osm.pbf or web-page parquet into vector tiles")
-    ap.add_argument("--input", required=True,
-                    help="source .osm.pbf file or pages parquet directory")
+    ap.add_argument("--input", required=True, action="append",
+                    help="source .osm.pbf file (repeatable — entity "
+                         "streams union through one shared node store, "
+                         "the reference multi-input semantics), a "
+                         ".warc[.gz] crawl, or a pages parquet directory")
     ap.add_argument("--output", required=True,
                     help="target directory or .mbtiles/.pmtiles file")
     ap.add_argument("--config", default="",
@@ -58,14 +61,21 @@ def main(argv=None) -> int:
                         help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
-    if not os.path.exists(args.input):
-        print(f"error: input not found: {args.input}", file=sys.stderr)
+    inputs = args.input
+    for p in inputs:
+        if not os.path.exists(p):
+            print(f"error: input not found: {p}", file=sys.stderr)
+            return 2
+        if (not p.endswith((".pbf", ".warc", ".warc.gz"))
+                and not os.path.isdir(p)):
+            print(f"error: input must be a .osm.pbf file, a .warc[.gz] "
+                  f"crawl, or a parquet directory: {p}", file=sys.stderr)
+            return 2
+    if len(inputs) > 1 and not all(p.endswith(".pbf") for p in inputs):
+        print("error: multiple --input is supported for .osm.pbf only",
+              file=sys.stderr)
         return 2
-    if (not args.input.endswith((".pbf", ".warc", ".warc.gz"))
-            and not os.path.isdir(args.input)):
-        print(f"error: input must be a .osm.pbf file, a .warc[.gz] crawl, "
-              f"or a parquet directory: {args.input}", file=sys.stderr)
-        return 2
+    args.input = inputs[0]
 
     import ray
     if not ray.is_initialized():
@@ -105,7 +115,7 @@ def main(argv=None) -> int:
         kind = ("OSM pbf" if is_pbf else
                 "WARC crawl" if args.input.endswith((".warc", ".warc.gz"))
                 else "pages parquet")
-        print(f"Reading {kind}: {args.input}")
+        print(f"Reading {kind}: {', '.join(inputs)}")
 
     if args.resume and not _is_container(args.output):
         from .pipelines.resumable import run_resumable
@@ -117,7 +127,8 @@ def main(argv=None) -> int:
 
     if is_pbf:
         from .pipelines.osm import osm_tile_dataset
-        tiles = osm_tile_dataset(args.input, config, profile=profile)
+        tiles = osm_tile_dataset(inputs if len(inputs) > 1 else args.input,
+                                 config, profile=profile)
     else:
         from .pipelines.flagship import tile_dataset
         tiles = tile_dataset(args.input, config, with_joins=args.joins)

@@ -93,14 +93,25 @@ _ENTITY_SCHEMA = pa.schema([
 ])
 
 
-def _parse_blocks(path: str, kinds: tuple[str, ...]):
+def _paths(path) -> list[str]:
+    """Normalize the `str | list[str]` input surface: the reference
+    accepts multiple --input .pbf files whose entity streams share one
+    node/way store (options_parser.cpp:22, inputFiles vector)."""
+    return [path] if isinstance(path, str) else list(path)
+
+
+def _parse_blocks(kinds: tuple[str, ...]):
     """One blob → one Arrow table.  Node columns go in as whole numpy
     arrays (zero-copy into Arrow) — the round-1 per-node Python appends
-    were the parse bottleneck at 1e9 nodes."""
+    were the parse bottleneck at 1e9 nodes.  Each offset row carries
+    its source path, so multi-input runs read all files through one
+    Dataset."""
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
-        for off, ln in zip(batch["offset"].to_pylist(), batch["length"].to_pylist()):
-            data = pbf.read_blob_at(path, off, ln)
+        for p, off, ln in zip(batch["path"].to_pylist(),
+                              batch["offset"].to_pylist(),
+                              batch["length"].to_pylist()):
+            data = pbf.read_blob_at(p, off, ln)
             pb = pbf.parse_primitive_block(data, kinds=kinds)
             if "node" in kinds and pb.nodes["id"]:
                 ids, lat, lon, tags = pbf.block_nodes(pb)
@@ -166,11 +177,13 @@ def _parse_blocks(path: str, kinds: tuple[str, ...]):
     return parse
 
 
-def entity_dataset(path: str, kinds=("node", "way", "relation")) -> ray.data.Dataset:
-    offs = [{"offset": o, "length": l} for o, l, t in pbf.blob_offsets(path)
-            if t == "OSMData"]
+def entity_dataset(path, kinds=("node", "way", "relation")) -> ray.data.Dataset:
+    """path: one .osm.pbf or a list of them (entity streams union)."""
+    offs = [{"path": p, "offset": o, "length": l}
+            for p in _paths(path)
+            for o, l, t in pbf.blob_offsets(p) if t == "OSMData"]
     ds = ray.data.from_items(offs)
-    return ds.map_batches(_parse_blocks(path, kinds), batch_format="pyarrow",
+    return ds.map_batches(_parse_blocks(kinds), batch_format="pyarrow",
                           batch_size=1)
 
 
@@ -210,11 +223,12 @@ def _node_range_boundaries(path: str, num_shards: int,
     id of ~max_sample evenly-spaced OSMData blocks (dense-node blocks
     hold roughly equal node counts, so block-min quantiles approximate
     id quantiles; one tiny sampling pass, no full read)."""
-    offs = [(o, l) for o, l, t in pbf.blob_offsets(path) if t == "OSMData"]
+    offs = [(p, o, l) for p in _paths(path)
+            for o, l, t in pbf.blob_offsets(p) if t == "OSMData"]
     step = max(1, len(offs) // max_sample)
     mins = []
-    for o, l in offs[::step]:
-        m = pbf.block_min_node_id(pbf.read_blob_at(path, o, l))
+    for p, o, l in offs[::step]:
+        m = pbf.block_min_node_id(pbf.read_blob_at(p, o, l))
         if m is not None:
             mins.append(m)
     if not mins:
@@ -241,9 +255,10 @@ def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
 
     def feed(batch: pa.Table) -> pa.Table:
         pending = []
-        for off, ln in zip(batch["offset"].to_pylist(),
-                           batch["length"].to_pylist()):
-            pb = pbf.parse_primitive_block(pbf.read_blob_at(path, off, ln),
+        for p, off, ln in zip(batch["path"].to_pylist(),
+                              batch["offset"].to_pylist(),
+                              batch["length"].to_pylist()):
+            pb = pbf.parse_primitive_block(pbf.read_blob_at(p, off, ln),
                                            kinds=("node",))
             if not pb.nodes["id"]:
                 continue
@@ -261,8 +276,9 @@ def build_node_store(path: str, num_shards: int = NODE_STORE_SHARDS):
             ray.get(pending)  # backpressure: block until shard acks
         return pa.table({"blocks": pa.array([batch.num_rows], pa.int64())})
 
-    offs = [{"offset": o, "length": l} for o, l, t in pbf.blob_offsets(path)
-            if t == "OSMData"]
+    offs = [{"path": p, "offset": o, "length": l}
+            for p in _paths(path)
+            for o, l, t in pbf.blob_offsets(p) if t == "OSMData"]
     ray.data.from_items(offs).map_batches(
         feed, batch_format="pyarrow", batch_size=4).count()
     # seal in parallel; task-return refs are driver-owned, so the
@@ -695,7 +711,7 @@ class OsmProfile:
         emit.MinZoom(10)
 
 
-def osm_feature_dataset(path: str, config: Config | None = None,
+def osm_feature_dataset(path, config: Config | None = None,
                         profile=None) -> ray.data.Dataset:
     """Entities → FEATURE_SCHEMA rows (same schema as the web path).
 
@@ -883,9 +899,11 @@ def _append_features(out: dict, emit: Emitter, url: str, base_id: int) -> None:
             out["geom"].append(gc.pack_mp(gc.correct_geometry(f.geom_parts)))
 
 
-def osm_tile_dataset(path: str, config: Config | None = None,
+def osm_tile_dataset(path, config: Config | None = None,
                      profile=None) -> ray.data.Dataset:
-    """monaco.pbf (or any .osm.pbf) → MVT tiles through the SAME
+    """monaco.pbf (or any .osm.pbf, or a LIST of them — streams union
+    through one shared node store, the reference multi-input
+    semantics) → MVT tiles through the SAME
     single-pass engine as the web flagship."""
     config = config or osm_config()
     from ..stages.salted import (GeomMap, TileAssembler, add_partition_key,
@@ -893,7 +911,8 @@ def osm_tile_dataset(path: str, config: Config | None = None,
     feats = osm_feature_dataset(path, config, profile=profile)
     geom_map = GeomMap(config)
     assembler = TileAssembler(config)
-    nparts = data_num_partitions(dir_input_bytes(path))
+    nparts = data_num_partitions(sum(dir_input_bytes(p)
+                                     for p in _paths(path)))
 
     def run_geom(b):
         return geom_map(b)
