@@ -109,3 +109,72 @@ class TestCli:
         from tilemaker_ray.sinks.mbtiles import read_mbtiles
         tw, tp = read_mbtiles(out_w), read_mbtiles(out_p)
         assert set(tw.keys()) == set(tp.keys()) and len(tw) > 10
+
+    def test_positional_input_output(self, tmp_path):
+        """Reference positional form: `tilemaker in.pbf out.mbtiles`."""
+        out = str(tmp_path / "pos.mbtiles")
+        r = run_cli("/root/reference/test/monaco.pbf", out, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        from tilemaker_ray.sinks.mbtiles import read_mbtiles
+        assert len(read_mbtiles(out)) >= 10
+
+    def test_process_lua_shim(self, tmp_path):
+        """--process process-openmaptiles.lua maps to the built-in OMT
+        profile (22 Monaco tiles, the frozen OMT count); any other Lua
+        errors with porting guidance."""
+        out = str(tmp_path / "omt.mbtiles")
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", out, "--quiet", "--process",
+                    "/root/reference/resources/process-openmaptiles.lua")
+        assert r.returncode == 0, r.stderr[-500:]
+        from tilemaker_ray.sinks.mbtiles import read_mbtiles
+        assert len(read_mbtiles(out)) == 22
+        r = run_cli("--input", "/root/reference/test/monaco.pbf",
+                    "--output", out, "--process", "custom.lua")
+        assert r.returncode != 0 and "profile" in r.stderr
+
+    def test_multi_input_cli(self, tmp_path):
+        """Repeated --input unions entity streams (multi-input test in
+        test_osm.py checks tile parity; this checks the CLI surface)."""
+        import struct
+        src = "/root/reference/test/monaco.pbf"
+        raw = open(src, "rb").read()
+        pos, sections = 0, []
+        while pos < len(raw):
+            (hl,) = struct.unpack(">I", raw[pos:pos + 4])
+            hdr = raw[pos + 4:pos + 4 + hl]
+            i, typ, datasize = 0, None, None
+            while i < len(hdr):
+                tag = hdr[i]; i += 1
+                f, w = tag >> 3, tag & 7
+                v, sh = 0, 0
+                while w in (0, 2):
+                    b = hdr[i]; i += 1
+                    v |= (b & 0x7F) << sh; sh += 7
+                    if not b & 0x80:
+                        break
+                if w == 2:
+                    if f == 1:
+                        typ = hdr[i:i + v].decode()
+                    i += v
+                elif w == 0 and f == 3:
+                    datasize = v
+            total = 4 + hl + datasize
+            sections.append((pos, total, typ)); pos += total
+        header = next(raw[o:o + n] for o, n, t in sections
+                      if t == "OSMHeader")
+        data = [(o, n) for o, n, t in sections if t == "OSMData"]
+        a, b = str(tmp_path / "a.osm.pbf"), str(tmp_path / "b.osm.pbf")
+        for name, sel in ((a, data[::2]), (b, data[1::2])):
+            with open(name, "wb") as f:
+                f.write(header)
+                for o, n in sel:
+                    f.write(raw[o:o + n])
+        out = str(tmp_path / "multi.mbtiles")
+        r = run_cli("--input", a, "--input", b, "--output", out, "--quiet")
+        assert r.returncode == 0, r.stderr[-500:]
+        from tilemaker_ray.sinks.mbtiles import read_mbtiles
+        single = str(tmp_path / "single.mbtiles")
+        r = run_cli("--input", src, "--output", single, "--quiet")
+        assert r.returncode == 0
+        assert set(read_mbtiles(out)) == set(read_mbtiles(single))

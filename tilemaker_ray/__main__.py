@@ -28,12 +28,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="tilemaker_ray",
         description="Convert .osm.pbf or web-page parquet into vector tiles")
-    ap.add_argument("--input", required=True, action="append",
+    ap.add_argument("positional", nargs="*", default=[],
+                    help="positional [input] [output] (reference "
+                         "options_parser.cpp positional form)")
+    ap.add_argument("--input", action="append", default=None,
                     help="source .osm.pbf file (repeatable — entity "
                          "streams union through one shared node store, "
                          "the reference multi-input semantics), a "
                          ".warc[.gz] crawl, or a pages parquet directory")
-    ap.add_argument("--output", required=True,
+    ap.add_argument("--output", default=None,
                     help="target directory or .mbtiles/.pmtiles file")
     ap.add_argument("--config", default="",
                     help="layer config JSON (default: built-in schema)")
@@ -42,6 +45,12 @@ def main(argv=None) -> int:
                     help="pbf tag-processing profile (default mini; "
                          "'openmaptiles' = the full OpenMapTiles schema, "
                          "the reference's process-openmaptiles.lua)")
+    ap.add_argument("--process", default="",
+                    help="tag-processing Lua file (reference flag): the "
+                         "shipped process-openmaptiles.lua maps to the "
+                         "built-in openmaptiles profile; other Lua "
+                         "scripts are not executable here — port them "
+                         "as a profile class (see profiles/)")
     ap.add_argument("--bbox", default="", help="minlon,minlat,maxlon,maxlat")
     ap.add_argument("--merge", action="store_true",
                     help="merge with existing .mbtiles (overwrites otherwise)")
@@ -56,11 +65,30 @@ def main(argv=None) -> int:
     # accepted-but-inert reference flags (memory knobs the object store replaces)
     for flag in ("--store", "--fast", "--compact", "--no-compress-nodes",
                  "--no-compress-ways", "--materialize-geometries",
-                 "--shard-stores", "--skip-integrity"):
+                 "--shard-stores", "--skip-integrity", "--log-tile-timings"):
         ap.add_argument(flag, nargs="?", const=True, default=None,
                         help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
+    # positional input/output (reference: p.add("input",1).add("output",1))
+    pos = list(args.positional)
+    if args.input is None and pos:
+        args.input = [pos.pop(0)]
+    if args.output is None and pos:
+        args.output = pos.pop(0)
+    if args.input is None or args.output is None:
+        print("error: --input and --output are required (flags or "
+              "positional)", file=sys.stderr)
+        return 2
+    if args.process:
+        base = os.path.basename(args.process)
+        if "openmaptiles" in base:
+            args.profile = "openmaptiles"
+        else:
+            print(f"error: cannot execute Lua ({args.process}); port the "
+                  f"script as a profile class (profiles/) or use "
+                  f"--profile openmaptiles", file=sys.stderr)
+            return 2
     inputs = args.input
     for p in inputs:
         if not os.path.exists(p):
