@@ -103,3 +103,64 @@ class TestTileServer:
         with open(os.path.join(root, "metadata.json"), "w") as f:
             json.dump({"name": "t"}, f)
         self._roundtrip(root, tmp_path)
+
+
+def test_metadata_alias(tmp_path):
+    """Reference server route: /metadata (server.cpp:96) answers like
+    /metadata.json."""
+    import json
+    import os
+    import threading
+    import urllib.request
+
+    from tilemaker_ray.serve import serve
+
+    root = str(tmp_path / "tiles")
+    os.makedirs(os.path.join(root, "0", "0"))
+    with open(os.path.join(root, "0", "0", "0.pbf"), "wb") as f:
+        f.write(b"x")
+    with open(os.path.join(root, "metadata.json"), "w") as f:
+        json.dump({"name": "t"}, f)
+    srv = serve(root, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        a = urllib.request.urlopen(f"{base}/metadata").read()
+        b = urllib.request.urlopen(f"{base}/metadata.json").read()
+        assert a == b and b"t" in a
+    finally:
+        srv.shutdown()
+
+
+def test_static_dir_serving(tmp_path):
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from tilemaker_ray.serve import serve
+    from tilemaker_ray.sinks.zxy import write_zxy  # noqa: F401 (import check)
+
+    tiles_dir = tmp_path / "tiles"
+    (tiles_dir / "0" / "0").mkdir(parents=True)
+    (tiles_dir / "0" / "0" / "0.pbf").write_bytes(b"x")
+    (tmp_path / "static").mkdir()
+    (tmp_path / "static" / "index.html").write_text("<html>hi</html>")
+    (tmp_path / "secret.txt").write_text("nope")
+
+    srv = serve(str(tiles_dir), port=0, static_dir=str(tmp_path / "static"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = urllib.request.urlopen(f"{base}/index.html").read()
+        assert b"hi" in body
+        root = urllib.request.urlopen(f"{base}/").read()  # → index.html
+        assert b"hi" in root
+        try:
+            urllib.request.urlopen(f"{base}/../secret.txt")
+            got = 200
+        except urllib.error.HTTPError as e:
+            got = e.code
+        assert got == 404
+    finally:
+        srv.shutdown()

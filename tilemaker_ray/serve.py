@@ -98,13 +98,38 @@ def open_backend(path: str) -> TileBackend:
     raise ValueError(f"unsupported tile container: {path}")
 
 
-def make_handler(backend: TileBackend, compressed: bool = True):
+def make_handler(backend: TileBackend, compressed: bool = True,
+                 static_dir: str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
 
+        def _send_static(self) -> bool:
+            """Serve a file under static_dir (reference server.cpp
+            default_resource) — canonical-path check blocks traversal."""
+            if static_dir is None:
+                return False
+            rel = self.path.lstrip("/") or "index.html"
+            root = os.path.realpath(static_dir)
+            full = os.path.realpath(os.path.join(root, rel))
+            if not full.startswith(root + os.sep) or not os.path.isfile(full):
+                return False
+            body = open(full, "rb").read()
+            ctype = {"html": "text/html", "js": "text/javascript",
+                     "css": "text/css", "json": "application/json",
+                     "png": "image/png"}.get(full.rsplit(".", 1)[-1],
+                                             "application/octet-stream")
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return True
+
         def do_GET(self):
-            if self.path == "/metadata.json":
+            # /metadata = the reference server route (server.cpp:96);
+            # /metadata.json kept for compatibility with earlier rounds
+            if self.path in ("/metadata.json", "/metadata"):
                 body = json.dumps(backend.metadata()).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -114,8 +139,9 @@ def make_handler(backend: TileBackend, compressed: bool = True):
                 return
             m = TILE_RE.match(self.path)
             if not m:
-                self.send_response(404)
-                self.end_headers()
+                if not self._send_static():
+                    self.send_response(404)
+                    self.end_headers()
                 return
             z, x, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
             data = backend.get_tile(z, x, y)
@@ -137,10 +163,12 @@ def make_handler(backend: TileBackend, compressed: bool = True):
 
 
 def serve(path: str, host: str = "127.0.0.1", port: int = 8080,
-          compressed: bool = True) -> ThreadingHTTPServer:
+          compressed: bool = True,
+          static_dir: str | None = None) -> ThreadingHTTPServer:
     """Build (but don't run) the server — call .serve_forever()."""
     return ThreadingHTTPServer((host, port),
-                               make_handler(open_backend(path), compressed))
+                               make_handler(open_backend(path), compressed,
+                                            static_dir))
 
 
 def main(argv=None) -> int:
@@ -150,9 +178,12 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--no-gzip-header", action="store_true",
                     help="tiles stored uncompressed")
+    ap.add_argument("--static", default=None,
+                    help="path of static files (reference server flag)")
     args = ap.parse_args(argv)
     srv = serve(args.container, args.host, args.port,
-                compressed=not args.no_gzip_header)
+                compressed=not args.no_gzip_header,
+                static_dir=args.static)
     print(f"serving {args.container} on http://{args.host}:{args.port}"
           f"/{{z}}/{{x}}/{{y}}.pbf")
     try:
