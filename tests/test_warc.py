@@ -202,3 +202,19 @@ def test_warc_to_tiles_matches_parquet_path(tmp_path):
     a = a.sort_values(cols[:3]).reset_index(drop=True)
     b = b.sort_values(cols[:3]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resumable_run_from_warc(pages, tmp_path):
+    """--resume works with a .warc.gz input: first run writes every
+    partition, a rerun skips them all (manifest hit)."""
+    from tilemaker_ray.pipelines.resumable import run_resumable
+
+    warc = str(tmp_path / "crawl.warc.gz")
+    write_warc(pages, warc)
+    out = str(tmp_path / "tiles_out")
+    s1 = run_resumable(warc, out)
+    assert s1["tiles_written_this_run"] > 0
+    s2 = run_resumable(warc, out)
+    assert s2["tiles_written_this_run"] == 0
+    assert s2["partitions_done_before"] == s1["partitions_total"]
