@@ -387,9 +387,20 @@ def _embedding_shards(sf_dir: str):
 def _gather_embeddings(ids_sorted: np.ndarray, refs, ranges):
     """Fetch the normalized embeddings for a sorted unique id array from
     the plasma shards (zero-copy reads; only overlapping shards are
-    touched).  Returns (ids, matrix) row-aligned."""
+    touched).  Returns (ids, matrix) row-aligned.
+
+    Shard ranges are sorted and disjoint, so the shards overlapping
+    [ids[0], ids[-1]] form ONE contiguous window found by binary search
+    — per-tile cost is O(log shards + touched), not a linear scan of
+    every range (the round-3 caveat at ~10^6 shards)."""
     out_ids, out_mat = [], []
-    for si in range(len(refs)):
+    if len(ids_sorted) == 0 or len(refs) == 0:
+        return np.empty(0, np.int64), np.empty((0, 1))
+    starts = np.asarray([r[0] for r in ranges], dtype=np.int64)
+    ends = np.asarray([r[1] for r in ranges], dtype=np.int64)
+    w0 = int(np.searchsorted(ends, ids_sorted[0], "left"))
+    w1 = int(np.searchsorted(starts, ids_sorted[-1], "right"))
+    for si in range(w0, min(w1, len(refs))):
         lo, hi = ranges[si]
         l = np.searchsorted(ids_sorted, lo, "left")
         r = np.searchsorted(ids_sorted, hi, "right")
