@@ -863,3 +863,53 @@ def test_dedup_exact_confirm_path(tmp_path):
     }), str(d / "documents.parquet"))
     out = q_dedup_exact(str(d))
     assert out.values.tolist() == [[1, 3], [3, 2]]
+
+
+def test_url_canonicalize_adversarial_host_parity(tmp_path):
+    """Hosts with uppercase letters / default ports: the Ray kernel and
+    the SQL oracle must agree on the canonical host (the oracle
+    previously extracted host from the ORIGINAL url — review finding)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.web import (_HOSTPORT_RE, canonicalize_urls,
+                                       url_canonicalize_oracle_sql)
+    urls = ["HTTP://Example.COM:80/a/b/",
+            "https://X.org:443/p?utm_source=z&q=1#f",
+            "http://plain.net/x"]
+    pq.write_table(pa.table({"url": pa.array(urls)}),
+                   str(tmp_path / "p.parquet"))
+    c = canonicalize_urls(pd.Series(urls))
+    ray_df = (pd.DataFrame({
+        "url": urls, "canonical_url": c,
+        "host": c.str.extract(_HOSTPORT_RE, expand=False)})
+        .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    sql_df = (con.sql(url_canonicalize_oracle_sql(str(tmp_path)))
+                 .df().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ray_df, sql_df)
+    assert list(sql_df.host) == ["example.com", "plain.net", "x.org"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gather_embeddings_skips_empty_shard_sentinels():
+    """Empty shards carry a (1, 0) range sentinel; the binary-searched
+    shard window must not let it hide real shards on either side
+    (review finding)."""
+    import pyarrow as pa
+    import ray
+
+    from tilemaker_ray.ops.similarity import _gather_embeddings
+
+    def shard(ids):
+        return ray.put(pa.table({
+            "vec_id": pa.array(np.array(ids, np.int64)),
+            "emb": pa.array([[1.0, 0, 0, 0] for _ in ids],
+                            pa.list_(pa.float64()))}))
+
+    refs = [shard([0, 5, 9]), shard([]), shard([10, 15, 19])]
+    ranges = np.array([(0, 9), (1, 0), (10, 19)], np.int64)
+    ids, mat = _gather_embeddings(np.array([5, 15], np.int64),
+                                  refs, ranges)
+    assert sorted(ids.tolist()) == [5, 15] and mat.shape == (2, 4)

@@ -164,3 +164,15 @@ class TestDispatch:
         w = t.column("width")[idx].as_py()
         h = t.column("height")[idx].as_py()
         assert decode_image(payload, "image/webp").shape == (h, w)
+
+
+def test_select_predictor_ties_go_to_top():
+    """VP8L predictor 11 (Select) tie-break: libwebp's Sub3 returns TOP
+    when the Manhattan distances are equal (review finding — a LEFT
+    tie-break decodes spec-conformant files wrongly and the error
+    propagates through sequential prediction)."""
+    from tilemaker_ray.ops.webp import _predict
+    left, top, topleft = 0x00020000, 0x00000200, 0
+    assert _predict(11, left, top, topleft, 0) == top
+    # non-tie behavior unchanged: p == left ⇒ distance 0 ⇒ left wins
+    assert _predict(11, 0x05050505, 0x50505050, 0x50505050, 0) == 0x05050505

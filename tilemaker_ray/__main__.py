@@ -146,6 +146,20 @@ def main(argv=None) -> int:
         print(f"Reading {kind}: {', '.join(inputs)}")
 
     if args.resume and not _is_container(args.output):
+        # run_resumable is the flagship (pages/WARC) path; a .pbf or a
+        # multi-file input would be silently misread (review finding:
+        # inputs[1:] were dropped without a word)
+        if len(inputs) > 1:
+            print("error: --resume supports a single --input",
+                  file=sys.stderr)
+            ray.shutdown()
+            return 2
+        if is_pbf:
+            print("error: --resume applies to pages/WARC inputs; for "
+                  ".osm.pbf rerun without --resume (tile writes are "
+                  "atomic per container)", file=sys.stderr)
+            ray.shutdown()
+            return 2
         from .pipelines.resumable import run_resumable
         stats = run_resumable(args.input, args.output, config)
         if not args.quiet:

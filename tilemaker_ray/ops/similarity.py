@@ -398,9 +398,16 @@ def _gather_embeddings(ids_sorted: np.ndarray, refs, ranges):
         return np.empty(0, np.int64), np.empty((0, 1))
     starts = np.asarray([r[0] for r in ranges], dtype=np.int64)
     ends = np.asarray([r[1] for r in ranges], dtype=np.int64)
+    # empty blocks carry a (1, 0) sentinel (hi < lo) that would break
+    # the sorted-ranges precondition — drop them, keeping the original
+    # shard index (review finding: the window search silently skipped
+    # real shards when a sentinel sat between them)
+    valid = np.flatnonzero(ends >= starts)
+    starts, ends = starts[valid], ends[valid]
     w0 = int(np.searchsorted(ends, ids_sorted[0], "left"))
     w1 = int(np.searchsorted(starts, ids_sorted[-1], "right"))
-    for si in range(w0, min(w1, len(refs))):
+    for vi in range(w0, min(w1, len(valid))):
+        si = int(valid[vi])
         lo, hi = ranges[si]
         l = np.searchsorted(ids_sorted, lo, "left")
         r = np.searchsorted(ids_sorted, hi, "right")

@@ -18,6 +18,15 @@ import ray.data
 STOPWORDS = ("the", "a")
 
 
+def _round6_away(x):
+    """Round to 6 decimals half-AWAY-from-zero like DuckDB round() —
+    pandas/numpy .round is banker's, which diverges on exact ties such
+    as 41/128 = 0.3203125 (non-negative inputs only, which every ratio
+    here is)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+
 # GPT-2-style pre-tokenizer shape (words with contractions, digit
 # chunks of ≤3, single punctuation) restricted to RE2-compatible
 # syntax so the DuckDB oracle matches Python's re exactly
@@ -73,8 +82,8 @@ def q_quality_score(sf_dir: str) -> pd.DataFrame:
         stop = txt.str.count(stop_rx).astype("int64")
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "stop_ratio": pa.array((stop / n).round(6)),
-            "mean_tok_len": pa.array((tot_len / n).round(6)),
+            "stop_ratio": pa.array(_round6_away(stop / n)),
+            "mean_tok_len": pa.array(_round6_away(tot_len / n)),
         })
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas()
@@ -440,9 +449,9 @@ def q_repetition_score(sf_dir: str) -> pd.DataFrame:
                 .groupby("doc_id").max().reindex(n.index, fill_value=0))
         out = pd.DataFrame({
             "doc_id": n.index,
-            "distinct_ratio": (d / n).round(6),
+            "distinct_ratio": _round6_away(d / n),
             "top_bigram_frac": np.where(
-                n > 1, (mx / (n - 1).clip(lower=1)).round(6), 0.0),
+                n > 1, _round6_away(mx / (n - 1).clip(lower=1)), 0.0),
         })
         return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -160,7 +160,7 @@ def url_canonicalize_oracle_sql(pages_dir: str) -> str:
           FROM s1
         )
         SELECT url, scheme || '://' || host || rest AS canonical_url,
-               regexp_extract(url, '{_HOSTPORT_RE}', 1) AS host
+               host
         FROM s2 ORDER BY url
     """
 

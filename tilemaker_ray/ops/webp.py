@@ -308,11 +308,14 @@ def _predict(mode: int, left: int, top: int, topleft: int, topright: int) -> int
     if mode == 10:
         return _avg2(_avg2(left, topleft), _avg2(top, topright))
     if mode == 11:  # Select
+        # libwebp Sub3: pa_minus_pb = Σ(|p-top| - |p-left|); return TOP
+        # when <= 0 — ties go to TOP (spec/libwebp; review finding: the
+        # previous <= on the negated sum sent ties to LEFT)
         p_sum = 0
         for sh in (24, 16, 8, 0):
             p = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((topleft >> sh) & 0xFF)
             p_sum += abs(p - ((left >> sh) & 0xFF)) - abs(p - ((top >> sh) & 0xFF))
-        return left if p_sum <= 0 else top
+        return top if p_sum >= 0 else left
     if mode == 12:  # ClampAddSubtractFull
         out = 0
         for sh in (24, 16, 8, 0):
