@@ -241,6 +241,10 @@ def _varint_encode_tokens(tok: np.ndarray):
     Returns (buf uint8 array, byte_off exclusive-prefix offsets with a
     final total-bytes entry)."""
     nb = np.ones(len(tok), dtype=np.int64)
+    if len(tok) and int(tok.min()) < 0:
+        # callers zigzag first; a negative token would arithmetic-shift
+        # to -1 forever below — fail loudly instead of hanging
+        raise ValueError("negative varint token (missing zigzag?)")
     rem = tok >> 7
     while rem.any():
         nb += rem > 0
