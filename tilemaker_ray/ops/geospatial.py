@@ -346,7 +346,89 @@ def q_radius_join(sf_dir: str) -> pd.DataFrame:
                .reset_index(drop=True))
 
 
+# --- zonal statistics ------------------------------------------------------
+
+ZONAL_VAL_MOD = 97      # deterministic integer per-event value band
+
+
+def q_zonal_stats(sf_dir: str) -> pd.DataFrame:
+    """Zonal statistics (raster/vector classic): per rectangle zone,
+    integer-exact count / sum / min / max of a per-event value
+    (event_id % ZONAL_VAL_MOD).  The zone layer is broadcast (tiny);
+    each batch computes the inclusive containment matrix vectorized
+    and pre-aggregates per zone (np.bincount), so the shuffle carries
+    at most one row per (batch, zone) — never the points.  All-integer
+    outputs keep the oracle bit-exact (no float-sum ordering).
+
+    Reference parity: the per-zone rollup mirrors tilemaker's per-tile
+    feature aggregation shape (tile_data.h); zones here are the same
+    deterministic rectangle layer the PIP joins use."""
+    ds = _event_points(sf_dir)
+    rects = rect_table()
+    boxes = rects[["lon0", "lat0", "lon1", "lat1"]].to_numpy()
+    rect_ids = rects.rect_id.to_numpy()
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy().astype(np.int64)
+        lon = b.column("lon").to_numpy()
+        lat = b.column("lat").to_numpy()
+        val = eid % ZONAL_VAL_MOD
+        inside = ((lon[:, None] >= boxes[None, :, 0]) &
+                  (lon[:, None] <= boxes[None, :, 2]) &
+                  (lat[:, None] >= boxes[None, :, 1]) &
+                  (lat[:, None] <= boxes[None, :, 3]))
+        pi, ri = np.nonzero(inside)
+        if len(pi) == 0:
+            return pa.table({"rect_id": pa.array([], pa.int64()),
+                             "n_points": pa.array([], pa.int64()),
+                             "sum_val": pa.array([], pa.int64()),
+                             "min_val": pa.array([], pa.int64()),
+                             "max_val": pa.array([], pa.int64())})
+        v = val[pi]
+        nb = len(rect_ids)
+        cnt = np.bincount(ri, minlength=nb)
+        sm = np.bincount(ri, weights=v.astype(np.float64),
+                         minlength=nb).astype(np.int64)
+        mn = np.full(nb, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, ri, v)
+        mx = np.full(nb, -1, dtype=np.int64)
+        np.maximum.at(mx, ri, v)
+        occ = cnt > 0
+        return pa.table({
+            "rect_id": pa.array(rect_ids[occ].astype(np.int64)),
+            "n_points": pa.array(cnt[occ].astype(np.int64)),
+            "sum_val": pa.array(sm[occ]),
+            "min_val": pa.array(mn[occ]),
+            "max_val": pa.array(mx[occ]),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("rect_id")
+             .aggregate(Sum("n_points", alias_name="n_points"),
+                        Sum("sum_val", alias_name="sum_val"),
+                        Min("min_val", alias_name="min_val"),
+                        Max("max_val", alias_name="max_val")))
+    return (out.to_pandas().sort_values("rect_id").reset_index(drop=True))
+
+
 ORACLES = {
+    "zonal_stats": f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat,
+                 event_id % {ZONAL_VAL_MOD} AS val
+          FROM events
+        ), rects AS ({RECTS_SQL})
+        SELECT r.rect_id,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(val) AS BIGINT) AS sum_val,
+               CAST(min(val) AS BIGINT) AS min_val,
+               CAST(max(val) AS BIGINT) AS max_val
+        FROM pts p JOIN rects r
+          ON p.lon >= r.lon0 AND p.lon <= r.lon1
+         AND p.lat >= r.lat0 AND p.lat <= r.lat1
+        GROUP BY r.rect_id ORDER BY r.rect_id
+    """,
     "tile_assign_points": f"""
         WITH pts AS (
           SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events

@@ -218,3 +218,67 @@ def domain_cap_oracle_sql(pages_dir: str, cap: int = DOMAIN_CAP) -> str:
         SELECT domain, url FROM p WHERE rk <= {cap}
         ORDER BY domain, url
     """
+
+
+# --- PII redaction ----------------------------------------------------------
+# One pattern table shared verbatim by the Ray kernel (Python re) and
+# the DuckDB oracle (RE2): patterns are restricted to syntax on which
+# the two engines agree (character classes, bounded repeats — no
+# backrefs, no lookaround).  Redaction applies the replacements in
+# PII_PATTERNS order, so a replaced token can never re-match a later
+# pattern differently on the two sides.
+
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+    ("phone", r"555-[0-9]{4}", "<PHONE>"),
+    ("ip", r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrub over the contact-pages table: per page, the count of
+    each PII class found in the ORIGINAL text plus the fully redacted
+    text.  Regexes compile once per actor (ST1 pattern); counting and
+    replacement are vectorized pandas str kernels — no Python row
+    loop.  Embarrassingly parallel: zero shuffle, streams at any
+    scale.  The training-data use is the cleaned `redacted` column;
+    the counts feed a removal-stats rollup."""
+    import re
+
+    from ..sources.pages import pii_pages_path
+    pages = pii_pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages)
+
+    class Redactor:
+        def __init__(self):
+            self.pats = [(name, re.compile(rx), repl)
+                         for name, rx, repl in PII_PATTERNS]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            txt = b.column("text").to_pandas()
+            cols = {"url": b.column("url")}
+            red = txt
+            for name, rx, repl in self.pats:
+                cols[f"n_{name}s"] = pa.array(
+                    txt.str.count(rx).astype("int64"))
+                red = red.str.replace(rx, repl, regex=True)
+            cols["redacted"] = pa.array(red)
+            return pa.table(cols)
+
+    df = ds.map_batches(Redactor, batch_format="pyarrow",
+                        concurrency=(1, 8)).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def pii_redact_oracle_sql(pages_dir: str) -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_{name}s"
+        for name, rx, _ in PII_PATTERNS)
+    red = "text"
+    for _, rx, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{rx}', '{repl}', 'g')"
+    return f"""
+        SELECT url, {counts}, {red} AS redacted
+        FROM read_parquet('{pages_dir}/*.parquet')
+        ORDER BY url
+    """

@@ -128,6 +128,77 @@ def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_page
     return d
 
 
+def generate_pii_block(seed: int, block_id: int, n_rows: int) -> pa.Table:
+    """Contact-page variant for the PII-redaction op: deterministic
+    text embedding emails / phone numbers / IPv4 addresses at varying
+    multiplicities (0-2 each, pure function of the row id).  Kept as a
+    SEPARATE table so the default pages fixture (whose tile counts are
+    frozen in golden tests) never changes.  Fully vectorized numpy
+    char construction — no RNG, no Python row loop."""
+    base = block_id * BLOCK_ROWS
+    i = np.arange(base, base + n_rows, dtype=np.int64)
+    s = i.astype("U12")
+    w0 = WORDS[i % len(WORDS)]
+    w1 = WORDS[(i * 7 + 3) % len(WORDS)]
+    w2 = WORDS[(i * 13 + 5) % len(WORDS)]
+
+    from functools import reduce
+
+    def cat(*parts):
+        return reduce(np.char.add, parts)
+
+    email = cat("user", (i % 1000).astype("U4"), ".", w0,
+                "@mail", (i % 37).astype("U2"), ".example")
+    email2 = cat("ops", (i % 53).astype("U2"),
+                 "@mail", (i % 19).astype("U2"), ".example")
+    phone = cat("555-", (1000 + (i * 13) % 9000).astype("U4"))
+    phone2 = cat("555-", (1000 + (i * 29) % 9000).astype("U4"))
+    ip = cat("10.", (i % 256).astype("U3"), ".", ((i * 7) % 256).astype("U3"),
+             ".", (i % 250).astype("U3"))
+
+    def seg(tok, mask):
+        return np.where(mask, np.char.add(" ", tok), "")
+
+    text = cat("contact ", w0,
+               seg(email, (i % 3) != 2),
+               seg(email2, (i % 7) == 0),
+               " call", seg(phone, (i % 5) < 3),
+               seg(phone2, (i % 11) == 0),
+               " from", seg(ip, (i % 4) == 0),
+               " ", w1, " office ", w2)
+
+    urls = cat("https://contact", (i % 997).astype("U4"), ".example/p/", s)
+    return pa.table({
+        "url": pa.array(urls.tolist(), pa.string()),
+        "text": pa.array(text.tolist(), pa.string()),
+    })
+
+
+def pii_pages_path(n_rows: int, seed: int = 42,
+                   root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """Materialize (once) and return the directory of the PII contact
+    pages parquet table (same blocked-determinism contract as
+    pages_path)."""
+    d = os.path.join(root, f"pii_n{n_rows}_s{seed}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
+    for b in range(n_blocks):
+        rows = min(BLOCK_ROWS, n_rows - b * BLOCK_ROWS)
+        t = generate_pii_block(seed, b, rows)
+        pq.write_table(t, os.path.join(tmp, f"block-{b:05d}.parquet"))
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(tmp):
+        os.replace(os.path.join(tmp, f), os.path.join(d, f))
+    os.rmdir(tmp)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return d
+
+
 def rows_for_sf(sf_dir: str) -> int:
     """Map a testdata sf dir to a pages row count (sf0.001 → 2k rows,
     sf0.01 → 20k, sf0.1 → 200k)."""
