@@ -58,16 +58,17 @@ def _flagship_point_counts(sf_dir: str):
 
 
 def _doc_quality(sf_dir: str):
-    """quality_score ⊕ repetition_score ⊕ langid ⊕ dup_span_chars (all
-    per-doc scoring signals) in one driver row."""
+    """quality_score ⊕ repetition_score ⊕ langid ⊕ dup_span_chars ⊕
+    gopher_rules (all per-doc scoring signals) in one driver row."""
     from tilemaker_ray.ops import dedup, text
 
     a = text.q_quality_score(sf_dir)
     b = text.q_repetition_score(sf_dir)
     c = text.q_langid(sf_dir)
     d = dedup.q_dup_span_chars(sf_dir)
+    e = text.q_gopher_rules(sf_dir)
     return (a.merge(b, on="doc_id").merge(c, on="doc_id")
-             .merge(d, on="doc_id")
+             .merge(d, on="doc_id").merge(e, on="doc_id")
              .sort_values("doc_id").reset_index(drop=True))
 
 
@@ -146,8 +147,9 @@ def _raster_cells_runs(sf_dir: str):
 
 
 def _content_samples(sf_dir: str):
-    """hash_sample ∪ stratified_sample, tagged by method — both are
-    deterministic content-hash (retry/resume-stable) samplers."""
+    """hash_sample ∪ stratified_sample ∪ weighted_sample, tagged by
+    method — all three are deterministic content-hash
+    (retry/resume-stable) samplers."""
     import pandas as pd
 
     from tilemaker_ray.ops import sampling
@@ -156,7 +158,9 @@ def _content_samples(sf_dir: str):
     a.insert(0, "method", "hash")
     b = sampling.q_stratified_sample(sf_dir)[["doc_id", "lang"]].copy()
     b.insert(0, "method", "stratified")
-    return pd.concat([a, b], ignore_index=True)
+    c = sampling.q_weighted_sample(sf_dir)[["doc_id", "lang"]].copy()
+    c.insert(0, "method", "weighted")
+    return pd.concat([a, b, c], ignore_index=True)
 
 
 def _bpe_merges(sf_dir: str):
@@ -234,13 +238,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 62
+    one.  All 50 oracled entries fill the window exactly; to fit 64
     oracled ops into those 50 slots, same-grain ops share a merged row
     (see the merged-driver-rows wrappers above):
-    quality_score carries repetition_score + langid + dup_span_chars,
-    fingerprint carries simhash + the winnowing set summary
-    (count + bit_xor), token_count carries normalize_text (and the BPE
-    variant) + lm_bits, hash_sample carries stratified_sample, s2_cells
+    quality_score carries repetition_score + langid + dup_span_chars +
+    gopher_rules, fingerprint carries simhash + the winnowing set
+    summary (count + bit_xor), token_count carries normalize_text (and
+    the BPE variant) + lm_bits, hash_sample carries stratified_sample +
+    weighted_sample, s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
     raster_runs (tagged union — a cell is a length-1 run); hex_bin is
     covered by hex_kring's `n` column.  Rows-only pipelines
@@ -424,14 +429,16 @@ def oracle_sql() -> dict[str, str]:
     # Ray side performs, so each merged row still checks every op.
     q, r, l = (out.pop("quality_score"), out.pop("repetition_score"),
                out.pop("langid"))
-    dsp = out.pop("dup_span_chars")
+    dsp, gph = out.pop("dup_span_chars"), out.pop("gopher_rules")
     out["quality_score"] = f"""
         SELECT q.doc_id, q.stop_ratio, q.mean_tok_len,
                r.distinct_ratio, r.top_bigram_frac, l.pred_lang, l.evidence,
-               d.dup_span_chars, d.dup_removed_chars, d.dup_span_frac
+               d.dup_span_chars, d.dup_removed_chars, d.dup_span_frac,
+               g.n_words, g.n_hapax, g.max_tok_freq, g.gopher_pass
         FROM ({q}) q JOIN ({r}) r ON q.doc_id = r.doc_id
                      JOIN ({l}) l ON q.doc_id = l.doc_id
                      JOIN ({dsp}) d ON q.doc_id = d.doc_id
+                     JOIN ({gph}) g ON q.doc_id = g.doc_id
     """
     f, s = out.pop("fingerprint"), out.pop("simhash")
     wn = out.pop("winnow_fingerprint")
@@ -466,9 +473,12 @@ def oracle_sql() -> dict[str, str]:
         FROM ({ru})
     """
     h, st = out.pop("hash_sample"), out.pop("stratified_sample")
+    wt = out.pop("weighted_sample")
     out["hash_sample"] = f"""
         SELECT 'hash' AS method, doc_id, lang FROM ({h})
         UNION ALL
         SELECT 'stratified' AS method, doc_id, lang FROM ({st})
+        UNION ALL
+        SELECT 'weighted' AS method, doc_id, lang FROM ({wt})
     """
     return out

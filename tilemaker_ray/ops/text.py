@@ -89,6 +89,53 @@ def q_quality_score(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(score, batch_format="pyarrow").to_pandas()
 
 
+# Gopher-style document-quality rules (Rae et al. 2021 §A1.1 shape,
+# thresholds tuned to the synthetic corpus so both branches occur).
+# All-INTEGER outputs and comparisons — no float ratio can diverge
+# between numpy and the SQL oracle.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 30
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3, 10   # via 3n <= L <= 10n
+
+
+def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality gate: per doc, word count, hapax count
+    (tokens occurring exactly once in the doc), the top token
+    frequency, and the integer-exact pass flag:
+
+        pass = MIN_WORDS <= n_words <= MAX_WORDS
+             and MIN_MEAN*n <= total_token_chars <= MAX_MEAN*n
+             and 2*n_hapax >= n_words        (lexical diversity)
+
+    Vectorized: one str.split + explode + two C-level groupbys per
+    batch; zero shuffle (per-doc grain, embarrassingly parallel)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def rules(b: pa.Table) -> pa.Table:
+        txt = b.column("text").to_pandas()
+        n = (txt.str.count(" ") + 1).astype("int64")
+        tot_len = txt.str.len().astype("int64") - (n - 1)
+        ex = txt.str.split(" ").explode()
+        per_tok = ex.groupby([ex.index, ex]).size()
+        hapax = (per_tok == 1).groupby(level=0).sum()
+        maxf = per_tok.groupby(level=0).max()
+        hapax = hapax.reindex(txt.index, fill_value=0).astype("int64")
+        maxf = maxf.reindex(txt.index, fill_value=0).astype("int64")
+        ok = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+              & (tot_len >= GOPHER_MIN_MEAN_LEN * n)
+              & (tot_len <= GOPHER_MAX_MEAN_LEN * n)
+              & (2 * hapax >= n))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_words": pa.array(n),
+            "n_hapax": pa.array(hapax),
+            "max_tok_freq": pa.array(maxf),
+            "gopher_pass": pa.array(ok.astype("int64")),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow").to_pandas()
+
+
 class LangId:
     """n-gram-frequency language ID (heuristic, no model): per-actor
     profile of common words per language, argmax vote (first language
@@ -697,6 +744,33 @@ _LANG_SQL_SETS = {
 }
 
 ORACLES = {
+    "gopher_rules": f"""
+        WITH w AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks
+          FROM documents
+        ), f AS (
+          SELECT doc_id, unnest(toks) AS tok FROM w
+        ), tc AS (
+          SELECT doc_id, tok, count(*) AS c FROM f GROUP BY doc_id, tok
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+                 CAST(max(c) AS BIGINT) AS max_tok_freq
+          FROM tc GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_words, a.n_hapax, a.max_tok_freq,
+               CAST(CASE WHEN a.n_words >= {GOPHER_MIN_WORDS}
+                          AND a.n_words <= {GOPHER_MAX_WORDS}
+                          AND length(w.text) - (a.n_words - 1)
+                              >= {GOPHER_MIN_MEAN_LEN} * a.n_words
+                          AND length(w.text) - (a.n_words - 1)
+                              <= {GOPHER_MAX_MEAN_LEN} * a.n_words
+                          AND 2 * a.n_hapax >= a.n_words
+                    THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        FROM agg a JOIN w ON a.doc_id = w.doc_id
+    """,
     "lm_bits": _lm_bits_oracle_sql(),
     "repetition_score": """
         WITH w AS (
