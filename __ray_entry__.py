@@ -163,6 +163,12 @@ def _content_samples(sf_dir: str):
     return pd.concat([a, b, c], ignore_index=True)
 
 
+def _nb_classify(sf_dir: str):
+    from tilemaker_ray.ops.classify import q_nb_classify
+
+    return q_nb_classify(sf_dir)
+
+
 def _bpe_merges(sf_dir: str):
     from tilemaker_ray.ops.bpe import q_bpe_merges
 
@@ -349,6 +355,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled in-window inside quality_score (dup_removed_chars)
         # and test-asserted equal
         "dedup_substring_clean": dedup.q_dedup_substring_clean,
+        # content-defined chunking dedup (FastCDC-style rolling-hash
+        # boundaries; not SQL-expressible — distributed-vs-local
+        # parity + shift-resistance property-tested)
+        "cdc_chunk_stats": dedup.q_cdc_chunk_stats,
+        # NB quality classifier (CCNet/WebText recipe: curated pages
+        # vs raw documents; log-space float sums → no SQL oracle;
+        # bit-exact distributed-vs-local parity + accuracy tested)
+        "nb_classify": _nb_classify,
         # mergeable KLL-style quantile sketch (approximate by
         # construction; rank-error bound asserted vs the exact
         # quantile op in tests)

@@ -1029,3 +1029,92 @@ def test_weighted_sample_inclusion_rule():
     keep = (h % WEIGHT_MOD) < src["n_chars"]
     assert set(src.loc[keep, "doc_id"]) == got
     assert 0 < len(got) < len(src)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_chunk_dedup(tmp_path):
+    """Content-defined chunking properties: chunk lengths conserve the
+    text, an exact duplicate doc is 100% dup bytes, and an insertion
+    only disturbs chunks overlapping the edit (shift resistance —
+    the suffix chunk stream realigns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.dedup import _cdc_chunks, q_cdc_chunk_stats
+
+    base = ("documents change near the beginning yet their later "
+            "chunks keep aligning because boundaries come from local "
+            "content only; sphinx of black quartz judge my vow 12345 "
+            "pack my box with five dozen liquor jugs 67890 and more "
+            "varied filler text keeps the window hashes well mixed")
+    h1, l1 = _cdc_chunks(base)
+    assert l1.sum() == len(base)
+    assert len(h1) >= 3          # enough chunks for the test to bite
+    shifted = "INSERTED PREFIX EDIT " + base
+    h2, l2 = _cdc_chunks(shifted)
+    assert l2.sum() == len(shifted)
+    # shift resistance: all but the first chunk(s) realign
+    shared = set(h1.tolist()) & set(h2.tolist())
+    assert len(shared) >= len(h1) - 2
+    # equal chunks hash equal wherever they sit (position independence)
+    d = tmp_path / "sf_cdc"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base, base, "completely unrelated short x"]),
+    }), str(d / "documents.parquet"))
+    df = q_cdc_chunk_stats(str(d)).set_index("doc_id")
+    assert df.loc[0, "dup_chunk_bytes"] == len(base)
+    assert df.loc[1, "dup_chunk_bytes"] == len(base)
+    assert df.loc[0, "n_dup_chunks"] == df.loc[0, "n_chunks"]
+    assert df.loc[2, "dup_chunk_bytes"] == 0
+    assert df["n_chunks"].sum() == 2 * len(h1) + len(
+        _cdc_chunks("completely unrelated short x")[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nb_classifier_parity_and_accuracy():
+    """The distributed NB (one partial-counts shuffle + broadcast
+    scoring) must equal a from-scratch local Counter implementation
+    bit-for-bit, and held-in accuracy must be near-perfect while the
+    majority baseline is not (the label IS encoded in the vocabulary:
+    pages are travel-domain, documents are not)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.classify import (NB_ALPHA, q_nb_classify,
+                                            score_local)
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+
+    df = q_nb_classify(SF)
+    acc = (df["pred"] == df["label"]).mean()
+    base = max(df["label"].mean(), 1 - df["label"].mean())
+    assert acc >= 0.99 > base
+
+    pages = pq.read_table(pages_path(rows_for_sf(SF)),
+                          columns=["url", "text"]).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rows = pd.DataFrame({
+        "uid": (["p:" + u for u in pages["url"]]
+                + ["d:" + str(i) for i in docs["doc_id"]]),
+        "text": list(pages["text"]) + list(docs["text"]),
+        "y": [1] * len(pages) + [0] * len(docs),
+    })
+    cp, cn = Counter(), Counter()
+    for t, y in zip(rows["text"], rows["y"]):
+        (cp if y else cn).update(t.split(" "))
+    vocab = np.array(sorted(set(cp) | set(cn)), dtype=object)
+    v = len(vocab)
+    tp, tn = sum(cp.values()), sum(cn.values())
+    w = np.array([np.log((cp[t] + NB_ALPHA) / (tp + NB_ALPHA * v))
+                  - np.log((cn[t] + NB_ALPHA) / (tn + NB_ALPHA * v))
+                  for t in vocab])
+    prior = float(np.log(rows["y"].sum() + NB_ALPHA)
+                  - np.log((1 - rows["y"]).sum() + NB_ALPHA))
+    s = np.round(score_local(rows["text"].reset_index(drop=True),
+                             vocab, w, prior), 9)
+    local = pd.DataFrame({"uid": rows["uid"], "score": s}) \
+        .sort_values("uid").reset_index(drop=True)
+    assert (local["score"].to_numpy() == df["score"].to_numpy()).all()

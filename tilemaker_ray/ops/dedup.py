@@ -976,3 +976,115 @@ ORACLES = {
     "ngram_jaccard_pairs": _minhash_pairs_oracle_sql(),
     "dedup_clusters": _dedup_clusters_oracle_sql(),
 }
+
+
+# --- content-defined chunking (FastCDC-style) dedup -------------------------
+
+CDC_W = 16        # boundary-decision window, chars
+CDC_BITS = 6      # boundary when the hash's TOP 6 bits are zero
+                  # (P=1/64 → ~64-char expected chunks; high bits of
+                  # the KR hash are the best-mixed after the B^k
+                  # multiply — low bits cycle on periodic text)
+
+
+def _cdc_chunks(t: str) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined chunk (hashes, lengths) for one text.
+
+    Boundary rule: cut AFTER position i+W whenever the Karp-Rabin
+    hash of the W-char window starting at i has its top CDC_BITS bits
+    zero — a pure
+    function of local content, so an insertion/deletion only disturbs
+    chunks overlapping the edit (the CDC shift-resistance property
+    that gram-aligned fixed-size chunking lacks; Muthitacharoen et al.
+    LBFS 2001 / FastCDC 2016 shape).  Chunk hashes come from the same
+    KR prefix arrays in O(1) per chunk: hash of t[s:e) =
+    (p[e] - p[s]) · B^(e-1), position-independent, so equal chunks
+    hash equal wherever they sit.  Production runs add min/max chunk
+    bounds; omitted here to keep the kernel one vectorized pass."""
+    with np.errstate(over="ignore"):
+        c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+        n = len(c)
+        if n == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        binv_pow = np.concatenate(
+            ([np.uint64(1)],
+             np.cumprod(np.full(n, _KR_BINV, np.uint64))))
+        p = np.concatenate(([np.uint64(0)],
+                            np.cumsum(c * binv_pow[:-1])))
+        b_pow = np.concatenate(
+            ([np.uint64(1)],
+             np.cumprod(np.full(n, _KR_B, np.uint64))))
+        if n >= CDC_W:
+            win = (p[CDC_W:] - p[:n - CDC_W + 1]) * b_pow[CDC_W - 1:n]
+            cuts = np.flatnonzero(win >> np.uint64(64 - CDC_BITS) == 0) \
+                + CDC_W
+        else:
+            cuts = np.empty(0, np.int64)
+        ends = np.unique(np.concatenate((cuts, [n]))).astype(np.int64)
+        starts = np.concatenate(([0], ends[:-1]))
+        hashes = (p[ends] - p[starts]) * b_pow[ends - 1]
+        return hashes, ends - starts
+
+
+def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
+    """Chunk-level dedup signal: per doc, total chunks and the
+    chunks/bytes whose content-defined chunk occurs ≥ 2 times anywhere
+    in the corpus.  Rows-only (the rolling boundary rule is not
+    SQL-expressible); semantics are gated by the property tests
+    (shift resistance, full-duplicate coverage, length conservation).
+
+    Distributed shape (the dup_span twin): explode (chunk_hash,
+    doc_id, len) rows — never the text — groupby a coarse hash bucket
+    (a hash's whole corpus lands in one group, so in-group counts are
+    global), pre-aggregate per doc inside the group, then one tiny
+    per-doc-bucket fold."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out_h, out_id, out_l = [], [], []
+        for k, t in enumerate(b.column("text").to_pylist()):
+            hv, ln = _cdc_chunks(t)
+            if len(hv) == 0:
+                continue
+            out_h.append(hv.view(np.int64))
+            out_id.append(np.full(len(hv), ids[k], np.int64))
+            out_l.append(ln)
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        h = cat(out_h)
+        return pa.table({"h": pa.array(h),
+                         "hb": pa.array(h >> 52),
+                         "doc_id": pa.array(cat(out_id)),
+                         "ln": pa.array(cat(out_l))})
+
+    exploded = ds.map_batches(chunks, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        ln = g["ln"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h, doc, ln = h[order], doc[order], ln[order]
+        new = np.concatenate(([True], h[1:] != h[:-1]))
+        run = np.cumsum(new) - 1
+        dup = (np.bincount(run)[run] >= 2).astype(np.int64)
+        df = pd.DataFrame({"doc_id": doc, "n_chunks": 1,
+                           "n_dup_chunks": dup, "dup_chunk_bytes": dup * ln})
+        out = df.groupby("doc_id", as_index=False).sum()
+        out["db"] = out["doc_id"] % 512
+        return out
+
+    from ray.data.aggregate import Sum
+    folded = (exploded.groupby("hb")
+              .map_groups(per_bucket, batch_format="pandas")
+              .groupby("doc_id")
+              .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                         Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+                         Sum("dup_chunk_bytes",
+                             alias_name="dup_chunk_bytes")))
+    df = folded.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("n_chunks", "n_dup_chunks", "dup_chunk_bytes"):
+        df[c] = df[c].astype(np.int64)
+    return df
