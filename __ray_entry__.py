@@ -169,6 +169,12 @@ def _nb_classify(sf_dir: str):
     return q_nb_classify(sf_dir)
 
 
+def _clean_corpus(sf_dir: str):
+    from tilemaker_ray.pipelines.cleanse import q_clean_corpus
+
+    return q_clean_corpus(sf_dir)
+
+
 def _bpe_merges(sf_dir: str):
     from tilemaker_ray.ops.bpe import q_bpe_merges
 
@@ -363,6 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs raw documents; log-space float sums → no SQL oracle;
         # bit-exact distributed-vs-local parity + accuracy tested)
         "nb_classify": _nb_classify,
+        # end-to-end corpus cleaning (the web-text flagship twin:
+        # dedup keep-first + Gopher rules + unigram-LM cut + langid →
+        # partitioned parquet with resume manifest; kept set proven
+        # equal to the oracled component ops in tests/test_cleanse.py)
+        "clean_corpus": _clean_corpus,
         # mergeable KLL-style quantile sketch (approximate by
         # construction; rank-error bound asserted vs the exact
         # quantile op in tests)

@@ -130,8 +130,18 @@ def run_bench() -> dict:
         ("cosine_topk", similarity.q_cosine_topk),
         ("cms_heavy_hitters", sketch.q_cms_heavy_hitters),
         ("bloom_semi_join", sketch.q_bloom_semi_join),
+        ("zonal_stats", geospatial.q_zonal_stats),
+        ("cdc_chunk_stats", dedup.q_cdc_chunk_stats),
     ]:
         queries[name] = timed(lambda fn=fn: fn(sf_dir))
+
+    # PII redaction + NB classifier read the cached pages fixtures
+    # (generated untimed above / inside their first call)
+    from tilemaker_ray.ops.classify import q_nb_classify
+    from tilemaker_ray.sources.pages import pii_pages_path
+    pii_pages_path(rows_for_sf(sf_dir))        # build untimed, cached
+    queries["pii_redact"] = timed(lambda: web.q_pii_redact(sf_dir))
+    queries["nb_classify"] = timed(lambda: q_nb_classify(sf_dir))
 
     # WARC source: index-free chunk-synchronized parse of the same
     # crawl as a .warc.gz (fixture built untimed, cached)
