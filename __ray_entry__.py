@@ -397,6 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
         "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
+        # distributed PCA over the embedding column (Gram-partial
+        # shuffle + driver eigh; local-numpy parity-tested)
+        "embedding_pca": similarity.q_embedding_pca,
         # mergeable HLL cardinality sketch (approximate by
         # construction; 3-sigma error bound asserted in tests)
         "hll_distinct_urls": _hll_distinct_urls,

@@ -1074,16 +1074,18 @@ def test_cdc_chunk_dedup(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_nb_classifier_parity_and_accuracy():
-    """The distributed NB (one partial-counts shuffle + broadcast
-    scoring) must equal a from-scratch local Counter implementation
-    bit-for-bit, and held-in accuracy must be near-perfect while the
-    majority baseline is not (the label IS encoded in the vocabulary:
-    pages are travel-domain, documents are not)."""
+    """The distributed hashed-feature NB (one partial-counts shuffle +
+    broadcast scoring) must equal a from-scratch local Counter
+    implementation bit-for-bit, and held-in accuracy must be
+    near-perfect while the majority baseline is not (the label IS
+    encoded in the vocabulary: pages are travel-domain, documents are
+    not)."""
     from collections import Counter
 
     import pyarrow.parquet as pq
 
-    from tilemaker_ray.ops.classify import (NB_ALPHA, q_nb_classify,
+    from tilemaker_ray.ops.classify import (NB_ALPHA, NB_MIN_DF,
+                                            _hash_tokens, q_nb_classify,
                                             score_local)
     from tilemaker_ray.sources.pages import pages_path, rows_for_sf
 
@@ -1104,17 +1106,59 @@ def test_nb_classifier_parity_and_accuracy():
     })
     cp, cn = Counter(), Counter()
     for t, y in zip(rows["text"], rows["y"]):
-        (cp if y else cn).update(t.split(" "))
-    vocab = np.array(sorted(set(cp) | set(cn)), dtype=object)
-    v = len(vocab)
+        bk = _hash_tokens(np.array(t.split(" "), dtype=object))
+        (cp if y else cn).update(bk.tolist())
+    seen = np.array(sorted(set(cp) | set(cn)), dtype=np.int64)
+    v = len(seen)                              # FULL seen-bucket count
     tp, tn = sum(cp.values()), sum(cn.values())
-    w = np.array([np.log((cp[t] + NB_ALPHA) / (tp + NB_ALPHA * v))
-                  - np.log((cn[t] + NB_ALPHA) / (tn + NB_ALPHA * v))
-                  for t in vocab])
+    keep = np.array([cp[b] + cn[b] >= NB_MIN_DF for b in seen])
+    buckets = seen[keep]
+    w = np.array([np.log((cp[b] + NB_ALPHA) / (tp + NB_ALPHA * v))
+                  - np.log((cn[b] + NB_ALPHA) / (tn + NB_ALPHA * v))
+                  for b in buckets])
     prior = float(np.log(rows["y"].sum() + NB_ALPHA)
                   - np.log((1 - rows["y"]).sum() + NB_ALPHA))
     s = np.round(score_local(rows["text"].reset_index(drop=True),
-                             vocab, w, prior), 9)
+                             buckets, w, prior), 9)
     local = pd.DataFrame({"uid": rows["uid"], "score": s}) \
         .sort_values("uid").reset_index(drop=True)
     assert (local["score"].to_numpy() == df["score"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_pca_parity_and_properties():
+    """Distributed PCA (Gram-partial shuffle + driver eigh) must match
+    a straight local numpy PCA under the same sign convention, with
+    orthonormal components and non-increasing explained variance."""
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.similarity import (PCA_K, pca_model,
+                                              q_embedding_pca)
+
+    mean, evals, evecs = pca_model(SF)
+    k = PCA_K
+    assert np.all(np.diff(evals) <= 1e-9)                 # descending
+    assert np.allclose(evecs.T @ evecs, np.eye(evecs.shape[1]),
+                       atol=1e-9)                          # orthonormal
+
+    emb = np.stack(pq.read_table(f"{SF}/embeddings.parquet")
+                   .to_pandas().sort_values("vec_id")["embedding"]
+                   .to_numpy()).astype(np.float64)
+    mu = emb.mean(axis=0)
+    cov = (emb - mu).T @ (emb - mu) / (len(emb) - 1)
+    ev, w = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1]
+    ev, w = ev[order], w[:, order]
+    for c in range(w.shape[1]):
+        if w[np.argmax(np.abs(w[:, c])), c] < 0:
+            w[:, c] = -w[:, c]
+    np.testing.assert_allclose(mean, mu, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(evals[:k], ev[:k], rtol=1e-8)
+    np.testing.assert_allclose(evecs[:, :k], w[:, :k], rtol=0, atol=1e-6)
+
+    proj = q_embedding_pca(SF)
+    expect = np.round((emb - mu) @ w[:, :k], 6)
+    got = proj[[f"pc{c + 1}" for c in range(k)]].to_numpy()
+    np.testing.assert_allclose(got, expect, rtol=0, atol=2e-6)
+    # projected variance reproduces the eigenvalues
+    np.testing.assert_allclose(got.var(axis=0, ddof=1), ev[:k], rtol=1e-4)

@@ -1,6 +1,7 @@
 """Distributed text classifier (the fastText/CCNet-style
 quality-classifier stage of a training-data pipeline): multinomial
-Naive Bayes trained with ONE partial-counts shuffle, then broadcast
+Naive Bayes over HASHED bag-of-words features (the fastText hashing
+trick), trained with ONE partial-counts shuffle, then broadcast
 scoring.
 
 Production framing — the GPT/CCNet WebText-classifier recipe: train on
@@ -13,13 +14,22 @@ learned model is testable: held-in accuracy must be near-perfect while
 the majority baseline is not.
 
 Scale shape:
-- TRAIN: map_batches explodes tokens and pre-aggregates (tok, n_pos,
-  n_neg) per batch, so the one shuffle carries partial counts, never
-  tokens; groupby(tok) sums them.  The model table is vocab-bounded
-  (cap with min_df at crawl scale) and pulled to the driver once.
-- SCORE: the (sorted-vocab, weight) arrays are broadcast via ray.put;
-  each batch does one explode + np.searchsorted lookup + per-doc
-  np.add.at sum — no Python row loop, zero shuffle.
+- FEATURES: tokens hash into NB_BUCKETS int64 buckets
+  (pd.util.hash_array — deterministic across processes), so the
+  shuffle key space and the model size are BOUNDED BY CONSTRUCTION no
+  matter the corpus vocabulary (the synthetic corpus has ~194k
+  distinct tokens at sf0.1 — near-unique geo mentions — which made
+  the string-keyed variant's model 20× bigger for zero accuracy).
+- TRAIN: map_batches explodes tokens and pre-aggregates (bucket,
+  n_pos, n_neg) per batch — the one shuffle carries int partials,
+  never tokens; per-batch DOC counts for the class prior ride the
+  same stream under a reserved bucket id, keeping training at one
+  pass.  Buckets seen fewer than NB_MIN_DF times are dropped from the
+  broadcast model (singletons carry no generalizable signal; OOV
+  scores 0 by the symmetric-smoothing convention).
+- SCORE: the (sorted-bucket, weight) arrays are broadcast via
+  ray.put; each batch does one explode + hash + np.searchsorted
+  lookup + per-doc np.add.at sum — no Python row loop, zero shuffle.
 
 No SQL oracle (log-space float sums are order-sensitive); correctness
 is gated by an exact distributed-vs-local parity test plus the
@@ -35,6 +45,16 @@ import ray.data
 from ray.data.aggregate import Sum
 
 NB_ALPHA = 1.0
+NB_BUCKETS = 1 << 18
+NB_MIN_DF = 2
+# reserved bucket for the per-batch doc-count partials (hash buckets
+# are < NB_BUCKETS, so this id cannot collide with a feature)
+_DOCS_BUCKET = np.int64(NB_BUCKETS)
+
+
+def _hash_tokens(toks: np.ndarray) -> np.ndarray:
+    """Deterministic token→bucket hash (stable across processes)."""
+    return (pd.util.hash_array(toks) % NB_BUCKETS).astype(np.int64)
 
 
 def _labeled_ds(sf_dir: str) -> ray.data.Dataset:
@@ -71,65 +91,68 @@ def _labeled_ds(sf_dir: str) -> ray.data.Dataset:
 
 
 def train_nb(ds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray, float]:
-    """Train multinomial NB over a (text, y) Dataset: returns (sorted
-    vocab array, per-token log-odds weights, class-prior log-odds)."""
+    """Train hashed-feature multinomial NB over a (text, y) Dataset:
+    returns (sorted kept bucket ids, per-bucket log-odds weights,
+    class-prior log-odds)."""
 
     def partial(b: pa.Table) -> pa.Table:
         txt = b.column("text").to_pandas()
         y = b.column("y").to_pandas().astype(np.int64)
         ex = txt.str.split(" ").explode()
-        df = pd.DataFrame({"tok": ex.to_numpy(),
-                           "y": y.reindex(ex.index).to_numpy()})
-        g = df.groupby("tok", as_index=False).agg(
-            n_pos=("y", "sum"), n_all=("y", "size"))
+        yy = y.reindex(ex.index).to_numpy()
+        bk = _hash_tokens(ex.to_numpy(dtype=object))
+        order = np.argsort(bk, kind="stable")
+        bk, yy = bk[order], yy[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1])))
+        uniq = bk[starts]
+        npos = np.add.reduceat(yy, starts) if len(yy) else \
+            np.empty(0, np.int64)
+        nall = np.diff(np.concatenate((starts, [len(bk)])))
         return pa.table({
-            "tok": pa.array(g["tok"], pa.string()),
-            "n_pos": pa.array(g["n_pos"].astype("int64")),
-            "n_neg": pa.array((g["n_all"] - g["n_pos"]).astype("int64")),
+            "b": pa.array(np.concatenate((uniq, [_DOCS_BUCKET]))),
+            "n_pos": pa.array(np.concatenate((npos, [int(y.sum())]))
+                              .astype(np.int64)),
+            "n_neg": pa.array(np.concatenate(
+                (nall - npos, [int((1 - y).sum())])).astype(np.int64)),
         })
 
     counts = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("tok")
+                .groupby("b")
                 .aggregate(Sum("n_pos", alias_name="n_pos"),
                            Sum("n_neg", alias_name="n_neg"))
-                .to_pandas())
+                .to_pandas().sort_values("b").reset_index(drop=True))
+    docs = counts[counts["b"] == _DOCS_BUCKET]
+    d_pos, d_neg = int(docs["n_pos"].iloc[0]), int(docs["n_neg"].iloc[0])
+    counts = counts[counts["b"] != _DOCS_BUCKET]
 
-    def doc_partial(b: pa.Table) -> pa.Table:
-        y = b.column("y").to_numpy()
-        return pa.table({"d_pos": pa.array([int(y.sum())], pa.int64()),
-                         "d_neg": pa.array([int(len(y) - y.sum())],
-                                           pa.int64())})
-
-    dd = (ds.select_columns(["y"])
-          .map_batches(doc_partial, batch_format="pyarrow").to_pandas())
-    d_pos, d_neg = int(dd["d_pos"].sum()), int(dd["d_neg"].sum())
-
-    counts = counts.sort_values("tok").reset_index(drop=True)
-    vocab = counts["tok"].to_numpy(dtype=object)
-    n_pos = counts["n_pos"].to_numpy(dtype=np.float64)
-    n_neg = counts["n_neg"].to_numpy(dtype=np.float64)
-    v = len(vocab)
+    n_pos = counts["n_pos"].to_numpy(np.float64)
+    n_neg = counts["n_neg"].to_numpy(np.float64)
+    # smoothing denominators use the FULL seen-bucket count; the
+    # min-df cut only shrinks the broadcast (dropped buckets score 0)
+    v = len(counts)
     tot_pos, tot_neg = n_pos.sum(), n_neg.sum()
-    w = (np.log((n_pos + NB_ALPHA) / (tot_pos + NB_ALPHA * v))
-         - np.log((n_neg + NB_ALPHA) / (tot_neg + NB_ALPHA * v)))
+    keep = (n_pos + n_neg) >= NB_MIN_DF
+    buckets = counts["b"].to_numpy(np.int64)[keep]
+    w = (np.log((n_pos[keep] + NB_ALPHA) / (tot_pos + NB_ALPHA * v))
+         - np.log((n_neg[keep] + NB_ALPHA) / (tot_neg + NB_ALPHA * v)))
     prior = float(np.log(d_pos + NB_ALPHA) - np.log(d_neg + NB_ALPHA))
-    return vocab, w, prior
+    return buckets, w, prior
 
 
-def score_local(texts: pd.Series, vocab: np.ndarray, w: np.ndarray,
+def score_local(texts: pd.Series, buckets: np.ndarray, w: np.ndarray,
                 prior: float) -> np.ndarray:
-    """Vectorized NB scoring: explode → searchsorted vocab lookup →
-    per-doc weight sum (OOV tokens contribute 0 — symmetric-smoothing
-    convention).  Shared by the actor and the parity test.  `texts`
-    must carry a zero-based RangeIndex."""
+    """Vectorized NB scoring: explode → hash → searchsorted bucket
+    lookup → per-doc weight sum (unknown buckets contribute 0).
+    Shared by the actor and the parity test.  `texts` must carry a
+    zero-based RangeIndex."""
     ex = texts.str.split(" ").explode()
     out = np.zeros(len(texts), np.float64)
-    if len(ex) and len(vocab):
+    if len(ex) and len(buckets):
         pos = ex.index.to_numpy()
-        toks = ex.to_numpy(dtype=object)
-        idx = np.searchsorted(vocab, toks)
-        idx = np.clip(idx, 0, len(vocab) - 1)
-        contrib = np.where(vocab[idx] == toks, w[idx], 0.0)
+        bk = _hash_tokens(ex.to_numpy(dtype=object))
+        idx = np.clip(np.searchsorted(buckets, bk), 0, len(buckets) - 1)
+        contrib = np.where(buckets[idx] == bk, w[idx], 0.0)
         np.add.at(out, pos, contrib)
     return out + prior
 
@@ -138,17 +161,18 @@ def q_nb_classify(sf_dir: str) -> pd.DataFrame:
     """Train on pages(+) vs documents(−), then score every row of both
     held-in sets: (uid, label, score, pred).  Model broadcast once;
     scoring streams."""
+    import ray
     labeled = _labeled_ds(sf_dir)
-    vocab, w, prior = train_nb(labeled)
-    ref = ray.put((vocab, w, prior))
+    buckets, w, prior = train_nb(labeled)
+    ref = ray.put((buckets, w, prior))
 
     class Scorer:
         def __init__(self, model_ref):
-            self.vocab, self.w, self.prior = ray.get(model_ref)
+            self.buckets, self.w, self.prior = ray.get(model_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             txt = b.column("text").to_pandas().reset_index(drop=True)
-            s = score_local(txt, self.vocab, self.w, self.prior)
+            s = score_local(txt, self.buckets, self.w, self.prior)
             return pa.table({
                 "uid": b.column("uid"),
                 "label": b.column("y"),

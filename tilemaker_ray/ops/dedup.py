@@ -1062,6 +1062,9 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
     exploded = ds.map_batches(chunks, batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Mark globally-duplicated hashes, then roll up per doc with
+        sort + reduceat (a pandas groupby here costs a Python frame
+        per mostly-tiny group × 4096 buckets — measured 2× the op)."""
         h = g["h"].to_numpy()
         doc = g["doc_id"].to_numpy()
         ln = g["ln"].to_numpy()
@@ -1070,11 +1073,18 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
         new = np.concatenate(([True], h[1:] != h[:-1]))
         run = np.cumsum(new) - 1
         dup = (np.bincount(run)[run] >= 2).astype(np.int64)
-        df = pd.DataFrame({"doc_id": doc, "n_chunks": 1,
-                           "n_dup_chunks": dup, "dup_chunk_bytes": dup * ln})
-        out = df.groupby("doc_id", as_index=False).sum()
-        out["db"] = out["doc_id"] % 512
-        return out
+        order = np.argsort(doc, kind="stable")
+        doc, dup, ln = doc[order], dup[order], ln[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc[1:] != doc[:-1])))
+        docs = doc[starts]
+        return pd.DataFrame({
+            "doc_id": docs,
+            "n_chunks": np.diff(np.concatenate((starts, [len(doc)]))),
+            "n_dup_chunks": np.add.reduceat(dup, starts),
+            "dup_chunk_bytes": np.add.reduceat(dup * ln, starts),
+            "db": docs % 512,
+        })
 
     from ray.data.aggregate import Sum
     folded = (exploded.groupby("hb")

@@ -667,3 +667,94 @@ ORACLES = {
         SELECT query_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
     """,
 }
+
+
+# --- distributed PCA / whitening ---------------------------------------
+
+PCA_K = 8
+
+
+def pca_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over the embedding column in ONE streaming pass: each
+    batch emits (i, j, v) partials of the Gram matrix XᵀX (d² rows, d
+    the embedding dim — tiny next to the data), plus the (i, 0) column
+    sums and an (0, 0) row count; one groupby((i,j)) Sum collapses
+    them and the driver finalizes C = (XᵀX − n·μμᵀ)/(n−1) and
+    eigendecomposes (d×d — milliseconds).  Returns (mean, eigenvalues
+    desc, eigenvector matrix W[d,k]) with a deterministic sign
+    convention (largest-|component| entry positive).
+
+    The embedding-pipeline whitening/compression precursor (the same
+    accumulation shape q_embedding_stats uses, with a d² key space)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = np.stack(
+            b.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        n, d = emb.shape
+        g = emb.T @ emb                       # d×d Gram partial
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                             indexing="ij")
+        i = np.concatenate((ii.ravel(), np.arange(1, d + 1), [0]))
+        j = np.concatenate((jj.ravel(), np.zeros(d, np.int64), [0]))
+        v = np.concatenate((g.ravel(), emb.sum(axis=0), [float(n)]))
+        return pa.table({"i": pa.array(i.astype(np.int64)),
+                         "j": pa.array(j.astype(np.int64)),
+                         "v": pa.array(v)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["i", "j"]).aggregate(Sum("v", alias_name="v"))
+             .to_pandas())
+    n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "v"].iloc[0])
+    sums = (agg[(agg["j"] == 0) & (agg["i"] > 0)]
+            .sort_values("i")["v"].to_numpy())
+    d = len(sums)
+    gram = np.zeros((d, d))
+    body = agg[agg["j"] > 0]
+    gram[body["i"].to_numpy() - 1, body["j"].to_numpy() - 1] = \
+        body["v"].to_numpy()
+    mean = sums / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for c in range(evecs.shape[1]):          # deterministic sign
+        if evecs[np.argmax(np.abs(evecs[:, c])), c] < 0:
+            evecs[:, c] = -evecs[:, c]
+    return mean, evals, evecs
+
+
+def q_embedding_pca(sf_dir: str, k: int = PCA_K) -> pd.DataFrame:
+    """Project every embedding onto the top-k principal components
+    (model fitted distributed, then broadcast; projection streams).
+    Rows-only: eigendecomposition is not SQL-expressible — gated by a
+    local-numpy parity test plus orthonormality/variance-order
+    properties."""
+    mean, evals, evecs = pca_model(sf_dir)
+    w = evecs[:, :k]
+    ref = ray.put((mean, w))
+
+    class Project:
+        def __init__(self, model_ref):
+            self.mean, self.w = ray.get(model_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            emb = np.stack(
+                b.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            p = (emb - self.mean) @ self.w
+            cols = {"vec_id": b.column("vec_id")}
+            for c in range(p.shape[1]):
+                cols[f"pc{c + 1}"] = pa.array(np.round(p[:, c], 6))
+            return pa.table(cols)
+
+    df = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+          .map_batches(Project, fn_constructor_kwargs={"model_ref": ref},
+                       batch_format="pyarrow", concurrency=(1, 8))
+          .to_pandas())
+    return df.sort_values("vec_id").reset_index(drop=True)
