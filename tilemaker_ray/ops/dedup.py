@@ -1068,6 +1068,11 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
         h = g["h"].to_numpy()
         doc = g["doc_id"].to_numpy()
         ln = g["ln"].to_numpy()
+        if len(h) == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "n_chunks": np.empty(0, np.int64),
+                                 "n_dup_chunks": np.empty(0, np.int64),
+                                 "dup_chunk_bytes": np.empty(0, np.int64)})
         order = np.argsort(h, kind="stable")
         h, doc, ln = h[order], doc[order], ln[order]
         new = np.concatenate(([True], h[1:] != h[:-1]))
@@ -1077,13 +1082,11 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
         doc, dup, ln = doc[order], dup[order], ln[order]
         starts = np.flatnonzero(
             np.concatenate(([True], doc[1:] != doc[:-1])))
-        docs = doc[starts]
         return pd.DataFrame({
-            "doc_id": docs,
+            "doc_id": doc[starts],
             "n_chunks": np.diff(np.concatenate((starts, [len(doc)]))),
             "n_dup_chunks": np.add.reduceat(dup, starts),
             "dup_chunk_bytes": np.add.reduceat(dup * ln, starts),
-            "db": docs % 512,
         })
 
     from ray.data.aggregate import Sum

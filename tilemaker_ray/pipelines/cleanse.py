@@ -211,13 +211,14 @@ def clean_corpus(sf_dir: str, out_dir: str,
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
 
+    done_ints = np.array(sorted(int(k[1:]) for k in done), np.int64)
+
     def add_bucket_skip_done(b: pa.Table) -> pa.Table:
         bucket = b.column("doc_id").to_numpy() % CLEAN_PARTS
         t = b.append_column("bucket", pa.array(bucket.astype(np.int64)))
-        if not done:
+        if not len(done_ints):
             return t
-        keep = np.array([f"b{v:03d}" not in done for v in bucket])
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(~np.isin(bucket, done_ints)))
 
     writer = _CleanWriter(out_dir, sf_dir, model_ref, losers_ref,
                           lm_max_bits)
