@@ -101,14 +101,17 @@ def train_nb(ds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray, float]:
         ex = txt.str.split(" ").explode()
         yy = y.reindex(ex.index).to_numpy()
         bk = _hash_tokens(ex.to_numpy(dtype=object))
-        order = np.argsort(bk, kind="stable")
-        bk, yy = bk[order], yy[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], bk[1:] != bk[:-1])))
-        uniq = bk[starts]
-        npos = np.add.reduceat(yy, starts) if len(yy) else \
-            np.empty(0, np.int64)
-        nall = np.diff(np.concatenate((starts, [len(bk)])))
+        if len(bk):
+            order = np.argsort(bk, kind="stable")
+            bk, yy = bk[order], yy[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], bk[1:] != bk[:-1])))
+            uniq = bk[starts]
+            npos = np.add.reduceat(yy, starts)
+            nall = np.diff(np.concatenate((starts, [len(bk)])))
+        else:                       # empty batch: emit only the doc row
+            uniq = np.empty(0, np.int64)
+            npos = nall = np.empty(0, np.int64)
         return pa.table({
             "b": pa.array(np.concatenate((uniq, [_DOCS_BUCKET]))),
             "n_pos": pa.array(np.concatenate((npos, [int(y.sum())]))

@@ -448,6 +448,17 @@ def _gram_hashes(t: str, L: int, method: str = "md5") -> np.ndarray:
             (int.from_bytes(hashlib.md5(t[i:i + L].encode()).digest()[8:16],
                             "little") for i in range(n)),
             dtype=np.uint64, count=n)
+    p, b_pow = _kr_prefix(t)
+    n = len(t)
+    return (p[L:] - p[:n - L + 1]) * b_pow[L - 1:n]
+
+
+def _kr_prefix(t: str) -> tuple[np.ndarray, np.ndarray]:
+    """Karp-Rabin prefix arrays for `t` (shared by the gram hasher and
+    the CDC chunker — ONE place owns the scheme): p[k] = Σ_{j<k}
+    c[j]·Binv^j and b_pow[k] = B^k, all uint64 wraparound.  The hash
+    of any substring t[s:e) is (p[e] − p[s]) · B^(e−1) — position-
+    independent, O(1) per substring."""
     with np.errstate(over="ignore"):
         c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
         n = len(c)
@@ -459,7 +470,7 @@ def _gram_hashes(t: str, L: int, method: str = "md5") -> np.ndarray:
         b_pow = np.concatenate(
             ([np.uint64(1)],
              np.cumprod(np.full(n, _KR_B, np.uint64))))      # B^k, k=0..n
-        return (p[L:] - p[:n - L + 1]) * b_pow[L - 1:n]
+        return p, b_pow
 
 
 def dup_span_stats_ds(sf_dir: str, L: int = DUP_SPAN_L,
@@ -1002,18 +1013,10 @@ def _cdc_chunks(t: str) -> tuple[np.ndarray, np.ndarray]:
     hash equal wherever they sit.  Production runs add min/max chunk
     bounds; omitted here to keep the kernel one vectorized pass."""
     with np.errstate(over="ignore"):
-        c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
-        n = len(c)
+        n = len(t)
         if n == 0:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
-        binv_pow = np.concatenate(
-            ([np.uint64(1)],
-             np.cumprod(np.full(n, _KR_BINV, np.uint64))))
-        p = np.concatenate(([np.uint64(0)],
-                            np.cumsum(c * binv_pow[:-1])))
-        b_pow = np.concatenate(
-            ([np.uint64(1)],
-             np.cumprod(np.full(n, _KR_B, np.uint64))))
+        p, b_pow = _kr_prefix(t)
         if n >= CDC_W:
             win = (p[CDC_W:] - p[:n - CDC_W + 1]) * b_pow[CDC_W - 1:n]
             cuts = np.flatnonzero(win >> np.uint64(64 - CDC_BITS) == 0) \

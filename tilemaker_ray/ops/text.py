@@ -97,6 +97,29 @@ GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 30
 GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3, 10   # via 3n <= L <= 10n
 
 
+def gopher_counts(txt: pd.Series) -> pd.DataFrame:
+    """Shared Gopher-rule kernel (used by q_gopher_rules AND the
+    cleanse pipeline, so the two can never drift): per doc, word
+    count, hapax count, mode token frequency, and the integer-exact
+    pass flag.  Vectorized: one str.split + explode + two C-level
+    groupbys.  `txt` must carry a zero-based RangeIndex."""
+    n = (txt.str.count(" ") + 1).astype("int64")
+    tot_len = txt.str.len().astype("int64") - (n - 1)
+    ex = txt.str.split(" ").explode()
+    per_tok = ex.groupby([ex.index, ex]).size()
+    hapax = ((per_tok == 1).groupby(level=0).sum()
+             .reindex(txt.index, fill_value=0).astype("int64"))
+    maxf = (per_tok.groupby(level=0).max()
+            .reindex(txt.index, fill_value=0).astype("int64"))
+    ok = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+          & (tot_len >= GOPHER_MIN_MEAN_LEN * n)
+          & (tot_len <= GOPHER_MAX_MEAN_LEN * n)
+          & (2 * hapax >= n))
+    return pd.DataFrame({"n_words": n, "n_hapax": hapax,
+                         "max_tok_freq": maxf,
+                         "gopher_pass": ok.astype("int64")})
+
+
 def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
     """Gopher-style quality gate: per doc, word count, hapax count
     (tokens occurring exactly once in the doc), the top token
@@ -106,31 +129,18 @@ def q_gopher_rules(sf_dir: str) -> pd.DataFrame:
              and MIN_MEAN*n <= total_token_chars <= MAX_MEAN*n
              and 2*n_hapax >= n_words        (lexical diversity)
 
-    Vectorized: one str.split + explode + two C-level groupbys per
-    batch; zero shuffle (per-doc grain, embarrassingly parallel)."""
+    Zero shuffle (per-doc grain, embarrassingly parallel)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def rules(b: pa.Table) -> pa.Table:
-        txt = b.column("text").to_pandas()
-        n = (txt.str.count(" ") + 1).astype("int64")
-        tot_len = txt.str.len().astype("int64") - (n - 1)
-        ex = txt.str.split(" ").explode()
-        per_tok = ex.groupby([ex.index, ex]).size()
-        hapax = (per_tok == 1).groupby(level=0).sum()
-        maxf = per_tok.groupby(level=0).max()
-        hapax = hapax.reindex(txt.index, fill_value=0).astype("int64")
-        maxf = maxf.reindex(txt.index, fill_value=0).astype("int64")
-        ok = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
-              & (tot_len >= GOPHER_MIN_MEAN_LEN * n)
-              & (tot_len <= GOPHER_MAX_MEAN_LEN * n)
-              & (2 * hapax >= n))
+        g = gopher_counts(b.column("text").to_pandas())
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "n_words": pa.array(n),
-            "n_hapax": pa.array(hapax),
-            "max_tok_freq": pa.array(maxf),
-            "gopher_pass": pa.array(ok.astype("int64")),
+            "n_words": pa.array(g["n_words"]),
+            "n_hapax": pa.array(g["n_hapax"]),
+            "max_tok_freq": pa.array(g["max_tok_freq"]),
+            "gopher_pass": pa.array(g["gopher_pass"]),
         })
 
     return ds.map_batches(rules, batch_format="pyarrow").to_pandas()

@@ -238,7 +238,12 @@ PII_PATTERNS = (
 def q_pii_redact(sf_dir: str) -> pd.DataFrame:
     """PII scrub over the contact-pages table: per page, the count of
     each PII class found in the ORIGINAL text plus the fully redacted
-    text.  Regexes compile once per actor (ST1 pattern); counting and
+    text.  Counts are per-class occurrences in the ORIGINAL text,
+    counted independently — when one class nests inside another (an
+    email whose domain is an IP), the nested match is counted but the
+    outer replacement consumes it, so counts can exceed placeholder
+    occurrences; kernel and oracle agree on both conventions by
+    construction (same patterns, same order).  Regexes compile once per actor (ST1 pattern); counting and
     replacement are vectorized pandas str kernels — no Python row
     loop.  Embarrassingly parallel: zero shuffle, streams at any
     scale.  The training-data use is the cleaned `redacted` column;

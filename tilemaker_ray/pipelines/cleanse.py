@@ -42,9 +42,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..ops.text import (GOPHER_MAX_MEAN_LEN, GOPHER_MAX_WORDS,
-                        GOPHER_MIN_MEAN_LEN, GOPHER_MIN_WORDS, LM_ALPHA,
-                        LangId)
+from ..ops.text import LM_ALPHA, LangId, content_hash64, gopher_counts
 from ..state.manifest import Manifest, atomic_write
 
 CLEAN_PARTS = 64          # output partitions (doc_id % CLEAN_PARTS)
@@ -54,20 +52,16 @@ CLEAN_PARTS = 64          # output partitions (doc_id % CLEAN_PARTS)
 CLEAN_LM_MAX_BITS = 4.93
 
 
-def _hash64(texts: list[str]) -> np.ndarray:
-    import hashlib
-    return np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
-                                    "little") for t in texts],
-                    dtype=np.uint64)
-
-
 def _dup_losers(sf_dir: str) -> np.ndarray:
     """doc_ids whose exact text occurs under a smaller doc_id."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def hashes(b: pa.Table) -> pa.Table:
-        h = _hash64(b.column("text").to_pylist()).view(np.int64)
+        # the repo-wide md5-low-64 convention (ops/text.content_hash64)
+        # — the SAME hash q_dedup_keep_first keys on, so the loser set
+        # can never drift from the oracled keep-first op
+        h = content_hash64(b.column("text").to_pylist()).view(np.int64)
         return pa.table({"h": pa.array(h),
                          "hb": pa.array(h >> 52),
                          "doc_id": b.column("doc_id")})
@@ -114,7 +108,13 @@ def _train_unigram_lm(sf_dir: str) -> tuple[np.ndarray, np.ndarray, float]:
 
 class _CleanWriter:
     """Stage C: score one doc_id-bucket group, filter, write its
-    parquet partition atomically, record lineage + drop counts."""
+    parquet partition atomically, record lineage + drop counts.
+
+    Holds only OBJECT REFS at construction (the writer is pickled
+    into the map_groups closure shipped to every worker — ray.get on
+    the driver would inline the full LM vocab into that pickle and
+    defeat the broadcast); the arrays resolve lazily from plasma on
+    first use in each worker process."""
 
     def __init__(self, out_dir: str, sf_dir: str, model_ref,
                  losers_ref, lm_max_bits: float):
@@ -122,40 +122,42 @@ class _CleanWriter:
         self.sf_dir = sf_dir
         self.docs_dir = os.path.join(out_dir, "docs")
         os.makedirs(self.docs_dir, exist_ok=True)
-        self.vocab, self.bits, self.oov_bits = ray.get(model_ref)
-        self.losers = ray.get(losers_ref)   # sorted int64 array
+        self.model_ref = model_ref
+        self.losers_ref = losers_ref
+        self._model = None
         self.lm_max = lm_max_bits
         self.langid = LangId()
         self.mwriter = Manifest(out_dir).writer()
 
+    def _resolve(self):
+        if self._model is None:
+            vocab, bits, oov = ray.get(self.model_ref)
+            self._model = (vocab, bits, oov, ray.get(self.losers_ref))
+        return self._model
+
     def _score(self, df: pd.DataFrame) -> pd.DataFrame:
+        vocab, bits, oov_bits, losers = self._resolve()
         txt = df["text"].reset_index(drop=True)
+        # gopher rules via the SHARED kernel (ops/text.gopher_counts —
+        # the same code path the oracled q_gopher_rules runs)
+        gopher_ok = gopher_counts(txt)["gopher_pass"].to_numpy() == 1
         n = (txt.str.count(" ") + 1).astype("int64")
-        tot_len = txt.str.len().astype("int64") - (n - 1)
-        ex = txt.str.split(" ").explode()
-        per_tok = ex.groupby([ex.index, ex]).size()
-        hapax = ((per_tok == 1).groupby(level=0).sum()
-                 .reindex(txt.index, fill_value=0).astype("int64"))
-        gopher_ok = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
-                     & (tot_len >= GOPHER_MIN_MEAN_LEN * n)
-                     & (tot_len <= GOPHER_MAX_MEAN_LEN * n)
-                     & (2 * hapax >= n)).to_numpy()
         # unigram LM bits per doc: searchsorted vocab lookup
+        ex = txt.str.split(" ").explode()
         toks = ex.to_numpy(dtype=object)
         pos = ex.index.to_numpy()
         bits_sum = np.zeros(len(txt), np.float64)
-        if len(self.vocab) and len(toks):
-            idx = np.clip(np.searchsorted(self.vocab, toks),
-                          0, len(self.vocab) - 1)
-            contrib = np.where(self.vocab[idx] == toks,
-                               self.bits[idx], self.oov_bits)
+        if len(vocab) and len(toks):
+            idx = np.clip(np.searchsorted(vocab, toks),
+                          0, len(vocab) - 1)
+            contrib = np.where(vocab[idx] == toks, bits[idx], oov_bits)
             np.add.at(bits_sum, pos, contrib)
         lm_bits = bits_sum / n.to_numpy()
         langs, _ = self.langid.predict(txt.tolist())
         doc = df["doc_id"].to_numpy()
-        li = np.searchsorted(self.losers, doc)
-        li = np.clip(li, 0, max(len(self.losers) - 1, 0))
-        is_loser = (self.losers[li] == doc) if len(self.losers) else \
+        li = np.searchsorted(losers, doc)
+        li = np.clip(li, 0, max(len(losers) - 1, 0))
+        is_loser = (losers[li] == doc) if len(losers) else \
             np.zeros(len(doc), bool)
         out = df.reset_index(drop=True).copy()
         out["pred_lang"] = langs
@@ -244,14 +246,21 @@ def clean_corpus(sf_dir: str, out_dir: str,
 
 
 def q_clean_corpus(sf_dir: str) -> pd.DataFrame:
-    """Driver query (rows-only): run the cleaning job into a temp dir
-    keyed by corpus size and return the kept (doc_id, pred_lang,
-    ulm_bits) rows.  The composition is cross-checked against the
-    individually-oracled component ops in tests."""
-    import hashlib
-    out = os.path.join("/tmp/tilemaker_ray_clean",
-                       hashlib.md5(sf_dir.encode()).hexdigest()[:10])
-    clean_corpus(sf_dir, out)
-    df = pq.read_table(os.path.join(out, "docs")).to_pandas()
+    """Driver query (rows-only): run the cleaning job into a FRESH
+    temp dir and return the kept (doc_id, pred_lang, ulm_bits) rows.
+    Deliberately never reuses an output dir across calls: the kept set
+    depends on the keep-rule code and thresholds, which a path-keyed
+    cache would silently pin to whatever version wrote it first
+    (resume-reuse is exercised with explicit out dirs in
+    tests/test_cleanse.py).  The composition is cross-checked against
+    the individually-oracled component ops in tests."""
+    import shutil
+    import tempfile
+    out = tempfile.mkdtemp(prefix="tilemaker_ray_clean_")
+    try:
+        clean_corpus(sf_dir, out)
+        df = pq.read_table(os.path.join(out, "docs")).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return (df[["doc_id", "pred_lang", "ulm_bits"]]
             .sort_values("doc_id").reset_index(drop=True))

@@ -128,7 +128,7 @@ def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_page
     return d
 
 
-def generate_pii_block(seed: int, block_id: int, n_rows: int) -> pa.Table:
+def generate_pii_block(block_id: int, n_rows: int) -> pa.Table:
     """Contact-page variant for the PII-redaction op: deterministic
     text embedding emails / phone numbers / IPv4 addresses at varying
     multiplicities (0-2 each, pure function of the row id).  Kept as a
@@ -174,12 +174,13 @@ def generate_pii_block(seed: int, block_id: int, n_rows: int) -> pa.Table:
     })
 
 
-def pii_pages_path(n_rows: int, seed: int = 42,
+def pii_pages_path(n_rows: int,
                    root: str = "/tmp/tilemaker_ray_pages") -> str:
     """Materialize (once) and return the directory of the PII contact
     pages parquet table (same blocked-determinism contract as
-    pages_path)."""
-    d = os.path.join(root, f"pii_n{n_rows}_s{seed}")
+    pages_path; content is a pure function of the row id alone, so
+    there is no seed parameter)."""
+    d = os.path.join(root, f"pii_n{n_rows}")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
@@ -188,7 +189,7 @@ def pii_pages_path(n_rows: int, seed: int = 42,
     n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
     for b in range(n_blocks):
         rows = min(BLOCK_ROWS, n_rows - b * BLOCK_ROWS)
-        t = generate_pii_block(seed, b, rows)
+        t = generate_pii_block(b, rows)
         pq.write_table(t, os.path.join(tmp, f"block-{b:05d}.parquet"))
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(tmp):
