@@ -100,13 +100,16 @@ def _doc_fingerprints(sf_dir: str):
 def _token_counts(sf_dir: str):
     """token_count (ws + BPE-regex) ⊕ normalize_text (clean form +
     clean-token count, renamed n_clean_tokens) ⊕ lm_bits (self-trained
-    smoothed-bigram LM score, the CCNet-style LM filter)."""
+    smoothed-bigram LM score, the CCNet-style LM filter) ⊕ lm_tercile
+    (exact distributed ntile over (lm_bits, doc_id) — the CCNet
+    head/middle/tail split)."""
     from tilemaker_ray.ops import text
 
     a = text.q_token_count(sf_dir)
     b = text.q_normalize_text(sf_dir).rename(
         columns={"n_tokens": "n_clean_tokens"})
     a = a.merge(text.q_lm_bits(sf_dir), on="doc_id")
+    a = a.merge(text.q_lm_tercile(sf_dir), on="doc_id")
     return (a.merge(b, on="doc_id")
              .sort_values("doc_id").reset_index(drop=True))
 
@@ -250,13 +253,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 64
+    one.  All 50 oracled entries fill the window exactly; to fit 65
     oracled ops into those 50 slots, same-grain ops share a merged row
     (see the merged-driver-rows wrappers above):
     quality_score carries repetition_score + langid + dup_span_chars +
     gopher_rules, fingerprint carries simhash + the winnowing set
     summary (count + bit_xor), token_count carries normalize_text (and
-    the BPE variant) + lm_bits, hash_sample carries stratified_sample +
+    the BPE variant) + lm_bits + lm_tercile, hash_sample carries stratified_sample +
     weighted_sample, s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
     raster_runs (tagged union — a cell is a length-1 run); hex_bin is
@@ -478,12 +481,14 @@ def oracle_sql() -> dict[str, str]:
               FROM ({wn}) GROUP BY doc_id) w ON f.doc_id = w.doc_id
     """
     t, n = out.pop("token_count"), out.pop("normalize_text")
-    lm = out.pop("lm_bits")
+    lm, lt = out.pop("lm_bits"), out.pop("lm_tercile")
     out["token_count"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_chars, t.n_bpe_tokens,
-               l.lm_bits, n.clean_text, n.n_tokens AS n_clean_tokens
+               l.lm_bits, lt.lm_tercile,
+               n.clean_text, n.n_tokens AS n_clean_tokens
         FROM ({t}) t JOIN ({n}) n ON t.doc_id = n.doc_id
                      JOIN ({lm}) l ON t.doc_id = l.doc_id
+                     JOIN ({lt}) lt ON t.doc_id = lt.doc_id
     """
     s2c, zo = out.pop("s2_cells"), out.pop("zorder_encode")
     out["s2_cells"] = f"""

@@ -1162,3 +1162,19 @@ def test_embedding_pca_parity_and_properties():
     np.testing.assert_allclose(got, expect, rtol=0, atol=2e-6)
     # projected variance reproduces the eigenvalues
     np.testing.assert_allclose(got.var(axis=0, ddof=1), ev[:k], rtol=1e-4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_tercile_matches_duckdb_ntile(con):
+    """Exact distributed ntile (histogram-refinement cutoffs + tie
+    resolution on doc_id) vs DuckDB ntile(3), tie-for-tie, plus the
+    ntile size contract (larger tiles first)."""
+    from tilemaker_ray.ops.text import LM_TILES, ORACLES, q_lm_tercile
+
+    got = q_lm_tercile(SF)
+    exp = con.sql(ORACLES["lm_tercile"]).df()
+    m = got.merge(exp, on="doc_id", suffixes=("", "_sql"))
+    assert (m["lm_tercile"] == m["lm_tercile_sql"]).all()
+    sizes = got["lm_tercile"].value_counts().sort_index().tolist()
+    assert sum(sizes) == len(got) and len(sizes) == LM_TILES
+    assert all(sizes[i] >= sizes[i + 1] for i in range(len(sizes) - 1))

@@ -94,6 +94,7 @@ def q_quality_score(sf_dir: str) -> pd.DataFrame:
 # All-INTEGER outputs and comparisons — no float ratio can diverge
 # between numpy and the SQL oracle.
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 30
+LM_TILES = 3   # CCNet head/middle/tail
 GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3, 10   # via 3n <= L <= 10n
 
 
@@ -528,6 +529,11 @@ def _kb(s: pd.Series) -> np.ndarray:
 
 
 def q_lm_bits(sf_dir: str) -> pd.DataFrame:
+    df = lm_bits_ds(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def lm_bits_ds(sf_dir: str) -> ray.data.Dataset:
     """Self-trained smoothed-bigram LM quality score, bits/token — the
     LM-filtering stage of CCNet/C4-style web-text pipelines (Wenzek et
     al. 2020 score pages with a pretrained KenLM; here the add-α
@@ -646,9 +652,7 @@ def q_lm_bits(sf_dir: str) -> pd.DataFrame:
         lambda b: b.append_column(
             "db", pa.array(b.column("doc_id").to_numpy() % 512)),
         batch_format="pyarrow")
-    out = (ann.groupby("db").map_groups(per_docs, batch_format="pandas")
-              .to_pandas())
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ann.groupby("db").map_groups(per_docs, batch_format="pandas")
 
 
 def _lm_bits_oracle_sql() -> str:
@@ -754,6 +758,13 @@ _LANG_SQL_SETS = {
 }
 
 ORACLES = {
+    "lm_tercile": f"""
+        WITH l AS ({_lm_bits_oracle_sql()})
+        SELECT doc_id,
+               CAST(ntile({LM_TILES}) OVER (ORDER BY lm_bits, doc_id)
+                    AS BIGINT) AS lm_tercile
+        FROM l
+    """,
     "gopher_rules": f"""
         WITH w AS (
           SELECT doc_id, text, string_split(text, ' ') AS toks
@@ -922,3 +933,71 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+# --- CCNet head/middle/tail bucketing (exact distributed ntile) --------
+
+
+def q_lm_tercile(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 split the
+    crawl into head/middle/tail by LM-score terciles): assign every
+    doc its EXACT ntile(LM_TILES) rank in (lm_bits, doc_id) order —
+    matching DuckDB's ntile tie-for-tie — WITHOUT a global sort.
+
+    Distributed shape: the per-doc score table (one 16-byte row per
+    doc — index-like, materialized once) feeds the histogram-
+    refinement selector (ops/relational._exact_kth_values) to find the
+    tile-boundary SCORES; boundary ties are resolved to exact
+    (score, doc_id) cutoff pairs in one combined counting/gather pass
+    (ties at a 6-decimal-rounded boundary are few; the gather is
+    GATHER_CAP-guarded like every driver gather in the quantile
+    family).  A final vectorized pass assigns 1 + Σ(pair > cutoff)."""
+    from .relational import GATHER_CAP, _exact_kth_values
+
+    ds = lm_bits_ds(sf_dir).materialize()
+    from ray.data.aggregate import Count, Max, Min
+    stats = ds.aggregate(Min("lm_bits"), Max("lm_bits"),
+                         Count(alias_name="n"))
+    n = int(stats["n"])
+    lo, hi = float(stats["min(lm_bits)"]), float(stats["max(lm_bits)"])
+    base, rem = divmod(n, LM_TILES)
+    sizes = [base + (i < rem) for i in range(LM_TILES)]
+    cut_ranks = np.cumsum(sizes)[:-1]          # 1-based last-row ranks
+    kv = _exact_kth_values(lambda: ds, "lm_bits",
+                           [int(k) - 1 for k in cut_ranks], lo, hi)
+    cut_vals = [kv[int(k) - 1] for k in cut_ranks]
+
+    def tally(b: pa.Table) -> pa.Table:
+        """One pass: per cutoff value, docs strictly below + the
+        doc_ids tied at it (tiny — ties of a rounded float)."""
+        v = b.column("lm_bits").to_numpy()
+        d = b.column("doc_id").to_numpy()
+        cols = {}
+        for i, cv in enumerate(cut_vals):
+            cols[f"below{i}"] = pa.array([int((v < cv).sum())],
+                                         pa.int64())
+            ties = d[v == cv]
+            cols[f"ties{i}"] = pa.array([ties.tolist()],
+                                        pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    tdf = ds.map_batches(tally, batch_format="pyarrow").to_pandas()
+    cutoffs = []
+    for i, (k, cv) in enumerate(zip(cut_ranks, cut_vals)):
+        below = int(tdf[f"below{i}"].sum())
+        ties = np.sort(np.concatenate(
+            [np.asarray(x, np.int64) for x in tdf[f"ties{i}"]]))
+        assert len(ties) <= GATHER_CAP, "tie gather exceeds cap"
+        cutoffs.append((cv, int(ties[int(k) - below - 1])))
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column("lm_bits").to_numpy()
+        d = b.column("doc_id").to_numpy()
+        tile = np.ones(len(v), np.int64)
+        for cv, cd in cutoffs:
+            tile += ((v > cv) | ((v == cv) & (d > cd))).astype(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lm_tercile": pa.array(tile)})
+
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
