@@ -1178,3 +1178,46 @@ def test_lm_tercile_matches_duckdb_ntile(con):
     sizes = got["lm_tercile"].value_counts().sort_index().tolist()
     assert sum(sizes) == len(got) and len(sizes) == LM_TILES
     assert all(sizes[i] >= sizes[i + 1] for i in range(len(sizes) - 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pointer_doubling_components(tmp_path):
+    """The O(log d) pointer-doubling labeler: on a 48-node PATH graph
+    (diameter 47) it must converge in ~log rounds, not ~d rounds, with
+    every node labelled 0; on a multi-component graph it must match
+    the O(d) min-label propagation used by q_dedup_clusters."""
+    import pyarrow as pa
+    import ray.data
+
+    from tilemaker_ray.ops.dedup import components_pointer_doubling
+
+    n = 48
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64))}))
+    path = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "doc_b": pa.array(np.arange(1, n, dtype=np.int64))}))
+    labels, rounds = components_pointer_doubling(docs, path)
+    assert (labels["label"] == 0).all()
+    # path diameter 47: plain propagation needs ~47 rounds; doubling
+    # (relax halves distance-to-root, jump halves pointer depth) must
+    # land well under half that — generous cap at 14
+    assert rounds <= 14
+
+    # multi-component graph: {0,1,2} via chain, {5,7} pair, 9 isolated
+    docs2 = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.array([0, 1, 2, 5, 7, 9], np.int64))}))
+    edges2 = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(np.array([0, 1, 5], np.int64)),
+        "doc_b": pa.array(np.array([1, 2, 7], np.int64))}))
+    labels2, _ = components_pointer_doubling(docs2, edges2)
+    got = dict(zip(labels2["doc_id"], labels2["label"]))
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 7: 5, 9: 9}
+
+    # empty edge set: every node is its own canonical representative
+    labels3, r3 = components_pointer_doubling(
+        docs2, ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64())})))
+    assert r3 == 0 and (labels3["label"].to_numpy()
+                        == labels3["doc_id"].to_numpy()).all()

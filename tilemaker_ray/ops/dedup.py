@@ -1104,3 +1104,105 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
     for c in ("n_chunks", "n_dup_chunks", "dup_chunk_bytes"):
         df[c] = df[c].astype(np.int64)
     return df
+
+
+# --- pointer-doubling component labeling (the O(log d) scale path) ----------
+
+def components_pointer_doubling(docs: ray.data.Dataset,
+                                pairs: ray.data.Dataset,
+                                ) -> tuple[pd.DataFrame, int]:
+    """Connected-component min-labels in O(log diameter) rounds —
+    the upgrade over q_dedup_clusters' O(diameter) min-label
+    propagation for high-diameter graphs (chains of near-dups).
+
+    Each round is (a) an edge RELAX — every node takes the min of its
+    neighbors' labels (one tagged-union cogroup, the q_dedup_clusters
+    kernel) — then (b) a pointer JUMP — label[v] ← label[label[v]],
+    expressed as a second tagged cogroup keyed on the CURRENT label
+    (kind 0 rows provide each node's label, kind 1 rows are requests
+    from the nodes pointing at it).  Labels are monotone
+    non-increasing and bounded, so the label-sum fixpoint test
+    terminates; the doubling makes long chains collapse
+    geometrically.  Returns (labels df, rounds run).
+
+    Inputs: `docs` with a doc_id column; `pairs` with (doc_a, doc_b)
+    undirected edges.  Everything stays Datasets between rounds."""
+    from ray.data.aggregate import Min, Sum
+
+    labels = docs.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                            "label": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy().astype(np.int64)
+        c = b.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, c])),
+            "kind": pa.array(np.ones(2 * len(a), np.uint8)),
+            "val": pa.array(np.concatenate([c, a])),
+        })
+
+    edges_tagged = (pairs.map_batches(bidirect, batch_format="pyarrow")
+                    .materialize())
+    if not edges_tagged.count():
+        df = labels.to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True), 0
+
+    def relax(g: pd.DataFrame) -> pa.Table:
+        m = int(g.loc[g.kind == 0, "val"].min())
+        targets = g.loc[g.kind == 1, "val"].to_numpy()
+        ids = np.concatenate([[int(g["key"].iloc[0])],
+                              targets]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "label": pa.array(np.full(len(ids), m, np.int64))})
+
+    def jump(g: pd.DataFrame) -> pa.Table:
+        """key = some node w; kind 0 row carries label[w]; kind 1 rows
+        are nodes v with label[v] == w asking for label[w]."""
+        m = int(g.loc[g.kind == 0, "val"].min())
+        askers = g.loc[g.kind == 1, "val"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(askers),
+                         "label": pa.array(np.full(len(askers), m,
+                                                   np.int64))})
+
+    rounds = 0
+    prev = None
+    while True:
+        rounds += 1
+        lab_tagged = labels.map_batches(
+            lambda b: pa.table({"key": b.column("doc_id"),
+                                "kind": pa.array(
+                                    np.zeros(b.num_rows, np.uint8)),
+                                "val": b.column("label")}),
+            batch_format="pyarrow")
+        relaxed = (lab_tagged.union(edges_tagged)
+                   .groupby("key").map_groups(relax, batch_format="pandas")
+                   .groupby("doc_id")
+                   .aggregate(Min("label", alias_name="label"))
+                   .materialize())
+        # pointer jump: every node asks its current label for ITS label
+        provides = relaxed.map_batches(
+            lambda b: pa.table({"key": b.column("doc_id"),
+                                "kind": pa.array(
+                                    np.zeros(b.num_rows, np.uint8)),
+                                "val": b.column("label")}),
+            batch_format="pyarrow")
+        requests = relaxed.map_batches(
+            lambda b: pa.table({"key": b.column("label"),
+                                "kind": pa.array(
+                                    np.ones(b.num_rows, np.uint8)),
+                                "val": b.column("doc_id")}),
+            batch_format="pyarrow")
+        labels = (provides.union(requests)
+                  .groupby("key").map_groups(jump, batch_format="pandas")
+                  .groupby("doc_id")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev:
+            break
+        prev = s
+    df = labels.to_pandas()
+    df["label"] = df["label"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True), rounds
