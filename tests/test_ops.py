@@ -1221,3 +1221,30 @@ def test_pointer_doubling_components(tmp_path):
             "doc_b": pa.array([], pa.int64())})))
     assert r3 == 0 and (labels3["label"].to_numpy()
                         == labels3["doc_id"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_balance_properties():
+    """Language rebalancing: expected kept per language ≈ the smallest
+    language's size; every kept doc satisfies the integer rule
+    hash % n_lang < n_min recomputed directly from the parquet."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.sampling import q_lang_balance
+
+    got = q_lang_balance(SF)
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "text"]).to_pandas()
+    n = src["lang"].value_counts()
+    mn = int(n.min())
+    h = src["text"].map(lambda t: int.from_bytes(
+        hashlib.md5(t.encode()).digest()[8:16], "little"))
+    keep = (h % src["lang"].map(n).astype("uint64")) < mn
+    assert set(src.loc[keep, "doc_id"]) == set(got["doc_id"])
+    kept = got["lang"].value_counts()
+    # Bernoulli with p = mn/n_lang: each language lands near mn
+    assert (kept > 0.6 * mn).all() and (kept < 1.4 * mn).all()
+    # the dominant language was actually downsampled
+    assert kept[n.idxmax()] < n.max() * 0.7

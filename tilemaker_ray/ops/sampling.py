@@ -94,7 +94,47 @@ def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lang_balance(sf_dir: str) -> pd.DataFrame:
+    """Source-mixing / rebalancing (the data-mixing stage of an LLM
+    training pipeline): downsample every language to the size of the
+    SMALLEST one with a deterministic integer rule — keep a doc iff
+    hash64(text) % n_lang < n_min — so expected kept per language is
+    n_min and the sample is a pure function of the data (retry/resume
+    stable, no float threshold whose rounding could diverge from the
+    oracle).  Two passes: a tiny per-lang count groupby (broadcast),
+    then an embarrassingly-parallel filter."""
+    from ray.data.aggregate import Count
+    counts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["lang"])
+              .groupby("lang").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    n_by_lang = dict(zip(counts["lang"], counts["n"].astype(np.uint64)))
+    mn = np.uint64(counts["n"].min())
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _text_hash64(b.column("text").to_pylist())
+        lang = b.column("lang").to_pandas()
+        n = lang.map(n_by_lang).to_numpy(dtype=np.uint64)
+        mask = pa.array(h % n < mn)
+        return b.filter(mask).select(["doc_id", "lang"])
+
+    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 ORACLES = {
+    "lang_balance": """
+        WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ), m AS (SELECT min(n) AS mn FROM c)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN c USING (lang), m
+        WHERE md5_number_lower(d.text) % c.n < m.mn
+        ORDER BY d.doc_id
+    """,
     "weighted_sample": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE md5_number_lower(text) % {WEIGHT_MOD} < n_chars
