@@ -152,3 +152,59 @@ def test_winnow_containment_property(a, b):
         h1 = set(winnow_hashes(joined).tolist())
         h2 = set(winnow_hashes(b).tolist())
         assert h1 & h2
+
+
+_text = st.text(alphabet=st.characters(min_codepoint=32,
+                                       max_codepoint=0x2FF),
+                min_size=0, max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text)
+def test_cdc_chunks_conserve_and_position_independent(t):
+    """CDC invariants for every input: chunk lengths tile the text
+    exactly, and a duplicated text yields the identical chunk-hash
+    sequence (hashes depend on content only, not absolute offset —
+    checked by re-chunking t after a prefix that ends with a forced
+    boundary can't be arranged, so we instead verify determinism +
+    the substring-hash identity on each chunk)."""
+    from tilemaker_ray.ops.dedup import _cdc_chunks, _kr_prefix
+
+    h, ln = _cdc_chunks(t)
+    assert int(ln.sum()) == len(t)
+    assert (ln > 0).all() or len(t) == 0
+    h2, ln2 = _cdc_chunks(t)
+    assert np.array_equal(h, h2) and np.array_equal(ln, ln2)
+    if len(t):
+        # each chunk's hash equals the KR substring identity
+        p, b_pow = _kr_prefix(t)
+        ends = np.cumsum(ln)
+        starts = ends - ln
+        with np.errstate(over="ignore"):
+            expect = (p[ends] - p[starts]) * b_pow[ends - 1]
+        assert np.array_equal(h, expect)
+        # equal chunks anywhere hash equal: chunk 0 re-hashed standalone
+        e0 = int(ends[0])
+        sub_h, sub_ln = _cdc_chunks(t[:e0])
+        assert sub_h[0] == h[0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=8),
+                min_size=1, max_size=40))
+def test_gopher_counts_invariants(words):
+    """For every doc: n_words == len(split), 0 <= hapax <= n_words,
+    1 <= max_tok_freq <= n_words, hapax + counts consistency
+    (hapax == number of tokens whose count is exactly 1)."""
+    import pandas as pd
+
+    from tilemaker_ray.ops.text import gopher_counts
+
+    t = " ".join(words)
+    g = gopher_counts(pd.Series([t])).iloc[0]
+    from collections import Counter
+    c = Counter(words)
+    assert g["n_words"] == len(words)
+    assert g["n_hapax"] == sum(1 for v in c.values() if v == 1)
+    assert g["max_tok_freq"] == max(c.values())
+    assert g["gopher_pass"] in (0, 1)
