@@ -405,6 +405,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed PCA over the embedding column (Gram-partial
         # shuffle + driver eigh; local-numpy parity-tested)
         "embedding_pca": similarity.q_embedding_pca,
+        # domain ranking: weighted PageRank over the host link graph
+        # (the Common-Crawl host-centrality artifact crawl curation
+        # consumes; float power iteration → rows-only, parity-tested)
+        "domain_pagerank": web.q_domain_pagerank,
         # mergeable HLL cardinality sketch (approximate by
         # construction; 3-sigma error bound asserted in tests)
         "hll_distinct_urls": _hll_distinct_urls,

@@ -1248,3 +1248,39 @@ def test_lang_balance_properties():
     assert (kept > 0.6 * mn).all() and (kept < 1.4 * mn).all()
     # the dominant language was actually downsampled
     assert kept[n.idxmax()] < n.max() * 0.7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_pagerank_parity():
+    """Distributed edge build + power iteration must match a fully
+    independent local recomputation from the raw urls, ranks must sum
+    to 1, and the rank mass must actually concentrate (not uniform)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops.web import (PR_DAMPING, PR_ITERS,
+                                       q_domain_pagerank)
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+
+    got = q_domain_pagerank(SF)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    urls = pq.read_table(pages_path(rows_for_sf(SF)),
+                         columns=["url"]).to_pandas()["url"]
+    s = urls.map(lambda u: int(re.match(r"https://site(\d+)\.", u)
+                               .group(1))).to_numpy()
+    n = 997
+    src = np.concatenate([s, s])
+    dst = np.concatenate([(s * 7 + 1) % n, s % 31])
+    out_w = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    dangling = out_w == 0
+    for _ in range(PR_ITERS):
+        contrib = np.bincount(dst, weights=r[src] / out_w[src],
+                              minlength=n)
+        leak = r[dangling].sum() / n
+        r = (1.0 - PR_DAMPING) / n + PR_DAMPING * (contrib + leak)
+    np.testing.assert_allclose(got["rank"].to_numpy(), np.round(r, 12),
+                               rtol=0, atol=1e-12)
+    assert got["rank"].max() > 3.0 * got["rank"].min()
