@@ -108,8 +108,12 @@ def _token_counts(sf_dir: str):
     a = text.q_token_count(sf_dir)
     b = text.q_normalize_text(sf_dir).rename(
         columns={"n_tokens": "n_clean_tokens"})
-    a = a.merge(text.q_lm_bits(sf_dir), on="doc_id")
-    a = a.merge(text.q_lm_tercile(sf_dir), on="doc_id")
+    # ONE bigram-LM run feeds both the score column and the tercile
+    # (q_lm_tercile re-running lm_bits_ds doubled the heaviest text
+    # kernel — review finding)
+    lmds = text.lm_bits_ds(sf_dir).materialize()
+    a = a.merge(lmds.to_pandas(), on="doc_id")
+    a = a.merge(text.q_lm_tercile(sf_dir, lm=lmds), on="doc_id")
     return (a.merge(b, on="doc_id")
              .sort_values("doc_id").reset_index(drop=True))
 

@@ -1150,7 +1150,12 @@ def components_pointer_doubling(docs: ray.data.Dataset,
         return df.sort_values("doc_id").reset_index(drop=True), 0
 
     def relax(g: pd.DataFrame) -> pa.Table:
-        m = int(g.loc[g.kind == 0, "val"].min())
+        lab = g.loc[g.kind == 0, "val"]
+        if lab.empty:                      # edge endpoint not in docs:
+            raise ValueError(              # fail fast with the contract,
+                "components_pointer_doubling: edge endpoint "
+                f"{int(g['key'].iloc[0])} has no docs row")
+        m = int(lab.min())
         targets = g.loc[g.kind == 1, "val"].to_numpy()
         ids = np.concatenate([[int(g["key"].iloc[0])],
                               targets]).astype(np.int64)

@@ -17,21 +17,15 @@ boundaries, and exactly reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .text import content_hash64
+
 SAMPLE_MOD = 10
 STRATA_K = 20
-
-
-def _text_hash64(texts: list[str]) -> np.ndarray:
-    return np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
-                                    "little") for t in texts],
-                    dtype=np.uint64)
 
 
 def q_hash_sample(sf_dir: str) -> pd.DataFrame:
@@ -39,7 +33,7 @@ def q_hash_sample(sf_dir: str) -> pd.DataFrame:
                                columns=["doc_id", "lang", "text", "n_chars"])
 
     def keep(b: pa.Table) -> pa.Table:
-        h = _text_hash64(b.column("text").to_pylist())
+        h = content_hash64(b.column("text").to_pylist())
         mask = pa.array(h % SAMPLE_MOD == 0)
         return b.filter(mask).select(["doc_id", "lang", "n_chars"])
 
@@ -55,7 +49,7 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({
             "doc_id": b.column("doc_id").to_numpy(),
             "lang": b.column("lang").to_pylist(),
-            "h": _text_hash64(b.column("text").to_pylist()),
+            "h": content_hash64(b.column("text").to_pylist()),
         })
         g = (df.sort_values(["h", "doc_id"], kind="stable")
                .groupby("lang", as_index=False).head(STRATA_K))
@@ -85,7 +79,7 @@ def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
                                columns=["doc_id", "lang", "text", "n_chars"])
 
     def keep(b: pa.Table) -> pa.Table:
-        h = _text_hash64(b.column("text").to_pylist())
+        h = content_hash64(b.column("text").to_pylist())
         w = b.column("n_chars").to_numpy().astype(np.uint64)
         mask = pa.array(h % WEIGHT_MOD < w)
         return b.filter(mask).select(["doc_id", "lang", "n_chars"])
@@ -115,7 +109,7 @@ def q_lang_balance(sf_dir: str) -> pd.DataFrame:
                                columns=["doc_id", "lang", "text"])
 
     def keep(b: pa.Table) -> pa.Table:
-        h = _text_hash64(b.column("text").to_pylist())
+        h = content_hash64(b.column("text").to_pylist())
         lang = b.column("lang").to_pandas()
         n = lang.map(n_by_lang).to_numpy(dtype=np.uint64)
         mask = pa.array(h % n < mn)

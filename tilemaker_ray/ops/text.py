@@ -98,15 +98,19 @@ LM_TILES = 3   # CCNet head/middle/tail
 GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3, 10   # via 3n <= L <= 10n
 
 
-def gopher_counts(txt: pd.Series) -> pd.DataFrame:
+def gopher_counts(txt: pd.Series,
+                  ex: pd.Series | None = None) -> pd.DataFrame:
     """Shared Gopher-rule kernel (used by q_gopher_rules AND the
     cleanse pipeline, so the two can never drift): per doc, word
     count, hapax count, mode token frequency, and the integer-exact
     pass flag.  Vectorized: one str.split + explode + two C-level
-    groupbys.  `txt` must carry a zero-based RangeIndex."""
+    groupbys.  `txt` must carry a zero-based RangeIndex; pass `ex`
+    (txt.str.split(" ").explode()) to reuse a caller's explode —
+    tokenization dominates the kernel, so hot paths compute it once."""
     n = (txt.str.count(" ") + 1).astype("int64")
     tot_len = txt.str.len().astype("int64") - (n - 1)
-    ex = txt.str.split(" ").explode()
+    if ex is None:
+        ex = txt.str.split(" ").explode()
     per_tok = ex.groupby([ex.index, ex]).size()
     hapax = ((per_tok == 1).groupby(level=0).sum()
              .reindex(txt.index, fill_value=0).astype("int64"))
@@ -938,7 +942,9 @@ ORACLES = {
 # --- CCNet head/middle/tail bucketing (exact distributed ntile) --------
 
 
-def q_lm_tercile(sf_dir: str) -> pd.DataFrame:
+def q_lm_tercile(sf_dir: str,
+                 lm: "ray.data.Dataset | None" = None
+                 ) -> pd.DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020 split the
     crawl into head/middle/tail by LM-score terciles): assign every
     doc its EXACT ntile(LM_TILES) rank in (lm_bits, doc_id) order —
@@ -954,7 +960,7 @@ def q_lm_tercile(sf_dir: str) -> pd.DataFrame:
     family).  A final vectorized pass assigns 1 + Σ(pair > cutoff)."""
     from .relational import GATHER_CAP, _exact_kth_values
 
-    ds = lm_bits_ds(sf_dir).materialize()
+    ds = (lm if lm is not None else lm_bits_ds(sf_dir)).materialize()
     from ray.data.aggregate import Count, Max, Min
     stats = ds.aggregate(Min("lm_bits"), Max("lm_bits"),
                          Count(alias_name="n"))
@@ -987,7 +993,15 @@ def q_lm_tercile(sf_dir: str) -> pd.DataFrame:
         below = int(tdf[f"below{i}"].sum())
         ties = np.sort(np.concatenate(
             [np.asarray(x, np.int64) for x in tdf[f"ties{i}"]]))
-        assert len(ties) <= GATHER_CAP, "tie gather exceeds cap"
+        if len(ties) > GATHER_CAP:
+            # a point-mass boundary (millions of identical rounded
+            # scores) needs the relational-family per-bin refinement
+            # instead of a driver gather — fail loud, never silently
+            # hold an unbounded gather (review finding)
+            raise RuntimeError(
+                f"lm_tercile boundary tie mass {len(ties)} exceeds "
+                f"GATHER_CAP={GATHER_CAP}; refine via _exact_kth_values "
+                "on doc_id within the boundary score")
         cutoffs.append((cv, int(ties[int(k) - below - 1])))
 
     def assign(b: pa.Table) -> pa.Table:

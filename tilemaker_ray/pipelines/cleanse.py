@@ -138,12 +138,14 @@ class _CleanWriter:
     def _score(self, df: pd.DataFrame) -> pd.DataFrame:
         vocab, bits, oov_bits, losers = self._resolve()
         txt = df["text"].reset_index(drop=True)
+        # ONE explode serves both the gopher kernel and the LM lookup
+        # (tokenization dominates this stage — review finding)
+        ex = txt.str.split(" ").explode()
         # gopher rules via the SHARED kernel (ops/text.gopher_counts —
         # the same code path the oracled q_gopher_rules runs)
-        gopher_ok = gopher_counts(txt)["gopher_pass"].to_numpy() == 1
+        gopher_ok = gopher_counts(txt, ex=ex)["gopher_pass"].to_numpy() == 1
         n = (txt.str.count(" ") + 1).astype("int64")
         # unigram LM bits per doc: searchsorted vocab lookup
-        ex = txt.str.split(" ").explode()
         toks = ex.to_numpy(dtype=object)
         pos = ex.index.to_numpy()
         bits_sum = np.zeros(len(txt), np.float64)
