@@ -1,0 +1,39 @@
+"""Multi-node parity: the flagship build on a real 3-node local Ray
+cluster (ray.cluster_utils.Cluster — head driver-only + two 2-CPU
+workers, objects crossing the inter-node object-store wire) must be
+byte-identical to the single-node build.
+
+Runs scripts/multinode_check.py in a SUBPROCESS because the pytest
+session owns its own single-node Ray and a second control plane can't
+share the process.
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_multinode_flagship_parity():
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # legs pick their own address
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multinode_check.py"),
+         "2000"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "PARITY OK nodes=3" in p.stdout
+
+
+def test_cli_connects_to_existing_cluster():
+    # `ray job submit` shape: the CLI driver must CONNECT to the live
+    # cluster named by RAY_ADDRESS (what the job server sets), not
+    # boot a private local Ray.
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "cluster_job_check.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "JOB OK" in p.stdout

@@ -107,11 +107,25 @@ def main(argv=None) -> int:
 
     import ray
     if not ray.is_initialized():
-        kwargs = {}
-        if args.threads:
-            kwargs["num_cpus"] = args.threads
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR", **kwargs)
+        # Under `ray job submit` (RAY_JOB_ID set) or with RAY_ADDRESS
+        # naming a live cluster, connect to it — the north-rule run
+        # mode. num_cpus is a cluster property there, so --threads
+        # only applies to the standalone local boot.
+        addr = os.environ.get("RAY_ADDRESS", "")
+        in_cluster = "RAY_JOB_ID" in os.environ or (addr and addr != "local")
+        if in_cluster:
+            if args.threads and not args.quiet:
+                print("note: --threads ignored on an existing cluster")
+            if not args.quiet:
+                print(f"Connecting to existing Ray cluster "
+                      f"at {addr or 'auto'}")
+            ray.init(address="auto", logging_level="ERROR")
+        else:
+            kwargs = {}
+            if args.threads:
+                kwargs["num_cpus"] = args.threads
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
