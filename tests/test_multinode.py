@@ -37,3 +37,18 @@ def test_cli_connects_to_existing_cluster():
         capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
     assert "JOB OK" in p.stdout
+
+
+def test_fault_injection_parity():
+    # A worker process hard-killed mid-run (os._exit in the first
+    # extractor-actor call) must not change the output: Ray restarts
+    # the actor, re-executes the lost task from lineage, and the
+    # tiles come out byte-identical to a clean run.
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "fault_check.py"),
+         "2000"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "FAULT OK" in p.stdout
