@@ -52,3 +52,17 @@ def test_fault_injection_parity():
         capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
     assert "FAULT OK" in p.stdout
+
+
+def test_sigkill_resume_parity():
+    # The whole job process group is SIGKILLed mid-run; a rerun must
+    # resume from the checkpoint manifest (>=1 partition skipped) and
+    # finish with tiles byte-identical to a never-killed run.
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "resume_kill_check.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "RESUME OK" in p.stdout
