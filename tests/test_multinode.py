@@ -66,3 +66,19 @@ def test_sigkill_resume_parity():
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
     assert "RESUME OK" in p.stdout
+
+
+def test_node_loss_mid_shuffle_parity():
+    # The strongest fault: an entire worker node (raylet + object
+    # store + in-flight shuffle blocks) is removed two seconds into
+    # the flagship build on a 3-node cluster. Ray must reconstruct
+    # the lost blocks from lineage on the surviving worker and the
+    # tiles must come out byte-identical to a clean single-node run.
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "node_loss_check.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "NODELOSS OK" in p.stdout
