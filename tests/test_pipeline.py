@@ -289,3 +289,34 @@ class TestStageBSizing:
         assert out["pk"].between(0, 776).all()
         # hash spreads: no partition holds a gross share
         assert out["pk"].value_counts().max() < 5000 * 0.05
+
+
+class TestGeomMapFastPoints:
+    """The cross-tile vectorized point path (GeomMap._emit_points_fast)
+    must be row-set identical to the generic per-tile path — including
+    the (fid, layer) dedup and the low-zoom feature_limit fallback
+    (places exceeds its 200-feature limit in the z0-z4 tiles here)."""
+
+    def test_fast_points_equals_scalar(self):
+        import pyarrow.parquet as pq
+        from tilemaker_ray.config import default_config
+        from tilemaker_ray.stages.salted import GeomMap
+
+        cfg = default_config()
+        t = pq.read_table(pages_path(2000),
+                          columns=["url", "html", "text", "lang"])
+        ext = PageFeatureExtractor(known_layers={l.name for l in cfg.layers})
+        feats = [ext(t.slice(i, 512)) for i in range(0, t.num_rows, 512)]
+
+        fast = GeomMap(cfg)
+        scalar = GeomMap(cfg)
+        scalar._emit_points_fast = lambda df: df  # force generic path
+
+        def canon(frames):
+            df = pd.concat(frames, ignore_index=True)
+            return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+        a = canon([fast(f) for f in feats])
+        b = canon([scalar(f) for f in feats])
+        assert len(a) > 10_000
+        assert a == b

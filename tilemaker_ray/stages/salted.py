@@ -120,11 +120,10 @@ class GeomStage(TileRenderer):
         })
 
     # Override the per-tile path: geometry processing only, no MVT.
-    def _render_tile_idx(self, g, idx, zoom, x, y, state):
-        from ..tilemath import TileBbox
-        recs = self._collate(g, idx, zoom)
+    def _get_bbox(self, x, y, zoom):
         # bbox depends only on (x,y,zoom); hot-cluster tiles repeat
         # across features and batches, so cache per actor (ST6 pattern)
+        from ..tilemath import TileBbox
         cache = getattr(self, "_bbox_cache", None)
         if cache is None:
             cache = self._bbox_cache = {}
@@ -134,6 +133,27 @@ class GeomStage(TileRenderer):
                 cache.clear()
             bbox = cache[(x, y, zoom)] = TileBbox(
                 x, y, zoom, self.config.high_resolution)
+        return bbox
+
+    def _render_tile_idx(self, g, idx, zoom, x, y, state):
+        if len(idx) == 1:
+            # single-feature tile (the common case: exploded rows
+            # average ~1.2 features per tile visit) — dedup/sort and
+            # the per-physical-layer scan are no-ops, so skip straight
+            # to emission. Equivalent: _collate of one row is itself,
+            # the feature_limit pre-trim cannot bind on one row, and
+            # only the row's own layer would have a non-empty sel.
+            i = int(idx[0])
+            ld = self.layer_defs.get(g.layer[i])
+            if ld is None or zoom < ld.minzoom or zoom > ld.maxzoom:
+                return None, 0
+            simplify_level, filter_area = self._zoom_params(ld, zoom, y)
+            self._emit_objects(g, [i], ld, zoom, x, y,
+                               self._get_bbox(x, y, zoom), state,
+                               simplify_level, filter_area)
+            return None, 0
+        recs = self._collate(g, idx, zoom)
+        bbox = self._get_bbox(x, y, zoom)
         for phys in self.phys_order:
             for ld in self.sub_by_phys[phys]:
                 if zoom < ld.minzoom or zoom > ld.maxzoom:
@@ -304,7 +324,9 @@ class GeomMap(GeomStage):
                                       emit_lowzoom=False)
         df = assigned.to_pandas()
         self._rows = {k: [] for k in self.A_COLUMNS}
-        self.render_range(df, self.config.start_zoom, self.config.end_zoom)
+        df = self._emit_points_fast(df)
+        if len(df):
+            self.render_range(df, self.config.start_zoom, self.config.end_zoom)
         r = self._rows
         tx = np.array(r["tile_x"], dtype=np.uint32)
         ty = np.array(r["tile_y"], dtype=np.uint32)
@@ -325,6 +347,203 @@ class GeomMap(GeomStage):
         if self.config.bbox is not None:
             out = out[bbox_mask(out, self.config)]
         return out
+
+    # --- cross-tile vectorized point emission --------------------------
+
+    def _y_params(self, zoom: int, y: int):
+        """Exact latitude-axis tile params per (zoom, y), memoized.
+
+        The latp→lat→latp roundtrip goes through libm, where a numpy
+        vectorization is not guaranteed bit-identical to the scalar
+        TileBbox code — so each distinct (zoom, y) is computed once with
+        the IDENTICAL scalar expressions and scattered to rows.
+        Returns (max_latp, yscale, clip_miny, clip_maxy).
+        """
+        import math
+
+        from ..tilemath import _lat2latp_s, _latp2lat_s
+        cache = getattr(self, "_ypar_cache", None)
+        if cache is None:
+            cache = self._ypar_cache = {}
+        hit = cache.get((zoom, y))
+        if hit is None:
+            min_lat = _latp2lat_s(180.0 - math.ldexp(y + 1, -zoom) * 360.0)
+            max_lat = _latp2lat_s(180.0 - math.ldexp(y, -zoom) * 360.0)
+            min_latp = _lat2latp_s(min_lat)
+            max_latp = _lat2latp_s(max_lat)
+            ymargin = (max_latp - min_latp) / 200.0
+            extent = 8192 if self.config.high_resolution else 4096
+            yscale = (max_latp - min_latp) / float(extent)
+            if len(cache) >= 1 << 20:
+                cache.clear()
+            hit = cache[(zoom, y)] = (max_latp, yscale,
+                                      min_latp - ymargin, max_latp + ymargin)
+        return hit
+
+    def _emit_points_fast(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Emit point rows for ALL tiles and zooms in one numpy pass per
+        zoom, bypassing the per-tile loop (which averages ~1 feature per
+        visit on point-heavy web workloads). Returns the residual frame
+        for the generic per-tile path.
+
+        Value-identical to the scalar path: x-axis tile params are pure
+        power-of-two arithmetic evaluated in the exact TileBbox
+        expression order (elementwise IEEE ops match the scalar ops),
+        y-axis params come from _y_params (identical scalar code,
+        memoized per (zoom, y)), and the emitted ints use the same
+        floor((v - origin) / scale) expressions as scale_latplon.
+
+        Semantics preserved from the per-tile loop:
+        - (fid, layer) keep-first-by-input-order dedup per tile
+          (_collate) via a lexsort whose final tiebreaker is the input
+          position;
+        - the per-(tile, layer) feature_limit pre-trim: groups that
+          exceed the limit fall back to the scalar per-tile path (the
+          trim needs the attrs-ordered top-N; such tiles are the few
+          low-zoom ones);
+        - layer min/max-zoom gates and per-row min_zoom.
+
+        Eligibility mirrors the loop's guards: known layers that are
+        point-only within this batch (dedup and feature_limit are
+        per-layer-within-tile, so a fully-fast-path layer is unaffected
+        by other layers' rows), non-large rows, and
+        end_zoom <= base_zoom (the lossy z>base derivation stays on the
+        generic path). Ineligible rows pass through untouched.
+        """
+        if self.config.end_zoom > self.config.base_zoom or not len(df):
+            return df
+        gt = df["geom_type"].to_numpy(dtype=np.int64)
+        pmask = gt == int(gc.POINT_)
+        if not pmask.any():
+            return df
+        layer_arr = df["layer"].to_numpy(dtype=object)
+        large = df["large"].to_numpy(dtype=bool)
+        bad_layers = set(layer_arr[~pmask])
+        codes, uniq = pd.factorize(layer_arr)
+        nu = len(uniq)
+        ok_layer = np.zeros(nu, dtype=bool)
+        l_minz = np.zeros(nu, dtype=np.int64)
+        l_maxz = np.zeros(nu, dtype=np.int64)
+        l_lim = np.zeros(nu, dtype=np.int64)
+        l_flb = np.zeros(nu, dtype=np.int64)
+        l_sign = np.ones(nu, dtype=np.int64)
+        l_lidx = np.full(nu, 255, dtype=np.int64)
+        for u, name in enumerate(uniq):
+            ld = self.layer_defs.get(name)
+            if ld is None or name in bad_layers:
+                continue
+            ok_layer[u] = True
+            l_minz[u] = ld.minzoom
+            l_maxz[u] = ld.maxzoom
+            l_lim[u] = ld.feature_limit
+            l_flb[u] = ld.feature_limit_below
+            l_sign[u] = 1 if ld.z_order_ascending else -1
+            l_lidx[u] = self.layer_order.get(name, 255)
+        el = pmask & ~large & ok_layer[codes]
+        if not el.any():
+            return df
+        pos = np.nonzero(el)[0]  # df positions, input order
+        c = codes[pos]
+        fid = df["feature_id"].to_numpy(dtype=np.uint64)[pos]
+        minz = df["min_zoom"].to_numpy(dtype=np.int64)[pos]
+        zo = df["z_order"].to_numpy(dtype=np.int64)[pos] * l_sign[c]
+        lon = df["lon"].to_numpy(dtype=np.float64)[pos]
+        latp = df["latp"].to_numpy(dtype=np.float64)[pos]
+        tx = df["tile_x"].to_numpy(dtype=np.int64)[pos]
+        ty = df["tile_y"].to_numpy(dtype=np.int64)[pos]
+        attrs = df["attrs"].to_numpy(dtype=object)[pos]
+        lidx = l_lidx[c]
+        base = self.config.base_zoom
+        extent = 8192 if self.config.high_resolution else 4096
+        r = self._rows
+        hdr = self._PTS_HDR
+        g_full = None
+        state = None
+        for zoom in range(self.config.start_zoom, self.config.end_zoom + 1):
+            m = (minz <= zoom) & (l_minz[c] <= zoom) & (zoom <= l_maxz[c])
+            if not m.any():
+                continue
+            sub = np.nonzero(m)[0]
+            shift = base - zoom
+            zx = tx[sub] >> shift
+            zy = ty[sub] >> shift
+            # sort by (tile, layer, fid) with input position last so
+            # duplicate (tile, layer, fid) runs keep their first row
+            order = np.lexsort((sub, fid[sub], lidx[sub], zy, zx))
+            zx, zy = zx[order], zy[order]
+            so = sub[order]
+            sf = fid[so]
+            sl = lidx[so]
+            if len(so) > 1:
+                dup = ((np.diff(zx) == 0) & (np.diff(zy) == 0)
+                       & (np.diff(sl) == 0) & (np.diff(sf) == 0))
+                keep = np.concatenate([[True], ~dup])
+                zx, zy, so, sl = zx[keep], zy[keep], so[keep], sl[keep]
+            n = len(so)
+            # feature_limit: contiguous (tile, layer) runs of the
+            # deduped rows; over-limit runs go to the scalar tile path
+            tb = np.nonzero((np.diff(zx) != 0) | (np.diff(zy) != 0)
+                            | (np.diff(sl) != 0))[0] + 1
+            starts = np.concatenate([[0], tb])
+            ends = np.concatenate([tb, [n]])
+            rl = l_lim[c[so[starts]]]
+            rf = l_flb[c[so[starts]]]
+            over = (rl > 0) & (ends - starts > rl) & (zoom < rf)
+            if over.any():
+                emit = np.ones(n, dtype=bool)
+                if g_full is None:
+                    from .render import RenderState, _Group
+                    g_full = _Group(df)
+                    state = RenderState()
+                for k in np.nonzero(over)[0]:
+                    s, e = starts[k], ends[k]
+                    emit[s:e] = False
+                    self._render_tile_idx(g_full, pos[so[s:e]], zoom,
+                                          int(zx[s]), int(zy[s]), state)
+                zx, zy, so, sl = zx[emit], zy[emit], so[emit], sl[emit]
+                if len(so) == 0:
+                    continue
+            # x-axis params: exact TileBbox expression order
+            min_lon = zx.astype(np.float64) * (2.0 ** -zoom) * 360.0 - 180.0
+            max_lon = (zx + 1).astype(np.float64) * (2.0 ** -zoom) * 360.0 - 180.0
+            xmargin = (max_lon - min_lon) / 200.0
+            xscale = (max_lon - min_lon) / float(extent)
+            clip_minx = min_lon - xmargin
+            clip_maxx = max_lon + xmargin
+            uy, inv = np.unique(zy, return_inverse=True)
+            pars = np.empty((len(uy), 4), dtype=np.float64)
+            for k, yy in enumerate(uy.tolist()):
+                pars[k] = self._y_params(zoom, yy)
+            max_latp = pars[inv, 0]
+            yscale = pars[inv, 1]
+            clip_miny = pars[inv, 2]
+            clip_maxy = pars[inv, 3]
+            plon = lon[so]
+            platp = latp[so]
+            okm = ((clip_minx <= plon) & (plon <= clip_maxx)
+                   & (clip_miny <= platp) & (platp <= clip_maxy))
+            if not okm.all():
+                zx, zy, so, sl = zx[okm], zy[okm], so[okm], sl[okm]
+                plon, platp = plon[okm], platp[okm]
+                min_lon, xscale = min_lon[okm], xscale[okm]
+                max_latp, yscale = max_latp[okm], yscale[okm]
+            n = len(so)
+            if n == 0:
+                continue
+            xs = np.floor((plon - min_lon) / xscale)
+            ys = np.floor((max_latp - platp) / yscale)
+            raw = np.column_stack([xs, ys]).astype("<i4").tobytes()
+            r["zoom"].extend([zoom] * n)
+            r["tile_x"].extend(zx.tolist())
+            r["tile_y"].extend(zy.tolist())
+            r["lidx"].extend(sl.tolist())
+            r["zo_sort"].extend(zo[so].tolist())
+            r["geom_type"].extend([int(gc.POINT_)] * n)
+            r["attrs"].extend(attrs[so].tolist())
+            r["feature_id"].extend(int(v) for v in fid[so])
+            r["layer"].extend(layer_arr[pos[so]].tolist())
+            r["pts"].extend(hdr + raw[8 * k:8 * k + 8] for k in range(n))
+        return df[~el]
 
 
 def bbox_mask(df: pd.DataFrame, config: Config) -> np.ndarray:
