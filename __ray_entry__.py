@@ -172,6 +172,21 @@ def _content_samples(sf_dir: str):
     return pd.concat([a, b, c, d], ignore_index=True)
 
 
+def _page_hygiene(sf_dir: str):
+    """url_canonicalize ⊕ html_extract ⊕ link_stats — all per-page
+    (one row per url) crawl-hygiene signals.  The rich-HTML table is
+    generated with the SAME url key space as the default pages table
+    (sources/pages.py generate_rich_block), so the three ops join 1:1
+    on url and one driver row checks every column of all three."""
+    from tilemaker_ray.ops import web
+
+    a = web.q_url_canonicalize(sf_dir)
+    b = web.q_html_extract(sf_dir)
+    c = web.q_link_stats(sf_dir)
+    return (a.merge(b, on="url").merge(c, on="url")
+             .sort_values("url").reset_index(drop=True))
+
+
 def _nb_classify(sf_dir: str):
     from tilemaker_ray.ops.classify import q_nb_classify
 
@@ -266,7 +281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     gopher_rules, fingerprint carries simhash + the winnowing set
     summary (count + bit_xor), token_count carries normalize_text (and
     the BPE variant) + lm_bits + lm_tercile, hash_sample carries stratified_sample +
-    weighted_sample + lang_balance, s2_cells
+    weighted_sample + lang_balance, url_canonicalize carries
+    html_extract + link_stats (same per-url grain — the rich-HTML
+    table shares the pages table's url key space by design), s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
     raster_runs (tagged union — a cell is a length-1 run); hex_bin is
     covered by hex_kring's `n` column.  Rows-only pipelines
@@ -358,8 +375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination over the documents table
         "decontaminate": text.q_decontaminate,
         # crawl hygiene over the input-hint pages table: canonical URL
-        # forms and the deterministic per-domain page cap
-        "url_canonicalize": web.q_url_canonicalize,
+        # forms (⊕ HTML main-content extraction ⊕ per-page outlink
+        # stats — same per-url grain, one merged row) and the
+        # deterministic per-domain page cap
+        "url_canonicalize": _page_hygiene,
         "domain_cap": web.q_domain_cap,
         # PII scrub (emails/phones/IPv4) over the deterministic
         # contact-pages variant: per-class counts + redacted text
@@ -452,13 +471,27 @@ def oracle_sql() -> dict[str, str]:
     # reuses) the deterministic table and returns its directory
     from tilemaker_ray.ops.web import (domain_cap_oracle_sql,
                                        domain_stats_oracle_sql,
+                                       html_extract_oracle_sql,
+                                       link_stats_oracle_sql,
                                        pii_redact_oracle_sql,
                                        url_canonicalize_oracle_sql)
     from tilemaker_ray.pipelines.flagship import flagship_points_oracle_sql
-    from tilemaker_ray.sources.pages import pages_path, pii_pages_path
+    from tilemaker_ray.sources.pages import (pages_path, pii_pages_path,
+                                             rich_pages_path)
     out["flagship_point_counts"] = flagship_points_oracle_sql(pages_path(20_000))
     out["domain_stats"] = domain_stats_oracle_sql(pages_path(20_000))
-    out["url_canonicalize"] = url_canonicalize_oracle_sql(pages_path(20_000))
+    # merged per-url crawl-hygiene row (see _page_hygiene): the three
+    # per-page oracles join 1:1 on url (shared key space by design)
+    uc = url_canonicalize_oracle_sql(pages_path(20_000))
+    he = html_extract_oracle_sql(rich_pages_path(20_000))
+    ls = link_stats_oracle_sql(rich_pages_path(20_000))
+    out["url_canonicalize"] = f"""
+        SELECT u.url, u.canonical_url, u.host,
+               h.main_text, h.content_chars, h.html_chars,
+               l.n_links, l.n_internal, l.n_external, l.n_ext_hosts
+        FROM ({uc}) u JOIN ({he}) h ON u.url = h.url
+                      JOIN ({ls}) l ON u.url = l.url
+    """
     out["domain_cap"] = domain_cap_oracle_sql(pages_path(20_000))
     out["pii_redact"] = pii_redact_oracle_sql(pii_pages_path(20_000))
     from tilemaker_ray.ops import sketch

@@ -336,24 +336,74 @@ def test_domain_stats_oracle():
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("name", ["url_canonicalize", "domain_cap"])
+@pytest.mark.parametrize("name", ["url_canonicalize", "domain_cap",
+                                  "html_extract", "link_stats"])
 def test_web_pages_oracles(name):
-    """URL canonicalization / per-domain cap vs their SQL twins over
-    the sf0.001-equivalent pages dir (same pinning caveat as
+    """URL canonicalization / per-domain cap / HTML main-content
+    extraction / per-page outlink stats vs their SQL twins over the
+    sf0.001-equivalent pages dir (same pinning caveat as
     test_domain_stats_oracle)."""
     import duckdb
     from tilemaker_ray.ops import web
-    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+    from tilemaker_ray.sources.pages import (pages_path, rich_pages_path,
+                                             rows_for_sf)
     fn = {"url_canonicalize": web.q_url_canonicalize,
-          "domain_cap": web.q_domain_cap}[name]
+          "domain_cap": web.q_domain_cap,
+          "html_extract": web.q_html_extract,
+          "link_stats": web.q_link_stats}[name]
     sql = {"url_canonicalize": web.url_canonicalize_oracle_sql,
-           "domain_cap": web.domain_cap_oracle_sql}[name]
+           "domain_cap": web.domain_cap_oracle_sql,
+           "html_extract": web.html_extract_oracle_sql,
+           "link_stats": web.link_stats_oracle_sql}[name]
+    path = (rich_pages_path if name in ("html_extract", "link_stats")
+            else pages_path)(rows_for_sf(SF))
     mine = fn(SF)
     c = duckdb.connect()
-    exp = c.sql(sql(pages_path(rows_for_sf(SF)))).df()
+    exp = c.sql(sql(path)).df()
     a, b = normalize(mine), normalize(exp)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_extract_main_text_crafted():
+    """Rule-by-rule boilerplate stripping on crafted HTML: script /
+    style / nav / header / footer / title blocks vanish WITH their
+    contents, other tags are replaced by spaces (anchor inner text is
+    content and survives), whitespace collapses, edges trim."""
+    from tilemaker_ray.ops.web import extract_main_text
+    cases = {
+        "<html><head><title>t</title><style>b{}</style></head>"
+        "<body><script>x()</script><nav><a href='/a'>skip</a></nav>"
+        "<header><h1>h</h1></header><main><p>keep "
+        '<a href="https://x.example/">anchor</a> text</p></main>'
+        "<footer>foot</footer></body></html>":
+            "keep anchor text",
+        "<p>a</p><p>b</p>": "a b",
+        "no tags at all": "no tags at all",
+        "<script src='x'>var y=1;</script>rest": "rest",
+        "  <b>  spaced  </b>  ": "spaced",
+    }
+    got = extract_main_text(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+
+
+def test_rich_pages_share_url_key_space():
+    """The merged url_canonicalize driver row joins the default and
+    rich-HTML pages tables 1:1 on url — the two generators must emit
+    identical url sets for any n_rows, and the rich in-content links
+    must follow the exact host-graph convention q_domain_pagerank
+    models (site s → (7s+1) mod 997 and hub s mod 31)."""
+    import re
+
+    from tilemaker_ray.sources.pages import generate_block, generate_rich_block
+    a = generate_block(42, 3, 1000).column("url").to_pylist()
+    b = generate_rich_block(3, 1000).column("url").to_pylist()
+    assert a == b
+    html = generate_rich_block(0, 50).column("html").to_pylist()
+    for i, h in enumerate(html):
+        s = i % 997
+        ext = re.findall(r'href="https://site(\d+)\.example', h.decode())
+        assert [int(x) for x in ext] == [(7 * s + 1) % 997, s % 31]
 
 
 def test_canonicalize_urls_crafted():

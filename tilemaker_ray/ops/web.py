@@ -289,6 +289,167 @@ def pii_redact_oracle_sql(pages_dir: str) -> str:
     """
 
 
+# --- HTML main-content extraction -------------------------------------------
+# Boilerplate removal is the first transform every web-text corpus
+# applies (C4 / CCNet / trafilatura); here it is ONE ordered regex
+# chain shared verbatim by the Ray kernel (Python re over pandas) and
+# the DuckDB oracle (RE2), restricted to syntax the two engines agree
+# on: non-greedy block removal for the boilerplate containers, then a
+# global tag strip, then whitespace collapse + trim.  Pages are
+# generated on a single line, so no-DOTALL `.` semantics match.
+
+BOILERPLATE_BLOCK_RES = (
+    r"<script[^>]*>.*?</script>",
+    r"<style[^>]*>.*?</style>",
+    r"<nav[^>]*>.*?</nav>",
+    r"<header[^>]*>.*?</header>",
+    r"<footer[^>]*>.*?</footer>",
+    r"<title[^>]*>.*?</title>",
+)
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"\s+"
+
+
+def extract_main_text(html: pd.Series) -> pd.Series:
+    """Vectorized main-content extraction over a Series of HTML strings
+    (rules above).  Anchor INNER text survives (it is content); the
+    boilerplate containers and their contents do not."""
+    t = html
+    for rx in BOILERPLATE_BLOCK_RES:
+        t = t.str.replace(rx, "", regex=True)
+    t = t.str.replace(_TAG_RE, " ", regex=True)
+    t = t.str.replace(_WS_RE, " ", regex=True)
+    return t.str.strip()
+
+
+def q_html_extract(sf_dir: str) -> pd.DataFrame:
+    """(url, main_text, content_chars, html_chars) per rich-HTML page.
+    Embarrassingly parallel: one streaming map_batches, zero shuffle —
+    the canonical shape for a 100 TB crawl pass.  Regexes compile once
+    per actor (ST1 pattern); all kernels are vectorized pandas str ops.
+    The integer char counts feed a text-density removal rule
+    (content_chars / html_chars) downstream; both are exact."""
+    from ..sources.pages import rich_pages_path, rows_for_sf
+    pages = rich_pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages)
+
+    class Extractor:
+        def __init__(self):
+            import re
+            self.block = [re.compile(rx) for rx in BOILERPLATE_BLOCK_RES]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            h = b.column("html").cast(pa.string()).to_pandas()
+            t = h
+            for rx in self.block:
+                t = t.str.replace(rx, "", regex=True)
+            t = (t.str.replace(_TAG_RE, " ", regex=True)
+                  .str.replace(_WS_RE, " ", regex=True).str.strip())
+            return pa.table({
+                "url": b.column("url"),
+                "main_text": pa.array(t),
+                "content_chars": pa.array(t.str.len().astype("int64")),
+                "html_chars": pa.array(h.str.len().astype("int64")),
+            })
+
+    df = ds.map_batches(Extractor, batch_format="pyarrow",
+                        concurrency=(1, 8)).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def html_extract_oracle_sql(pages_dir: str) -> str:
+    red = "h"
+    for rx in BOILERPLATE_BLOCK_RES:
+        red = f"regexp_replace({red}, '{rx}', '', 'g')"
+    red = f"regexp_replace({red}, '{_TAG_RE}', ' ', 'g')"
+    red = f"trim(regexp_replace({red}, '{_WS_RE}', ' ', 'g'))"
+    return f"""
+        WITH p AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{pages_dir}/*.parquet')
+        )
+        SELECT url, {red} AS main_text,
+               CAST(length({red}) AS BIGINT) AS content_chars,
+               CAST(length(h) AS BIGINT) AS html_chars
+        FROM p ORDER BY url
+    """
+
+
+# --- per-page outlink stats --------------------------------------------------
+
+_HREF_RE = r'href="([^"]*)"'
+_LINK_HOST_RE = r"^https?://([^/]+)"
+
+
+def q_link_stats(sf_dir: str) -> pd.DataFrame:
+    """(url, n_links, n_internal, n_external, n_ext_hosts) per rich
+    page: total anchors, relative (same-site) links, absolute links,
+    and DISTINCT external hosts — the per-page slice of the host graph
+    q_domain_pagerank ranks.  Per-batch shape: findall → explode →
+    one in-batch groupby(url); urls are unique per row so no global
+    shuffle is needed and the stage streams."""
+    from ..sources.pages import rich_pages_path, rows_for_sf
+    pages = rich_pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages)
+
+    def stats(b: pa.Table) -> pa.Table:
+        h = b.column("html").cast(pa.string()).to_pandas()
+        urls = b.column("url").to_pandas()
+        links = h.str.findall(_HREF_RE)
+        e = pd.DataFrame({
+            "url": urls.to_numpy().repeat(links.str.len().to_numpy()),
+            "href": [x for l in links for x in l]})
+        e["internal"] = e["href"].str.startswith("/")
+        e["host"] = e["href"].str.extract(_LINK_HOST_RE, expand=False)
+        # DuckDB regexp_extract yields '' (not NULL) on a no-match
+        # absolute href — mirror that so both sides count it distinct
+        e.loc[~e["internal"] & e["host"].isna(), "host"] = ""
+        g = e.groupby("url").agg(
+            n_links=("href", "size"),
+            n_internal=("internal", "sum"),
+            n_ext_hosts=("host", "nunique")).reset_index()
+        out = pd.DataFrame({"url": urls}).merge(g, on="url", how="left")
+        for c in ("n_links", "n_internal", "n_ext_hosts"):
+            out[c] = out[c].fillna(0).astype("int64")
+        out["n_external"] = out["n_links"] - out["n_internal"]
+        return pa.Table.from_pandas(
+            out[["url", "n_links", "n_internal", "n_external",
+                 "n_ext_hosts"]], preserve_index=False)
+
+    df = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def link_stats_oracle_sql(pages_dir: str) -> str:
+    return f"""
+        WITH p AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{pages_dir}/*.parquet')
+        ), l AS (
+          SELECT url,
+                 unnest(regexp_extract_all(h, '{_HREF_RE}', 1)) AS href
+          FROM p
+        ), c AS (
+          SELECT url,
+                 count(*) AS n_links,
+                 CAST(sum(CASE WHEN href LIKE '/%' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_internal,
+                 count(DISTINCT CASE WHEN href NOT LIKE '/%' THEN
+                   regexp_extract(href, '{_LINK_HOST_RE}', 1) END)
+                   AS n_ext_hosts
+          FROM l GROUP BY url
+        )
+        SELECT p.url,
+               coalesce(c.n_links, 0) AS n_links,
+               coalesce(c.n_internal, 0) AS n_internal,
+               coalesce(c.n_links, 0) - coalesce(c.n_internal, 0)
+                 AS n_external,
+               coalesce(c.n_ext_hosts, 0) AS n_ext_hosts
+        FROM p LEFT JOIN c ON p.url = c.url
+        ORDER BY p.url
+    """
+
+
 # --- domain ranking (PageRank over the host link graph) ---------------------
 # Common-Crawl publishes exactly this artifact (host/domain-level
 # centrality ranks) and crawl-curation pipelines consume it as a

@@ -105,10 +105,11 @@ def generate_block(seed: int, block_id: int, n_rows: int) -> pa.Table:
     })
 
 
-def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_pages") -> str:
-    """Materialize (once) and return the directory of the synthetic pages
-    parquet table. One file per generation block → parallel reads."""
-    d = os.path.join(root, f"n{n_rows}_s{seed}")
+def _materialize_blocked(d: str, n_rows: int, gen) -> str:
+    """Write-once blocked materialization shared by every pages variant:
+    `gen(block_id, rows)` must be a pure function (same args → same
+    table), so concurrent/retried materializations converge on the same
+    bytes; the _DONE marker plus tmp-dir rename makes it idempotent."""
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
@@ -117,8 +118,7 @@ def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_page
     n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
     for b in range(n_blocks):
         rows = min(BLOCK_ROWS, n_rows - b * BLOCK_ROWS)
-        t = generate_block(seed, b, rows)
-        pq.write_table(t, os.path.join(tmp, f"block-{b:05d}.parquet"))
+        pq.write_table(gen(b, rows), os.path.join(tmp, f"block-{b:05d}.parquet"))
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(tmp):
         os.replace(os.path.join(tmp, f), os.path.join(d, f))
@@ -126,6 +126,14 @@ def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_page
     with open(done, "w") as fh:
         fh.write("ok")
     return d
+
+
+def pages_path(n_rows: int, seed: int = 42, root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """Materialize (once) and return the directory of the synthetic pages
+    parquet table. One file per generation block → parallel reads."""
+    d = os.path.join(root, f"n{n_rows}_s{seed}")
+    return _materialize_blocked(
+        d, n_rows, lambda b, rows: generate_block(seed, b, rows))
 
 
 def generate_pii_block(block_id: int, n_rows: int) -> pa.Table:
@@ -181,23 +189,71 @@ def pii_pages_path(n_rows: int,
     pages_path; content is a pure function of the row id alone, so
     there is no seed parameter)."""
     d = os.path.join(root, f"pii_n{n_rows}")
-    done = os.path.join(d, "_DONE")
-    if os.path.exists(done):
-        return d
-    tmp = d + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
-    for b in range(n_blocks):
-        rows = min(BLOCK_ROWS, n_rows - b * BLOCK_ROWS)
-        t = generate_pii_block(b, rows)
-        pq.write_table(t, os.path.join(tmp, f"block-{b:05d}.parquet"))
-    os.makedirs(d, exist_ok=True)
-    for f in os.listdir(tmp):
-        os.replace(os.path.join(tmp, f), os.path.join(d, f))
-    os.rmdir(tmp)
-    with open(done, "w") as fh:
-        fh.write("ok")
-    return d
+    return _materialize_blocked(d, n_rows, generate_pii_block)
+
+
+def generate_rich_block(block_id: int, n_rows: int) -> pa.Table:
+    """Rich-HTML variant for the main-content-extraction and link-graph
+    ops: full page scaffolding (title / style / optional script / nav
+    with boilerplate links / header / main with in-content anchors /
+    footer), all boilerplate the extractor must strip.  URLs are the
+    SAME formula as generate_block's, so per-page results join 1:1
+    against the default pages table (the merged url_canonicalize
+    driver row relies on this).  In-content links follow the exact
+    host-graph convention q_domain_pagerank assumes (site s → site
+    (7s+1) mod 997 and hub s mod 31), so the link-graph op observes
+    the same graph the rank op models.  Content is a pure vectorized
+    function of the row id — no RNG, no Python row loop; everything is
+    emitted on ONE line so `.`-based (no-DOTALL) regexes behave
+    identically in Python re and DuckDB RE2."""
+    base = block_id * BLOCK_ROWS
+    i = np.arange(base, base + n_rows, dtype=np.int64)
+    s = i % 997
+    dst1 = (7 * s + 1) % 997
+    dst2 = s % 31
+    w = [WORDS[(i * k + 3 * k) % len(WORDS)] for k in (1, 7, 13, 5, 11, 17)]
+
+    from functools import reduce
+
+    def cat(*parts):
+        return reduce(np.char.add, parts)
+
+    def seg(tok, mask):
+        return np.where(mask, tok, "")
+
+    urls = cat("https://site", s.astype("U4"), ".example/page/",
+               i.astype("U12"))
+    script = cat('<script>var p=', i.astype("U12"), ';track(p);</script>')
+    nav = cat('<nav><a href="/home">home</a> <a href="/about">about</a>',
+              seg(' <a href="/contact">contact</a>', (i % 2) == 1),
+              '</nav>')
+    main = cat('<main><p>', w[0], " ", w[1], " ", w[2],
+               ' visit <a href="https://site', dst1.astype("U4"),
+               '.example/page/', (i + 1).astype("U12"), '">', w[3],
+               '</a> and <a href="https://site', dst2.astype("U4"),
+               '.example/">hub</a>',
+               seg(cat(' <a href="/page/', (i + 1).astype("U12"),
+                       '">next</a>'), (i % 4) == 0),
+               " ", w[4], " ", w[5], '</p></main>')
+    html = cat('<html><head><title>page ', i.astype("U12"),
+               '</title><style>body{margin:0}</style></head><body>',
+               seg(script, (i % 3) != 2), nav,
+               '<header><h1>site ', s.astype("U4"), '</h1></header>',
+               main, '<footer>copyright ', (2020 + i % 5).astype("U4"),
+               ' site', s.astype("U4"), '</footer></body></html>')
+    return pa.table({
+        "url": pa.array(urls.tolist(), pa.string()),
+        "html": pa.array([h.encode() for h in html.tolist()], pa.binary()),
+    })
+
+
+def rich_pages_path(n_rows: int,
+                    root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """Materialize (once) and return the directory of the rich-HTML
+    pages parquet table (url, html) — same blocked contract and same
+    URL key space as pages_path(n_rows)."""
+    d = os.path.join(root, f"rich_n{n_rows}")
+    return _materialize_blocked(d, n_rows, generate_rich_block)
 
 
 def rows_for_sf(sf_dir: str) -> int:
