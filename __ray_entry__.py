@@ -187,6 +187,20 @@ def _page_hygiene(sf_dir: str):
              .sort_values("url").reset_index(drop=True))
 
 
+def _domain_rollups(sf_dir: str):
+    """domain_stats ⊕ anchor_stats — both roll up to the same
+    registrable-domain grain (every site both hosts pages and receives
+    anchors in the synthetic crawl, so the inner join keeps all 997
+    domains; and both sides of the driver compare join identically
+    regardless)."""
+    from tilemaker_ray.ops import web
+
+    a = web.q_domain_stats(sf_dir)
+    b = web.q_anchor_stats(sf_dir)
+    return (a.merge(b, on="domain")
+             .sort_values("domain").reset_index(drop=True))
+
+
 def _nb_classify(sf_dir: str):
     from tilemaker_ray.ops.classify import q_nb_classify
 
@@ -283,7 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the BPE variant) + lm_bits + lm_tercile, hash_sample carries stratified_sample +
     weighted_sample + lang_balance, url_canonicalize carries
     html_extract + link_stats (same per-url grain — the rich-HTML
-    table shares the pages table's url key space by design), s2_cells
+    table shares the pages table's url key space by design),
+    domain_stats carries anchor_stats (same per-domain grain), s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
     raster_runs (tagged union — a cell is a length-1 run); hex_bin is
     covered by hex_kring's `n` column.  Rows-only pipelines
@@ -357,8 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": text.q_top_terms,
         "tfidf_top_term": text.q_tfidf_top_term,
         "lang_vocab": text.q_lang_vocab,
-        # web-crawl rollup over the input-hint pages table
-        "domain_stats": web.q_domain_stats,
+        # web-crawl rollup over the input-hint pages table (⊕ incoming
+        # anchor-text aggregation per target host — same domain grain)
+        "domain_stats": _domain_rollups,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_keep_first": dedup.q_dedup_keep_first,
@@ -478,8 +494,16 @@ def oracle_sql() -> dict[str, str]:
     from tilemaker_ray.pipelines.flagship import flagship_points_oracle_sql
     from tilemaker_ray.sources.pages import (pages_path, pii_pages_path,
                                              rich_pages_path)
+    from tilemaker_ray.ops.web import anchor_stats_oracle_sql
     out["flagship_point_counts"] = flagship_points_oracle_sql(pages_path(20_000))
-    out["domain_stats"] = domain_stats_oracle_sql(pages_path(20_000))
+    # merged per-domain row (see _domain_rollups)
+    dst = domain_stats_oracle_sql(pages_path(20_000))
+    anc = anchor_stats_oracle_sql(rich_pages_path(20_000))
+    out["domain_stats"] = f"""
+        SELECT d.domain, d.n_pages, d.n_langs, d.last_crawl,
+               a.n_inlinks, a.n_src_hosts, a.n_anchor_tokens
+        FROM ({dst}) d JOIN ({anc}) a ON d.domain = a.domain
+    """
     # merged per-url crawl-hygiene row (see _page_hygiene): the three
     # per-page oracles join 1:1 on url (shared key space by design)
     uc = url_canonicalize_oracle_sql(pages_path(20_000))

@@ -337,7 +337,8 @@ def test_domain_stats_oracle():
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ["url_canonicalize", "domain_cap",
-                                  "html_extract", "link_stats"])
+                                  "html_extract", "link_stats",
+                                  "anchor_stats"])
 def test_web_pages_oracles(name):
     """URL canonicalization / per-domain cap / HTML main-content
     extraction / per-page outlink stats vs their SQL twins over the
@@ -350,12 +351,15 @@ def test_web_pages_oracles(name):
     fn = {"url_canonicalize": web.q_url_canonicalize,
           "domain_cap": web.q_domain_cap,
           "html_extract": web.q_html_extract,
-          "link_stats": web.q_link_stats}[name]
+          "link_stats": web.q_link_stats,
+          "anchor_stats": web.q_anchor_stats}[name]
     sql = {"url_canonicalize": web.url_canonicalize_oracle_sql,
            "domain_cap": web.domain_cap_oracle_sql,
            "html_extract": web.html_extract_oracle_sql,
-           "link_stats": web.link_stats_oracle_sql}[name]
-    path = (rich_pages_path if name in ("html_extract", "link_stats")
+           "link_stats": web.link_stats_oracle_sql,
+           "anchor_stats": web.anchor_stats_oracle_sql}[name]
+    path = (rich_pages_path
+            if name in ("html_extract", "link_stats", "anchor_stats")
             else pages_path)(rows_for_sf(SF))
     mine = fn(SF)
     c = duckdb.connect()
@@ -1302,9 +1306,11 @@ def test_lang_balance_properties():
 
 @pytest.mark.usefixtures("ray_session")
 def test_domain_pagerank_parity():
-    """Distributed edge build + power iteration must match a fully
-    independent local recomputation from the raw urls, ranks must sum
-    to 1, and the rank mass must actually concentrate (not uniform)."""
+    """Distributed edge build (PARSED from the rich pages' absolute
+    hrefs) + power iteration must match a fully independent local
+    recomputation from the raw urls via the generator's link formula,
+    ranks must sum to 1, and the rank mass must actually concentrate
+    (not uniform)."""
     import re
 
     import pyarrow.parquet as pq

@@ -450,33 +450,128 @@ def link_stats_oracle_sql(pages_dir: str) -> str:
     """
 
 
+# --- incoming anchor-text aggregation ----------------------------------------
+# Per TARGET host: how many absolute anchors point at it, from how
+# many distinct source hosts, carrying how many anchor-text tokens —
+# the anchor corpus Common Crawl-style pipelines aggregate as an
+# off-page description / quality signal for each site.  Grain is the
+# same registrable-domain key q_domain_stats rolls up to, so the two
+# ops share one merged driver row (join on domain).
+
+_ANCHOR_RE = r'<a href="(?P<href>[^"]*)"[^>]*>(?P<atext>[^<]*)</a>'
+_TOKEN_RE = r"\S+"
+
+
+def q_anchor_stats(sf_dir: str) -> pd.DataFrame:
+    """(domain, n_inlinks, n_src_hosts, n_anchor_tokens) per target
+    host.  Scale shape mirrors q_domain_stats: per-batch parse +
+    partial aggregate over (dst, src) → one small groupby over
+    partials → per-dst fold with an exact distinct-source count — the
+    shuffle carries (dst, src) partials, never anchors."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.pages import rich_pages_path, rows_for_sf
+    pages = rich_pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages, columns=["url", "html"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b.column("html").cast(pa.string()).to_pandas()
+        src = pc.struct_field(pc.extract_regex(b.column("url"), DOMAIN_RE),
+                              "domain").to_pandas()
+        m = h.str.extractall(_ANCHOR_RE)
+        rows = pd.DataFrame({
+            "src": src.to_numpy()[m.index.get_level_values(0)],
+            "href": m["href"].to_numpy(),
+            "atext": m["atext"].to_numpy()})
+        rows = rows[rows["href"].str.startswith("http")]
+        rows["dst"] = rows["href"].str.extract(_LINK_HOST_RE, expand=False)
+        rows["tok"] = rows["atext"].str.count(_TOKEN_RE).astype("int64")
+        g = rows.groupby(["dst", "src"], as_index=False).agg(
+            n=("href", "size"), tok=("tok", "sum"))
+        return pa.table({"dst": pa.array(g["dst"]),
+                         "src": pa.array(g["src"]),
+                         "n": pa.array(g["n"].to_numpy(dtype="int64")),
+                         "tok": pa.array(g["tok"].to_numpy(dtype="int64"))})
+
+    per_src = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["dst", "src"])
+                 .aggregate(Sum("n", alias_name="n"),
+                            Sum("tok", alias_name="tok")))
+    out = (per_src.groupby("dst")
+                  .aggregate(Sum("n", alias_name="n_inlinks"),
+                             Count(alias_name="n_src_hosts"),
+                             Sum("tok", alias_name="n_anchor_tokens")))
+    df = out.to_pandas().rename(columns={"dst": "domain"})
+    for c in ("n_inlinks", "n_src_hosts", "n_anchor_tokens"):
+        df[c] = df[c].astype("int64")
+    return (df[["domain", "n_inlinks", "n_src_hosts", "n_anchor_tokens"]]
+            .sort_values("domain").reset_index(drop=True))
+
+
+def anchor_stats_oracle_sql(pages_dir: str) -> str:
+    return f"""
+        WITH p AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{pages_dir}/*.parquet')
+        ), a AS (
+          SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS src,
+                 unnest(regexp_extract_all(h,
+                   '<a href="[^"]*"[^>]*>[^<]*</a>')) AS anchor
+          FROM p
+        ), b AS (
+          SELECT src,
+                 regexp_extract(anchor, 'href="([^"]*)"', 1) AS href,
+                 regexp_extract(anchor, '>([^<]*)</a>', 1) AS atext
+          FROM a
+        ), c AS (
+          SELECT regexp_extract(href, '{_LINK_HOST_RE}', 1) AS domain,
+                 src, atext
+          FROM b WHERE href LIKE 'http%'
+        )
+        SELECT domain,
+               count(*) AS n_inlinks,
+               count(DISTINCT src) AS n_src_hosts,
+               CAST(sum(len(regexp_extract_all(atext, '{_TOKEN_RE}')))
+                    AS BIGINT) AS n_anchor_tokens
+        FROM c GROUP BY domain ORDER BY domain
+    """
+
+
 # --- domain ranking (PageRank over the host link graph) ---------------------
 # Common-Crawl publishes exactly this artifact (host/domain-level
 # centrality ranks) and crawl-curation pipelines consume it as a
-# quality prior.  Links are derived deterministically from the
-# synthetic pages — no external data: every page on site s links to
-# site (7s+1) mod 997 (a long-tail permutation link) and to hub site
-# s mod 31 (web graphs are skewed: a few hub domains draw most
-# in-links, which is exactly what the rank must surface).
+# quality prior.  The edge list is PARSED from the rich-HTML pages
+# (absolute hrefs), not assumed: the generator embeds, per page on
+# site s, links to site (7s+1) mod 997 (a long-tail permutation link)
+# and to hub site s mod 31 (web graphs are skewed: a few hub domains
+# draw most in-links, which is exactly what the rank must surface) —
+# so the independent formula-based recomputation in tests stays an
+# exact oracle for the parsed graph.
 
 PR_DAMPING = 0.85
 PR_ITERS = 30
 
+_SITE_LINK_RE = r"https://site(\d+)\.example"
+
 
 def _domain_edges(pages_dir: str) -> "ray.data.Dataset":
-    """(src, dst, n_links) host-graph edges, pre-aggregated per batch
-    so the shuffle carries one row per distinct (src, dst) per batch."""
-    ds = ray.data.read_parquet(pages_dir, columns=["url"])
+    """(src, dst, n_links) host-graph edges parsed from the pages'
+    HTML (absolute hrefs only — relative links stay on-site and add no
+    edge), pre-aggregated per batch so the shuffle carries one row per
+    distinct (src, dst) per batch, never per anchor."""
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
 
     def edges(b: pa.Table) -> pa.Table:
-        import numpy as np
+        h = b.column("html").cast(pa.string()).to_pandas()
         dom = pc.struct_field(pc.extract_regex(b.column("url"), DOMAIN_RE),
                               "domain").to_pandas()
         s = dom.str.extract(r"site(\d+)", expand=False).astype("int64")
+        hrefs = h.str.findall('href="' + _SITE_LINK_RE)
         rows = pd.DataFrame({
-            "src": pd.concat([s, s], ignore_index=True),
-            "dst": pd.concat([(s * 7 + 1) % 997, s % 31],
-                             ignore_index=True),
+            "src": s.to_numpy().repeat(hrefs.str.len().to_numpy()),
+            "dst": pd.Series([x for l in hrefs for x in l],
+                             dtype="str").astype("int64"),
         })
         g = rows.groupby(["src", "dst"], as_index=False).size()
         return pa.table({"src": pa.array(g["src"].to_numpy()),
@@ -491,7 +586,8 @@ def _domain_edges(pages_dir: str) -> "ray.data.Dataset":
 
 
 def q_domain_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
-    """Weighted PageRank over the host graph.  The EDGE LIST is built
+    """Weighted PageRank over the host graph.  The EDGE LIST is parsed
+    from the rich-HTML pages and built
     distributed (per-batch pre-agg → one small groupby); the
     iteration itself runs on the driver over the collapsed
     domain-level graph — the host graph is orders of magnitude
@@ -503,8 +599,8 @@ def q_domain_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     rank-sum invariant."""
     import numpy as np
 
-    from ..sources.pages import pages_path, rows_for_sf
-    pages = pages_path(rows_for_sf(sf_dir))
+    from ..sources.pages import rich_pages_path, rows_for_sf
+    pages = rich_pages_path(rows_for_sf(sf_dir))
     e = _domain_edges(pages).to_pandas()
     n = 997
     src = e["src"].to_numpy()
