@@ -138,10 +138,15 @@ def run_bench() -> dict:
     # PII redaction + NB classifier read the cached pages fixtures
     # (generated untimed above / inside their first call)
     from tilemaker_ray.ops.classify import q_nb_classify
-    from tilemaker_ray.sources.pages import pii_pages_path
+    from tilemaker_ray.sources.pages import pii_pages_path, rich_pages_path
     pii_pages_path(rows_for_sf(sf_dir))        # build untimed, cached
     queries["pii_redact"] = timed(lambda: web.q_pii_redact(sf_dir))
     queries["nb_classify"] = timed(lambda: q_nb_classify(sf_dir))
+
+    # rich-HTML crawl passes (fixture built untimed, cached)
+    rich_pages_path(rows_for_sf(sf_dir))
+    queries["html_extract"] = timed(lambda: web.q_html_extract(sf_dir))
+    queries["anchor_stats"] = timed(lambda: web.q_anchor_stats(sf_dir))
 
     # WARC source: index-free chunk-synchronized parse of the same
     # crawl as a .warc.gz (fixture built untimed, cached)

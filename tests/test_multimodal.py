@@ -107,6 +107,53 @@ class TestAudio:
         with pytest.raises(NotImplementedError):
             decode_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
 
+    def test_g711_roundtrip(self):
+        """G.711 mu-law / A-law: companded encode → table decode must
+        reconstruct within the codec's published SNR (~38 dB on a
+        near-full-scale tone), and every decoded value must come from
+        the 256-entry expansion table."""
+        from tilemaker_ray.ops.multimodal import (_ALAW_TABLE, _MULAW_TABLE,
+                                                  decode_wav, encode_g711_wav)
+        rng = np.random.default_rng(3)
+        x = (0.6 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000)
+             + 0.05 * rng.normal(size=4000)).clip(-1, 1).astype(np.float32)
+        for law, table in (("mu", _MULAW_TABLE), ("a", _ALAW_TABLE)):
+            y, sr = decode_wav(encode_g711_wav(x, law))
+            assert sr == 8000 and len(y) == len(x)
+            rmse = float(np.sqrt(np.mean((x - y) ** 2)))
+            assert rmse < 0.01, (law, rmse)
+            vals = set(np.unique((y * 32768.0).astype(np.int16)))
+            assert vals <= set(table.tolist())
+
+    def test_mulaw_table_reference_points(self):
+        """Published mu-law expansion anchors: 0xFF (zero code) → 0,
+        0x7F → smallest negative step, sign symmetry across the code
+        space."""
+        from tilemaker_ray.ops.multimodal import _MULAW_TABLE
+        assert _MULAW_TABLE[0xFF] == 0
+        assert _MULAW_TABLE[0x7F] == 0 or _MULAW_TABLE[0x7F] == -0
+        pos = _MULAW_TABLE[np.arange(128, 256)].astype(np.int64)
+        neg = _MULAW_TABLE[np.arange(0, 128)].astype(np.int64)
+        np.testing.assert_array_equal(pos, -neg)
+
+    def test_ima_adpcm_roundtrip(self):
+        """Mono IMA/DVI ADPCM: encode → block decode tracks the signal
+        at the codec's 4-bit fidelity and preserves sample count
+        (per-block predictor reseed, persistent step index)."""
+        from tilemaker_ray.ops.multimodal import (decode_wav,
+                                                  encode_ima_adpcm_wav)
+        rng = np.random.default_rng(3)
+        x = (0.6 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000)
+             + 0.05 * rng.normal(size=4000)).clip(-1, 1).astype(np.float32)
+        y, sr = decode_wav(encode_ima_adpcm_wav(x))
+        assert sr == 8000
+        m = min(len(x), len(y))
+        assert m >= len(x) - 1  # nibble padding may add ≤1 sample
+        rmse = float(np.sqrt(np.mean((x[:m] - y[:m]) ** 2)))
+        assert rmse < 0.03, rmse
+        corr = float(np.corrcoef(x[:m], y[:m])[0, 1])
+        assert corr > 0.995, corr
+
     def test_frame_signal(self):
         from tilemaker_ray.ops.multimodal import frame_signal
         fr = frame_signal(np.arange(1300, dtype=np.float32), 512, 256)

@@ -293,16 +293,84 @@ def encode_wav(samples: np.ndarray, sr: int = AUDIO_SR) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+# G.711 (ITU-T) companding tables, computed once at import from the
+# published expansion formulas — 256-entry int16 lookups make the
+# decode a single vectorized numpy index.
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    u = np.arange(256, dtype=np.int64) ^ 0xFF          # mu-law bits invert
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mu = sign * (((mant << 1) + 33 << exp) - 33) * 4   # 14-bit → 16-bit
+    a = np.arange(256, dtype=np.int64) ^ 0x55          # A-law even-bit invert
+    sign_a = np.where(a & 0x80, -1, 1)
+    exp_a = (a >> 4) & 0x07
+    mant_a = a & 0x0F
+    mag = np.where(exp_a == 0, (mant_a << 1) + 1,
+                   ((mant_a << 1) + 33) << (exp_a - 1))
+    al = sign_a * mag * 8                              # 13-bit → 16-bit
+    return mu.astype(np.int16), al.astype(np.int16)
+
+
+_MULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+# IMA/DVI ADPCM (public spec, also used by decoders everywhere):
+# per-nibble step-size adaptation over the published 89-entry table.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _decode_ima_block(blk: bytes) -> np.ndarray:
+    """One mono IMA-ADPCM block: 4-byte header (int16 predictor,
+    uint8 step index, reserved) then 4-bit codes, low nibble first.
+    The recurrence is inherently sequential (each sample feeds the
+    next predictor) — the per-sample loop is the algorithm, not
+    avoidable vectorization debt; blocks are small (≤2 KB) and decode
+    inside the actor pool."""
+    pred, idx = struct.unpack_from("<hB", blk, 0)
+    nib = np.frombuffer(blk[4:], dtype=np.uint8)
+    codes = np.empty(nib.size * 2, dtype=np.int64)
+    codes[0::2] = nib & 0x0F
+    codes[1::2] = nib >> 4
+    out = np.empty(1 + codes.size, dtype=np.int16)
+    out[0] = pred
+    for k, c in enumerate(codes):
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if c & 1:
+            diff += step >> 2
+        if c & 2:
+            diff += step >> 1
+        if c & 4:
+            diff += step
+        pred = pred - diff if c & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[c & 7])))
+        out[1 + k] = pred
+    return out
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Real RIFF/WAV PCM decode, pure numpy: walks the chunk list
-    (fmt /data, skipping others), supports PCM (format 1) 8/16-bit,
-    mono or stereo (mixed down).  Returns (float32 samples in [-1, 1],
-    sample_rate).  Compressed codecs (mp3/ogg — not in this container)
-    raise NotImplementedError: the marked swap-in point for ffmpeg."""
+    """Real RIFF/WAV decode, pure numpy: walks the chunk list
+    (fmt /data, skipping others) and supports every compression
+    actually found in crawled WAVs — PCM (format 1) 8/16-bit mono or
+    stereo (mixed down), G.711 A-law (6) / mu-law (7) via vectorized
+    256-entry lookups, and mono IMA/DVI ADPCM (17) block decode.
+    Returns (float32 samples in [-1, 1], sample_rate).  Perceptual
+    codecs (mp3/ogg — no codec libs in this container) raise
+    NotImplementedError: the marked swap-in point for ffmpeg."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, n = 12, len(payload)
-    fmt_code = channels = sr = bits = None
+    fmt_code = channels = sr = bits = block_align = None
     data = None
     while i + 8 <= n:
         cid = payload[i:i + 4]
@@ -310,30 +378,118 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = i + 8
         if cid == b"fmt ":
             fmt_code, channels, sr = struct.unpack_from("<HHI", payload, body)
+            (block_align,) = struct.unpack_from("<H", payload, body + 12)
             (bits,) = struct.unpack_from("<H", payload, body + 14)
         elif cid == b"data":
             data = payload[body:body + sz]
         i = body + sz + (sz & 1)  # chunks are word-aligned
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if fmt_code != 1:
+    if fmt_code == 1:
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"WAV {bits}-bit PCM")
+    elif fmt_code in (6, 7):
+        table = _ALAW_TABLE if fmt_code == 6 else _MULAW_TABLE
+        x = (table[np.frombuffer(data, dtype=np.uint8)]
+             .astype(np.float32) / 32768.0)
+    elif fmt_code == 17:
+        if channels != 1:
+            raise NotImplementedError("stereo IMA ADPCM")
+        ba = block_align or 1024
+        blocks = [_decode_ima_block(data[o:o + ba])
+                  for o in range(0, len(data) - 4, ba)]
+        x = (np.concatenate(blocks) if blocks
+             else np.empty(0, np.int16)).astype(np.float32) / 32768.0
+        return x, sr
+    else:
         raise NotImplementedError(
             f"WAV format {fmt_code}: install ffmpeg and extend decode_wav")
-    if bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    elif bits == 8:
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        raise NotImplementedError(f"WAV {bits}-bit PCM")
     if channels > 1:
         x = x[:len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return x, sr
 
 
+def _wrap_wav(fmt: bytes, data: bytes) -> bytes:
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_g711_wav(samples: np.ndarray, law: str = "mu",
+                    sr: int = AUDIO_SR) -> bytes:
+    """G.711 companding encoder (synth/test helper): nearest decode-
+    table entry per sample, fully vectorized (sorted table +
+    searchsorted)."""
+    table = _MULAW_TABLE if law == "mu" else _ALAW_TABLE
+    order = np.argsort(table.astype(np.int64))
+    tv = table.astype(np.int64)[order]
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int64)
+    pos = np.searchsorted(tv, pcm).clip(1, 255)
+    lo, hi = pos - 1, np.minimum(pos, 255)
+    pick = np.where(np.abs(tv[lo] - pcm) <= np.abs(tv[hi] - pcm), lo, hi)
+    codes = order[pick].astype(np.uint8)
+    fmt_code = 7 if law == "mu" else 6
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, sr, sr, 1, 8)
+    return _wrap_wav(fmt, codes.tobytes())
+
+
+def encode_ima_adpcm_wav(samples: np.ndarray, sr: int = AUDIO_SR,
+                         block_align: int = 256) -> bytes:
+    """Mono IMA/DVI ADPCM encoder (synth/test helper): the standard
+    sequential recurrence, one 4-bit code per sample after the block
+    header's seed sample."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int64)
+    per_block = (block_align - 4) * 2 + 1
+    out = bytearray()
+    idx = 0
+    for o in range(0, len(pcm), per_block):
+        blk = pcm[o:o + per_block]
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for v in blk[1:]:
+            step = int(_IMA_STEPS[idx])
+            diff = int(v) - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            d, q = step >> 3, 0
+            if diff >= step:
+                code |= 4
+                diff -= step
+                d += step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+                d += step >> 1
+            if diff >= step >> 2:
+                code |= 1
+                d += step >> 2
+            pred = pred - d if code & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        arr = np.asarray(nibbles, dtype=np.uint8)
+        out += (arr[0::2] | (arr[1::2] << 4)).tobytes()
+    fmt = struct.pack("<HHIIHH", 17, 1, sr, sr // 2, block_align, 4)
+    return _wrap_wav(fmt, bytes(out))
+
+
 def synth_audio_table(n: int, seed: int = 11) -> pa.Table:
     """Deterministic 'recordings': sine + noise mixtures, REAL WAV
-    payloads (decoded by decode_wav above)."""
+    payloads rotating through every supported compression (PCM 16-bit,
+    G.711 mu-law / A-law, IMA ADPCM) so all four decode paths are
+    load-bearing in the feature pipeline."""
     rng = np.random.default_rng(seed)
+    encoders = (encode_wav,
+                lambda x: encode_g711_wav(x, "mu"),
+                lambda x: encode_g711_wav(x, "a"),
+                encode_ima_adpcm_wav)
     rows = {"doc_id": [], "media_type": [], "payload": [], "n_samples": []}
     for i in range(n):
         dur = int(rng.integers(AUDIO_SR // 4, AUDIO_SR * 2))
@@ -343,7 +499,7 @@ def synth_audio_table(n: int, seed: int = 11) -> pa.Table:
              + 0.2 * rng.standard_normal(dur)).astype(np.float32)
         rows["doc_id"].append(i)
         rows["media_type"].append("audio/wav")
-        rows["payload"].append(encode_wav(x))
+        rows["payload"].append(encoders[i % 4](np.clip(x, -1.0, 1.0)))
         rows["n_samples"].append(dur)
     return pa.table(rows)
 
