@@ -125,16 +125,46 @@ class TestAudio:
             vals = set(np.unique((y * 32768.0).astype(np.int16)))
             assert vals <= set(table.tolist())
 
-    def test_mulaw_table_reference_points(self):
-        """Published mu-law expansion anchors: 0xFF (zero code) → 0,
-        0x7F → smallest negative step, sign symmetry across the code
-        space."""
-        from tilemaker_ray.ops.multimodal import _MULAW_TABLE
+    def test_g711_table_reference_points(self):
+        """Published G.711 expansion anchors (ITU / Sun g711.c):
+        mu-law 0xFF (zero code) → 0 with sign symmetry across the code
+        space; A-law 0xD5 → +8 and 0x55 → -8 (bit 7 set AFTER the 0x55
+        toggle means POSITIVE — the opposite of mu-law, the sign
+        convention a review pass caught inverted), antisymmetric under
+        code ^ 0x80."""
+        from tilemaker_ray.ops.multimodal import _ALAW_TABLE, _MULAW_TABLE
         assert _MULAW_TABLE[0xFF] == 0
-        assert _MULAW_TABLE[0x7F] == 0 or _MULAW_TABLE[0x7F] == -0
-        pos = _MULAW_TABLE[np.arange(128, 256)].astype(np.int64)
-        neg = _MULAW_TABLE[np.arange(0, 128)].astype(np.int64)
-        np.testing.assert_array_equal(pos, -neg)
+        assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+        i = np.arange(256)
+        np.testing.assert_array_equal(_ALAW_TABLE[i].astype(np.int64),
+                                      -_ALAW_TABLE[i ^ 0x80].astype(np.int64))
+
+        # full 256-code cross-check against the published Sun g711.c
+        # expansion formulas, both laws
+        def sun_alaw2linear(a_val):
+            a_val ^= 0x55
+            t = (a_val & 0x0F) << 4
+            seg = (a_val & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            return t if (a_val & 0x80) else -t
+
+        def sun_ulaw2linear(u):
+            u = ~u & 0xFF
+            t = ((u & 0x0F) << 3) + 0x84
+            t <<= (u & 0x70) >> 4
+            return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+        np.testing.assert_array_equal(
+            _ALAW_TABLE.astype(np.int64),
+            np.array([sun_alaw2linear(c) for c in range(256)]))
+        np.testing.assert_array_equal(
+            _MULAW_TABLE.astype(np.int64),
+            np.array([sun_ulaw2linear(c) for c in range(256)]))
 
     def test_ima_adpcm_roundtrip(self):
         """Mono IMA/DVI ADPCM: encode → block decode tracks the signal
@@ -147,12 +177,19 @@ class TestAudio:
              + 0.05 * rng.normal(size=4000)).clip(-1, 1).astype(np.float32)
         y, sr = decode_wav(encode_ima_adpcm_wav(x))
         assert sr == 8000
-        m = min(len(x), len(y))
-        assert m >= len(x) - 1  # nibble padding may add ≤1 sample
+        # decode never LOSES samples (nibble padding may add ≤1)
+        assert len(x) <= len(y) <= len(x) + 1
+        m = len(x)
         rmse = float(np.sqrt(np.mean((x[:m] - y[:m]) ** 2)))
         assert rmse < 0.03, rmse
         corr = float(np.corrcoef(x[:m], y[:m])[0, 1])
         assert corr > 0.995, corr
+        # header-only final block: its seed sample must survive
+        # (505*2+1 samples/block → 1011 samples ends on a bare header)
+        z = np.linspace(-0.5, 0.5, 1011).astype(np.float32)
+        w, _ = decode_wav(encode_ima_adpcm_wav(z, block_align=256))
+        assert len(w) >= 1011
+        assert abs(float(w[1010]) - float(z[1010])) < 0.01
 
     def test_frame_signal(self):
         from tilemaker_ray.ops.multimodal import frame_signal

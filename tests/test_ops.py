@@ -391,6 +391,47 @@ def test_extract_main_text_crafted():
     assert got == list(cases.values())
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_anchor_link_stats_adversarial_parity(tmp_path):
+    """Kernel==oracle on hostile anchors: a '>' INSIDE an href (the
+    oracle's atext capture must anchor past the closing quote), an
+    http-prefixed href whose host doesn't parse (DuckDB regexp_extract
+    yields '' while pandas extract yields NaN — both sides must bucket
+    it under ''), relative links, and a linkless page (review
+    findings)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops import web
+
+    html = [
+        '<html><body><a href="https://x.example/a>b">hi there</a>'
+        '<a href="httpfoo">z</a><a href="/rel">r</a></body></html>',
+        "<html><body>no links</body></html>",
+        '<html><body><a href="https://x.example/">one</a>'
+        '<a href="https://y.example/p">two words</a></body></html>',
+    ]
+    urls = [f"https://src{i}.example/p" for i in range(len(html))]
+    pq.write_table(pa.table({"url": pa.array(urls),
+                             "html": pa.array([h.encode() for h in html],
+                                              pa.binary())}),
+                   str(tmp_path / "p.parquet"))
+    con = duckdb.connect()
+    for fn, sql in ((web.q_anchor_stats, web.anchor_stats_oracle_sql),
+                    (web.q_link_stats, web.link_stats_oracle_sql)):
+        mine = fn("sfX", pages_dir=str(tmp_path))
+        exp = con.sql(sql(str(tmp_path))).df()
+        pd.testing.assert_frame_equal(
+            mine.reset_index(drop=True), exp.reset_index(drop=True),
+            check_dtype=False)
+    a = web.q_anchor_stats("sfX", pages_dir=str(tmp_path))
+    # the '>'-in-href anchor contributes 2 tokens ("hi there") to
+    # x.example, and the unparseable host lands in the '' bucket
+    assert a.set_index("domain").loc["x.example", "n_anchor_tokens"] == 3
+    assert "" in set(a["domain"])
+
+
 def test_rich_pages_share_url_key_space():
     """The merged url_canonicalize driver row joins the default and
     rich-HTML pages tables 1:1 on url — the two generators must emit

@@ -303,7 +303,9 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
     mant = u & 0x0F
     mu = sign * (((mant << 1) + 33 << exp) - 33) * 4   # 14-bit → 16-bit
     a = np.arange(256, dtype=np.int64) ^ 0x55          # A-law even-bit invert
-    sign_a = np.where(a & 0x80, -1, 1)
+    # A-law sign convention is the OPPOSITE of mu-law's: bit 7 set
+    # (after the 0x55 toggle) means POSITIVE (ITU G.711 / Sun g711.c)
+    sign_a = np.where(a & 0x80, 1, -1)
     exp_a = (a >> 4) & 0x07
     mant_a = a & 0x0F
     mag = np.where(exp_a == 0, (mant_a << 1) + 1,
@@ -400,8 +402,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if channels != 1:
             raise NotImplementedError("stereo IMA ADPCM")
         ba = block_align or 1024
+        # a final 4-byte header-only block still carries one seed sample
         blocks = [_decode_ima_block(data[o:o + ba])
-                  for o in range(0, len(data) - 4, ba)]
+                  for o in range(0, len(data) - 3, ba)]
         x = (np.concatenate(blocks) if blocks
              else np.empty(0, np.int16)).astype(np.float32) / 32768.0
         return x, sr

@@ -322,38 +322,31 @@ def extract_main_text(html: pd.Series) -> pd.Series:
     return t.str.strip()
 
 
-def q_html_extract(sf_dir: str) -> pd.DataFrame:
+def q_html_extract(sf_dir: str,
+                   pages_dir: str | None = None) -> pd.DataFrame:
     """(url, main_text, content_chars, html_chars) per rich-HTML page.
     Embarrassingly parallel: one streaming map_batches, zero shuffle —
-    the canonical shape for a 100 TB crawl pass.  Regexes compile once
-    per actor (ST1 pattern); all kernels are vectorized pandas str ops.
-    The integer char counts feed a text-density removal rule
-    (content_chars / html_chars) downstream; both are exact."""
+    the canonical shape for a 100 TB crawl pass.  The kernel is the
+    same extract_main_text the unit tests exercise (vectorized pandas
+    str ops; Python's re module caches the compiled patterns
+    process-wide).  The integer char counts feed a text-density
+    removal rule (content_chars / html_chars) downstream; both are
+    exact."""
     from ..sources.pages import rich_pages_path, rows_for_sf
-    pages = rich_pages_path(rows_for_sf(sf_dir))
+    pages = pages_dir or rich_pages_path(rows_for_sf(sf_dir))
     ds = ray.data.read_parquet(pages)
 
-    class Extractor:
-        def __init__(self):
-            import re
-            self.block = [re.compile(rx) for rx in BOILERPLATE_BLOCK_RES]
+    def extract(b: pa.Table) -> pa.Table:
+        h = b.column("html").cast(pa.string()).to_pandas()
+        t = extract_main_text(h)  # ONE kernel, shared with the tests
+        return pa.table({
+            "url": b.column("url"),
+            "main_text": pa.array(t),
+            "content_chars": pa.array(t.str.len().astype("int64")),
+            "html_chars": pa.array(h.str.len().astype("int64")),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            h = b.column("html").cast(pa.string()).to_pandas()
-            t = h
-            for rx in self.block:
-                t = t.str.replace(rx, "", regex=True)
-            t = (t.str.replace(_TAG_RE, " ", regex=True)
-                  .str.replace(_WS_RE, " ", regex=True).str.strip())
-            return pa.table({
-                "url": b.column("url"),
-                "main_text": pa.array(t),
-                "content_chars": pa.array(t.str.len().astype("int64")),
-                "html_chars": pa.array(h.str.len().astype("int64")),
-            })
-
-    df = ds.map_batches(Extractor, batch_format="pyarrow",
-                        concurrency=(1, 8)).to_pandas()
+    df = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
     return df.sort_values("url").reset_index(drop=True)
 
 
@@ -367,11 +360,13 @@ def html_extract_oracle_sql(pages_dir: str) -> str:
         WITH p AS (
           SELECT url, decode(html) AS h
           FROM read_parquet('{pages_dir}/*.parquet')
+        ), e AS (
+          SELECT url, {red} AS main_text, h FROM p
         )
-        SELECT url, {red} AS main_text,
-               CAST(length({red}) AS BIGINT) AS content_chars,
+        SELECT url, main_text,
+               CAST(length(main_text) AS BIGINT) AS content_chars,
                CAST(length(h) AS BIGINT) AS html_chars
-        FROM p ORDER BY url
+        FROM e ORDER BY url
     """
 
 
@@ -381,7 +376,8 @@ _HREF_RE = r'href="([^"]*)"'
 _LINK_HOST_RE = r"^https?://([^/]+)"
 
 
-def q_link_stats(sf_dir: str) -> pd.DataFrame:
+def q_link_stats(sf_dir: str,
+                 pages_dir: str | None = None) -> pd.DataFrame:
     """(url, n_links, n_internal, n_external, n_ext_hosts) per rich
     page: total anchors, relative (same-site) links, absolute links,
     and DISTINCT external hosts — the per-page slice of the host graph
@@ -389,7 +385,7 @@ def q_link_stats(sf_dir: str) -> pd.DataFrame:
     one in-batch groupby(url); urls are unique per row so no global
     shuffle is needed and the stage streams."""
     from ..sources.pages import rich_pages_path, rows_for_sf
-    pages = rich_pages_path(rows_for_sf(sf_dir))
+    pages = pages_dir or rich_pages_path(rows_for_sf(sf_dir))
     ds = ray.data.read_parquet(pages)
 
     def stats(b: pa.Table) -> pa.Table:
@@ -398,7 +394,10 @@ def q_link_stats(sf_dir: str) -> pd.DataFrame:
         links = h.str.findall(_HREF_RE)
         e = pd.DataFrame({
             "url": urls.to_numpy().repeat(links.str.len().to_numpy()),
-            "href": [x for l in links for x in l]})
+            # explicit object dtype: an all-linkless batch otherwise
+            # infers float64 and breaks the .str accessor
+            "href": pd.Series([x for l in links for x in l],
+                              dtype=object)})
         e["internal"] = e["href"].str.startswith("/")
         e["host"] = e["href"].str.extract(_LINK_HOST_RE, expand=False)
         # DuckDB regexp_extract yields '' (not NULL) on a no-match
@@ -462,7 +461,8 @@ _ANCHOR_RE = r'<a href="(?P<href>[^"]*)"[^>]*>(?P<atext>[^<]*)</a>'
 _TOKEN_RE = r"\S+"
 
 
-def q_anchor_stats(sf_dir: str) -> pd.DataFrame:
+def q_anchor_stats(sf_dir: str,
+                   pages_dir: str | None = None) -> pd.DataFrame:
     """(domain, n_inlinks, n_src_hosts, n_anchor_tokens) per target
     host.  Scale shape mirrors q_domain_stats: per-batch parse +
     partial aggregate over (dst, src) → one small groupby over
@@ -471,7 +471,7 @@ def q_anchor_stats(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     from ..sources.pages import rich_pages_path, rows_for_sf
-    pages = rich_pages_path(rows_for_sf(sf_dir))
+    pages = pages_dir or rich_pages_path(rows_for_sf(sf_dir))
     ds = ray.data.read_parquet(pages, columns=["url", "html"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -485,11 +485,17 @@ def q_anchor_stats(sf_dir: str) -> pd.DataFrame:
             "atext": m["atext"].to_numpy()})
         rows = rows[rows["href"].str.startswith("http")]
         rows["dst"] = rows["href"].str.extract(_LINK_HOST_RE, expand=False)
+        # DuckDB regexp_extract yields '' (not NULL) on a no-match
+        # href — mirror it so both sides keep (and bucket) such rows
+        rows.loc[rows["dst"].isna(), "dst"] = ""
         rows["tok"] = rows["atext"].str.count(_TOKEN_RE).astype("int64")
         g = rows.groupby(["dst", "src"], as_index=False).agg(
             n=("href", "size"), tok=("tok", "sum"))
-        return pa.table({"dst": pa.array(g["dst"]),
-                         "src": pa.array(g["src"]),
+        # explicit arrow types: an anchorless batch yields an EMPTY g,
+        # which would otherwise infer null-typed columns and poison
+        # the downstream schema union
+        return pa.table({"dst": pa.array(g["dst"], pa.string()),
+                         "src": pa.array(g["src"], pa.string()),
                          "n": pa.array(g["n"].to_numpy(dtype="int64")),
                          "tok": pa.array(g["tok"].to_numpy(dtype="int64"))})
 
@@ -521,7 +527,11 @@ def anchor_stats_oracle_sql(pages_dir: str) -> str:
         ), b AS (
           SELECT src,
                  regexp_extract(anchor, 'href="([^"]*)"', 1) AS href,
-                 regexp_extract(anchor, '>([^<]*)</a>', 1) AS atext
+                 -- anchor past the closing href quote, so a '>' INSIDE
+                 -- the href can't start the text capture early (same
+                 -- shape as the kernel's single _ANCHOR_RE)
+                 regexp_extract(anchor,
+                   'href="[^"]*"[^>]*>([^<]*)</a>', 1) AS atext
           FROM a
         ), c AS (
           SELECT regexp_extract(href, '{_LINK_HOST_RE}', 1) AS domain,
