@@ -102,10 +102,13 @@ def _token_counts(sf_dir: str):
     clean-token count, renamed n_clean_tokens) ⊕ lm_bits (self-trained
     smoothed-bigram LM score, the CCNet-style LM filter) ⊕ lm_tercile
     (exact distributed ntile over (lm_bits, doc_id) — the CCNet
-    head/middle/tail split)."""
+    head/middle/tail split) ⊕ seq_pack (GPT-style concat-and-chunk
+    packing positions via a distributed prefix sum — same per-doc
+    grain)."""
     from tilemaker_ray.ops import text
 
     a = text.q_token_count(sf_dir)
+    a = a.merge(text.q_seq_pack(sf_dir), on="doc_id")
     b = text.q_normalize_text(sf_dir).rename(
         columns={"n_tokens": "n_clean_tokens"})
     # ONE bigram-LM run feeds both the score column and the tercile
@@ -294,7 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     quality_score carries repetition_score + langid + dup_span_chars +
     gopher_rules, fingerprint carries simhash + the winnowing set
     summary (count + bit_xor), token_count carries normalize_text (and
-    the BPE variant) + lm_bits + lm_tercile, hash_sample carries stratified_sample +
+    the BPE variant) + lm_bits + lm_tercile + seq_pack (packing
+    positions via distributed prefix sum), hash_sample carries stratified_sample +
     weighted_sample + lang_balance, url_canonicalize carries
     html_extract + link_stats (same per-url grain — the rich-HTML
     table shares the pages table's url key space by design),
@@ -549,13 +553,18 @@ def oracle_sql() -> dict[str, str]:
     """
     t, n = out.pop("token_count"), out.pop("normalize_text")
     lm, lt = out.pop("lm_bits"), out.pop("lm_tercile")
+    from tilemaker_ray.ops.text import seq_pack_oracle_sql
+    sp = seq_pack_oracle_sql()
     out["token_count"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_chars, t.n_bpe_tokens,
+               p.start_tok, p.end_tok, p.first_block, p.last_block,
+               p.n_blocks,
                l.lm_bits, lt.lm_tercile,
                n.clean_text, n.n_tokens AS n_clean_tokens
         FROM ({t}) t JOIN ({n}) n ON t.doc_id = n.doc_id
                      JOIN ({lm}) l ON t.doc_id = l.doc_id
                      JOIN ({lt}) lt ON t.doc_id = lt.doc_id
+                     JOIN ({sp}) p ON t.doc_id = p.doc_id
     """
     s2c, zo = out.pop("s2_cells"), out.pop("zorder_encode")
     out["s2_cells"] = f"""

@@ -432,6 +432,36 @@ def test_anchor_link_stats_adversarial_parity(tmp_path):
     assert "" in set(a["domain"])
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_seq_pack_oracle_and_bucket_invariance():
+    """Sequence packing vs the SQL window-cumsum oracle, AND the
+    distributed prefix sum must be bucket-size invariant (bucket=64
+    forces 8 buckets at SF, exercising the cross-bucket offset
+    broadcast that a single 4096-doc bucket would hide).  Spans must
+    tile the stream: doc i+1 starts where doc i ends, block indices
+    consistent with seq_len."""
+    import duckdb
+
+    from tilemaker_ray.ops.text import SEQ_LEN, q_seq_pack, seq_pack_oracle_sql
+
+    mine = q_seq_pack(SF)
+    small = q_seq_pack(SF, bucket=64)
+    pd.testing.assert_frame_equal(mine, small)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = con.sql(seq_pack_oracle_sql()).df()
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+    s = mine.sort_values("doc_id")
+    assert s["start_tok"].iloc[0] == 0
+    np.testing.assert_array_equal(s["end_tok"].to_numpy()[:-1],
+                                  s["start_tok"].to_numpy()[1:])
+    np.testing.assert_array_equal(s["first_block"],
+                                  s["start_tok"] // SEQ_LEN)
+    np.testing.assert_array_equal(s["last_block"],
+                                  (s["end_tok"] - 1) // SEQ_LEN)
+
+
 def test_rich_pages_share_url_key_space():
     """The merged url_canonicalize driver row joins the default and
     rich-HTML pages tables 1:1 on url — the two generators must emit

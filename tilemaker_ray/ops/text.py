@@ -761,6 +761,97 @@ _LANG_SQL_SETS = {
     "fr": "['le','la','et','ville']",
 }
 
+# --- sequence packing (distributed prefix sum) ------------------------------
+
+SEQ_LEN = 2048
+PACK_BUCKET = 4096  # docs per prefix-sum bucket
+
+
+def q_seq_pack(sf_dir: str, seq_len: int = SEQ_LEN,
+               bucket: int = PACK_BUCKET) -> pd.DataFrame:
+    """GPT-style sequence packing: concatenate every document (in
+    doc_id order, ws tokens + 1 EOS each) into one token stream and
+    chunk it into fixed seq_len training blocks; per doc, report its
+    [start_tok, end_tok) span and the first/last/count of blocks it
+    lands in — the final materialization step of an LLM data pipeline.
+
+    The core primitive is a DISTRIBUTED PREFIX SUM, which Ray Data has
+    no native operator for.  Shape: (1) one streaming pass → per-doc
+    widths, bucketed by doc_id // PACK_BUCKET; (2) per-bucket totals
+    (small groupby) → the driver cumsums the BUCKET table only
+    (N/4096 entries — driver-sized through ~10^10 docs; hierarchical
+    offsets are the next rung) and broadcasts the offsets via ray.put;
+    (3) in-bucket sorted cumsum + broadcast offset in a map_groups
+    over the width table (2 ints/doc — the text never shuffles).
+    Exactly SQL-oracled (window cumsum over doc_id)."""
+    import numpy as np
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def widths(b: pa.Table) -> pa.Table:
+        txt = b.column("text").to_pandas()
+        did = b.column("doc_id").to_numpy()
+        w = (txt.str.split(" ").str.len() + 1).to_numpy(dtype="int64")
+        return pa.table({"doc_id": pa.array(did),
+                         "w": pa.array(w),
+                         "bucket": pa.array(did // bucket)})
+
+    wds = ds.map_batches(widths, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+    totals = (wds.groupby("bucket").aggregate(Sum("w", alias_name="tot"))
+                 .to_pandas().sort_values("bucket"))
+    nb = int(totals["bucket"].max()) + 1
+    off = np.zeros(nb, dtype=np.int64)
+    off[totals["bucket"].to_numpy()] = totals["tot"].to_numpy(dtype="int64")
+    off = np.concatenate([[0], np.cumsum(off)[:-1]])
+    off_ref = ray.put(off)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values("doc_id")
+        w = g["w"].to_numpy(dtype="int64")
+        end = np.cumsum(w) + offs[int(g["bucket"].iloc[0])]
+        start = end - w
+        first = start // seq_len
+        last = (end - 1) // seq_len
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "start_tok": start, "end_tok": end,
+            "first_block": first, "last_block": last,
+            "n_blocks": last - first + 1})
+
+    out = wds.groupby("bucket").map_groups(pack, batch_format="pandas")
+    return (out.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def seq_pack_oracle_sql(seq_len: int = SEQ_LEN) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) + 1 AS w
+          FROM documents
+        ), c AS (
+          SELECT doc_id, w,
+                 sum(w) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(cum - w AS BIGINT) AS start_tok,
+               CAST(cum AS BIGINT) AS end_tok,
+               CAST(floor((cum - w) / {seq_len}) AS BIGINT) AS first_block,
+               CAST(floor((cum - 1) / {seq_len}) AS BIGINT) AS last_block,
+               CAST(floor((cum - 1) / {seq_len})
+                    - floor((cum - w) / {seq_len}) + 1 AS BIGINT)
+                 AS n_blocks
+        FROM c ORDER BY doc_id
+    """
+
+
 ORACLES = {
     "lm_tercile": f"""
         WITH l AS ({_lm_bits_oracle_sql()})
