@@ -176,7 +176,8 @@ def _content_samples(sf_dir: str):
 
 
 def _page_hygiene(sf_dir: str):
-    """url_canonicalize ⊕ html_extract ⊕ link_stats — all per-page
+    """url_canonicalize ⊕ html_extract ⊕ link_stats ⊕ robots_filter
+    — all per-page
     (one row per url) crawl-hygiene signals.  The rich-HTML table is
     generated with the SAME url key space as the default pages table
     (sources/pages.py generate_rich_block), so the three ops join 1:1
@@ -186,7 +187,8 @@ def _page_hygiene(sf_dir: str):
     a = web.q_url_canonicalize(sf_dir)
     b = web.q_html_extract(sf_dir)
     c = web.q_link_stats(sf_dir)
-    return (a.merge(b, on="url").merge(c, on="url")
+    d = web.q_robots_filter(sf_dir)
+    return (a.merge(b, on="url").merge(c, on="url").merge(d, on="url")
              .sort_values("url").reset_index(drop=True))
 
 
@@ -300,7 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the BPE variant) + lm_bits + lm_tercile + seq_pack (packing
     positions via distributed prefix sum), hash_sample carries stratified_sample +
     weighted_sample + lang_balance, url_canonicalize carries
-    html_extract + link_stats (same per-url grain — the rich-HTML
+    html_extract + link_stats + robots_filter (same per-url grain — the rich-HTML
     table shares the pages table's url key space by design),
     domain_stats carries anchor_stats (same per-domain grain), s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
@@ -396,8 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.q_decontaminate,
         # crawl hygiene over the input-hint pages table: canonical URL
         # forms (⊕ HTML main-content extraction ⊕ per-page outlink
-        # stats — same per-url grain, one merged row) and the
-        # deterministic per-domain page cap
+        # stats ⊕ robots-rule admission — same per-url grain, one
+        # merged row) and the deterministic per-domain page cap
         "url_canonicalize": _page_hygiene,
         "domain_cap": web.q_domain_cap,
         # PII scrub (emails/phones/IPv4) over the deterministic
@@ -510,15 +512,19 @@ def oracle_sql() -> dict[str, str]:
     """
     # merged per-url crawl-hygiene row (see _page_hygiene): the three
     # per-page oracles join 1:1 on url (shared key space by design)
+    from tilemaker_ray.ops.web import robots_filter_oracle_sql
     uc = url_canonicalize_oracle_sql(pages_path(20_000))
     he = html_extract_oracle_sql(rich_pages_path(20_000))
     ls = link_stats_oracle_sql(rich_pages_path(20_000))
+    rb = robots_filter_oracle_sql(pages_path(20_000))
     out["url_canonicalize"] = f"""
         SELECT u.url, u.canonical_url, u.host,
                h.main_text, h.content_chars, h.html_chars,
-               l.n_links, l.n_internal, l.n_external, l.n_ext_hosts
+               l.n_links, l.n_internal, l.n_external, l.n_ext_hosts,
+               r.robots_allowed, r.robots_rule
         FROM ({uc}) u JOIN ({he}) h ON u.url = h.url
                       JOIN ({ls}) l ON u.url = l.url
+                      JOIN ({rb}) r ON u.url = r.url
     """
     out["domain_cap"] = domain_cap_oracle_sql(pages_path(20_000))
     out["pii_redact"] = pii_redact_oracle_sql(pii_pages_path(20_000))

@@ -338,7 +338,7 @@ def test_domain_stats_oracle():
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ["url_canonicalize", "domain_cap",
                                   "html_extract", "link_stats",
-                                  "anchor_stats"])
+                                  "anchor_stats", "robots_filter"])
 def test_web_pages_oracles(name):
     """URL canonicalization / per-domain cap / HTML main-content
     extraction / per-page outlink stats vs their SQL twins over the
@@ -352,12 +352,14 @@ def test_web_pages_oracles(name):
           "domain_cap": web.q_domain_cap,
           "html_extract": web.q_html_extract,
           "link_stats": web.q_link_stats,
-          "anchor_stats": web.q_anchor_stats}[name]
+          "anchor_stats": web.q_anchor_stats,
+          "robots_filter": web.q_robots_filter}[name]
     sql = {"url_canonicalize": web.url_canonicalize_oracle_sql,
            "domain_cap": web.domain_cap_oracle_sql,
            "html_extract": web.html_extract_oracle_sql,
            "link_stats": web.link_stats_oracle_sql,
-           "anchor_stats": web.anchor_stats_oracle_sql}[name]
+           "anchor_stats": web.anchor_stats_oracle_sql,
+           "robots_filter": web.robots_filter_oracle_sql}[name]
     path = (rich_pages_path
             if name in ("html_extract", "link_stats", "anchor_stats")
             else pages_path)(rows_for_sf(SF))

@@ -289,6 +289,79 @@ def pii_redact_oracle_sql(pages_dir: str) -> str:
     """
 
 
+# --- robots-style URL filtering ----------------------------------------------
+# Crawl-frontier admission: an ordered, first-match-wins rule table
+# (robots.txt semantics — most-specific allow can override a broader
+# block), broadcast to every task; evaluation is a vectorized
+# np.select over prefix/suffix tests, so admission costs O(rules)
+# string kernels per batch, never a per-row Python loop.  The rule
+# table is deterministic and synthetic (no external data) but the
+# evaluation machinery is exactly what a real robots/blocklist pass
+# runs at crawl scale.
+
+ROBOTS_RULES = (
+    # (rule_id, action, field, prefix-or-suffix literal)
+    ("r0", "allow", "path", "/page/1337"),     # whitelisted page
+    ("r1", "block", "host_suffix", "7.example"),  # spam-farm domains
+    ("r2", "block", "path", "/page/13"),       # banned path prefix
+)
+
+
+def q_robots_filter(sf_dir: str) -> pd.DataFrame:
+    """(url, robots_allowed, robots_rule) per page: the first matching
+    rule decides (default allow).  Zero shuffle."""
+    from ..sources.pages import pages_path, rows_for_sf
+    import numpy as np
+    pages = pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages, columns=["url"])
+
+    def admit(b: pa.Table) -> pa.Table:
+        u = b.column("url").to_pandas()
+        host = u.str.extract(_HOSTPORT_RE, expand=False)
+        path = u.str.replace(_REST_RE, "", regex=True)
+        conds, rules, allows = [], [], []
+        for rid, action, field, lit in ROBOTS_RULES:
+            if field == "path":
+                conds.append(path.str.startswith(lit).to_numpy())
+            else:
+                conds.append(host.str.endswith(lit).to_numpy())
+            rules.append(rid)
+            allows.append(np.int64(action == "allow"))
+        rule = np.select(conds, rules, default="default")
+        allowed = np.select(conds, allows, default=np.int64(1))
+        return pa.table({"url": b.column("url"),
+                         "robots_allowed": pa.array(allowed, pa.int64()),
+                         "robots_rule": pa.array(rule.astype(object),
+                                                 pa.string())})
+
+    df = ds.map_batches(admit, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def robots_filter_oracle_sql(pages_dir: str) -> str:
+    whens_rule, whens_allow = [], []
+    for rid, action, field, lit in ROBOTS_RULES:
+        cond = (f"path LIKE '{lit}%'" if field == "path"
+                else f"host LIKE '%{lit}'")
+        whens_rule.append(f"WHEN {cond} THEN '{rid}'")
+        whens_allow.append(
+            f"WHEN {cond} THEN {1 if action == 'allow' else 0}")
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 regexp_extract(url, '{_HOSTPORT_RE}', 1) AS host,
+                 regexp_replace(url, '{_REST_RE}', '') AS path
+          FROM read_parquet('{pages_dir}/*.parquet')
+        )
+        SELECT url,
+               CAST(CASE {' '.join(whens_allow)} ELSE 1 END AS BIGINT)
+                 AS robots_allowed,
+               CASE {' '.join(whens_rule)} ELSE 'default' END
+                 AS robots_rule
+        FROM p ORDER BY url
+    """
+
+
 # --- HTML main-content extraction -------------------------------------------
 # Boilerplate removal is the first transform every web-text corpus
 # applies (C4 / CCNet / trafilatura); here it is ONE ordered regex
