@@ -424,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitioned parquet with resume manifest; kept set proven
         # equal to the oracled component ops in tests/test_cleanse.py)
         "clean_corpus": _clean_corpus,
+        # crawl-snapshot delta (CDX-style revisit dedup): per-url
+        # lifecycle status across two crawls by content hash; the
+        # FULL-OUTER-JOIN SQL oracle runs in tests (window is full)
+        "crawl_delta": web.q_crawl_delta,
         # mergeable KLL-style quantile sketch (approximate by
         # construction; rank-error bound asserted vs the exact
         # quantile op in tests)

@@ -464,6 +464,36 @@ def test_seq_pack_oracle_and_bucket_invariance():
                                   (s["end_tok"] - 1) // SEQ_LEN)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_delta_oracle():
+    """Per-url lifecycle status across the two synthetic crawl
+    snapshots vs the FULL-OUTER-JOIN content-hash oracle (this test IS
+    the op's oracle — the driver window is full); all four statuses
+    must occur, and the counts must match the generator's residue
+    classes (gone: i%7==0, changed: i%5==0 minus overlaps, new: 10%)."""
+    import duckdb
+
+    from tilemaker_ray.ops.web import crawl_delta_oracle_sql, q_crawl_delta
+    from tilemaker_ray.sources.pages import (pages_path, rows_for_sf,
+                                             snapshot2_pages_path)
+
+    n = rows_for_sf(SF)
+    mine = q_crawl_delta(SF)
+    con = duckdb.connect()
+    exp = (con.sql(crawl_delta_oracle_sql(pages_path(n),
+                                          snapshot2_pages_path(n)))
+              .df())
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+    c = mine["status"].value_counts()
+    gone = (n + 6) // 7
+    changed = (n + 4) // 5 - (n + 34) // 35
+    assert c["gone"] == gone and c["changed"] == changed
+    assert c["new"] == n // 10
+    assert c["unchanged"] == n - gone - changed
+
+
 def test_rich_pages_share_url_key_space():
     """The merged url_canonicalize driver row joins the default and
     rich-HTML pages tables 1:1 on url — the two generators must emit

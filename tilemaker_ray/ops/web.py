@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -519,6 +520,79 @@ def link_stats_oracle_sql(pages_dir: str) -> str:
                coalesce(c.n_ext_hosts, 0) AS n_ext_hosts
         FROM p LEFT JOIN c ON p.url = c.url
         ORDER BY p.url
+    """
+
+
+# --- crawl-snapshot delta -----------------------------------------------------
+# Two crawls of the same frontier → per-url lifecycle status
+# (unchanged / changed / gone / new) by content hash — the CDX-style
+# revisit dedup every incremental crawl pipeline runs before
+# reprocessing.  Scale shape: each snapshot is hashed in its own
+# streaming pass (the shuffle carries (url, md5, side) — never page
+# bytes), the union is bucketed by a url hash and each bucket
+# resolves statuses with one in-group pandas pivot.
+
+DELTA_BUCKETS = 1024
+
+
+def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
+    """(url, status) across the two synthetic crawl snapshots.
+    Rows-only driver entry (the FULL OUTER JOIN oracle runs in
+    tests/test_ops.py instead — the driver window is full)."""
+    from ..sources.pages import (pages_path, rows_for_sf,
+                                 snapshot2_pages_path)
+    n = rows_for_sf(sf_dir)
+    sides = {"old": pages_path(n), "new": snapshot2_pages_path(n)}
+
+    def hashed(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            u = b.column("url").to_pandas()
+            h = pd.Series([hashlib.md5(t.encode()).hexdigest()
+                           for t in b.column("text").to_pylist()])
+            bk = (pd.util.hash_pandas_object(u, index=False)
+                  % DELTA_BUCKETS).astype("int64")
+            return pa.table({"bucket": pa.array(bk.to_numpy()),
+                             "url": pa.array(u),
+                             "h": pa.array(h),
+                             "side": pa.array([side] * len(u),
+                                              pa.string())})
+        return f
+
+    parts = [ray.data.read_parquet(p, columns=["url", "text"])
+                .map_batches(hashed(s), batch_format="pyarrow")
+             for s, p in sides.items()]
+    both = parts[0].union(parts[1])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index="url", columns="side", values="h",
+                          aggfunc="first").reindex(
+            columns=["old", "new"]).reset_index()
+        status = np.select(
+            [w["old"].isna(), w["new"].isna(), w["old"] == w["new"]],
+            ["new", "gone", "unchanged"], default="changed")
+        return pd.DataFrame({"url": w["url"], "status": status})
+
+    out = both.groupby("bucket").map_groups(resolve,
+                                            batch_format="pandas")
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def crawl_delta_oracle_sql(old_dir: str, new_dir: str) -> str:
+    return f"""
+        WITH o AS (
+          SELECT url, md5(text) AS h
+          FROM read_parquet('{old_dir}/*.parquet')
+        ), n AS (
+          SELECT url, md5(text) AS h
+          FROM read_parquet('{new_dir}/*.parquet')
+        )
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'new'
+                    WHEN n.url IS NULL THEN 'gone'
+                    WHEN o.h = n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.url = n.url
+        ORDER BY url
     """
 
 

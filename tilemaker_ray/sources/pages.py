@@ -256,6 +256,55 @@ def rich_pages_path(n_rows: int,
     return _materialize_blocked(d, n_rows, generate_rich_block)
 
 
+def generate_snapshot2_block(seed: int, block_id: int,
+                             n_rows: int) -> pa.Table:
+    """Second-crawl variant of generate_block for the crawl-delta op:
+    page i is GONE when i % 7 == 0, its text/html are CHANGED (a
+    deterministic suffix) when i % 5 == 0, unchanged otherwise; a 10%
+    tail of NEW urls (ids >= the first snapshot's n_rows) is appended
+    by snapshot2_pages_path.  Derived from the same generate_block
+    output so unchanged rows are byte-identical across snapshots."""
+    t = generate_block(seed, block_id, n_rows)
+    i = np.arange(block_id * BLOCK_ROWS,
+                  block_id * BLOCK_ROWS + n_rows, dtype=np.int64)
+    keep = (i % 7) != 0
+    changed = ((i % 5) == 0) & keep
+    txt = np.asarray(t.column("text").to_pylist(), dtype=object)
+    txt[changed] = [s + " updated edition" for s in txt[changed]]
+    html = [f"<html><body><p>{s}</p></body></html>".encode() for s in txt]
+    out = pa.table({
+        "url": t.column("url"),
+        "warc_ts": t.column("warc_ts"),
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array(txt.tolist(), pa.string()),
+        "lang": t.column("lang"),
+    })
+    return out.filter(pa.array(keep))
+
+
+def snapshot2_pages_path(n_rows: int, seed: int = 42,
+                         root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """Materialize (once) the second-crawl snapshot: the modified
+    survivors of pages_path(n_rows) plus a 10% tail of brand-new
+    pages (ids n_rows .. n_rows + n_rows//10)."""
+    d = os.path.join(root, f"snap2_n{n_rows}_s{seed}")
+    n_new = n_rows // 10
+    total = n_rows + n_new
+
+    def gen(b: int, rows: int) -> pa.Table:
+        base = b * BLOCK_ROWS
+        if base >= n_rows:            # pure new-page block
+            return generate_block(seed, b, rows)
+        if base + rows <= n_rows:     # pure survivor block
+            return generate_snapshot2_block(seed, b, rows)
+        cut = n_rows - base           # straddling block
+        old = generate_snapshot2_block(seed, b, cut)
+        new = generate_block(seed, b, rows).slice(cut)
+        return pa.concat_tables([old, new])
+
+    return _materialize_blocked(d, total, gen)
+
+
 def rows_for_sf(sf_dir: str) -> int:
     """Map a testdata sf dir to a pages row count (sf0.001 → 2k rows,
     sf0.01 → 20k, sf0.1 → 200k)."""
