@@ -206,6 +206,12 @@ def _domain_rollups(sf_dir: str):
              .sort_values("domain").reset_index(drop=True))
 
 
+def _dsir_select(sf_dir: str):
+    from tilemaker_ray.ops.dsir import q_dsir_select
+
+    return q_dsir_select(sf_dir)
+
+
 def _nb_classify(sf_dir: str):
     from tilemaker_ray.ops.classify import q_nb_classify
 
@@ -424,6 +430,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitioned parquet with resume manifest; kept set proven
         # equal to the oracled component ops in tests/test_cleanse.py)
         "clean_corpus": _clean_corpus,
+        # DSIR importance resampling (hashed unigram+bigram density
+        # ratio + deterministic Gumbel-top-k; float log-sums → no SQL
+        # oracle; shared-kernel parity + margin + exact-selection
+        # tests)
+        "dsir_select": _dsir_select,
         # crawl-snapshot delta (CDX-style revisit dedup): per-url
         # lifecycle status across two crawls by content hash; the
         # FULL-OUTER-JOIN SQL oracle runs in tests (window is full)

@@ -465,6 +465,38 @@ def test_seq_pack_oracle_and_bucket_invariance():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dsir_select():
+    """DSIR importance resampling: distributed ratios must equal the
+    shared-kernel local recompute bit-for-bit, target-corpus text must
+    out-score raw text under the fitted ratio (the margin that makes
+    the selection meaningful), exactly ceil(10%) docs are selected,
+    and the selection equals the local Gumbel-top-k."""
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.ops import dsir
+    from tilemaker_ray.sources.pages import pages_path, rows_for_sf
+
+    out = dsir.q_dsir_select(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    w = dsir.fit_logratio(SF)
+    r = np.round(dsir.score_logratio(
+        docs["text"].reset_index(drop=True), w), 9)
+    got = out.sort_values("doc_id")["dsir_logratio"].to_numpy()
+    np.testing.assert_array_equal(
+        got, r[np.argsort(docs["doc_id"].to_numpy())])
+
+    pg = (pq.read_table(pages_path(rows_for_sf(SF)), columns=["text"])
+            .to_pandas()["text"].head(100).reset_index(drop=True))
+    assert dsir.score_logratio(pg, w).mean() > r.mean() + 100.0
+
+    k = max(1, int(len(out) * dsir.DSIR_KEEP_FRAC))
+    assert out["selected"].sum() == k
+    top = set(out.nlargest(k, "gumbel_key")["doc_id"])
+    assert set(out[out["selected"] == 1]["doc_id"]) == top
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_delta_oracle():
     """Per-url lifecycle status across the two synthetic crawl
     snapshots vs the FULL-OUTER-JOIN content-hash oracle (this test IS
