@@ -299,7 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 66
+    one.  All 50 oracled entries fill the window exactly; to fit 71
     oracled ops into those 50 slots, same-grain ops share a merged row
     (see the merged-driver-rows wrappers above):
     quality_score carries repetition_score + langid + dup_span_chars +
