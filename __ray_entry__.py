@@ -180,8 +180,8 @@ def _page_hygiene(sf_dir: str):
     — all per-page
     (one row per url) crawl-hygiene signals.  The rich-HTML table is
     generated with the SAME url key space as the default pages table
-    (sources/pages.py generate_rich_block), so the three ops join 1:1
-    on url and one driver row checks every column of all three."""
+    (sources/pages.py generate_rich_block), so the per-url ops join 1:1
+    on url and one driver row checks every column of all four."""
     from tilemaker_ray.ops import web
 
     a = web.q_url_canonicalize(sf_dir)

@@ -497,6 +497,27 @@ def test_dsir_select():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kth_largest_refinement():
+    """The DSIR threshold finder must return the EXACT k-th largest
+    under a tiny gather cap (forcing multiple histogram-refinement
+    rounds — the path a 10^9-doc corpus would take) for boundary and
+    interior ranks."""
+    import pyarrow as pa
+    import ray.data
+
+    from tilemaker_ray.ops.dsir import _kth_largest
+
+    rng = np.random.default_rng(0)
+    v = np.round(rng.normal(size=50_000), 9)
+    ds = (ray.data.from_arrow(pa.table({"gumbel_key": v}))
+          .repartition(8).materialize())
+    sv = np.sort(v)
+    for k in (1, 10, 5000, 49_999):
+        assert _kth_largest(ds, "gumbel_key", k, cap=100) == \
+            float(sv[len(v) - k])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_delta_oracle():
     """Per-url lifecycle status across the two synthetic crawl
     snapshots vs the FULL-OUTER-JOIN content-hash oracle (this test IS

@@ -24,9 +24,10 @@ Scale shape:
   batch does explode + hash + one gather + np.add.at — zero shuffle.
 - RESAMPLE: Gumbel keys are a pure function of doc_id (deterministic
   across runs/retries — the resume-stability requirement every
-  sampler in ops/sampling.py follows); the selection threshold is
-  found with a per-batch partial top-k so the driver never holds the
-  full key column.
+  sampler in ops/sampling.py follows); the selection threshold (the
+  exact k-th largest key) is found by histogram-refinement count
+  passes, so the driver never holds the full key column, and ties at
+  the threshold are resolved to EXACTLY k by smallest doc_id.
 
 No SQL oracle (log-space float sums); gated by a shared-kernel
 local-vs-distributed parity test, a cross-corpus margin test (target
@@ -153,20 +154,96 @@ def q_dsir_select(sf_dir: str,
                             concurrency=(1, 8)).materialize()
     n = scores.count()
     k = max(1, int(n * keep_frac))
+    thresh = _kth_largest(scores, "gumbel_key", k)
 
-    def batch_topk(b: pa.Table) -> pa.Table:
+    # exact-k selection: everything strictly above the threshold, plus
+    # the smallest doc_ids among threshold TIES to fill k exactly
+    # (rounded keys can tie; '>= thresh' alone would over-select)
+    def count_gt(b: pa.Table) -> pa.Table:
         key = b.column("gumbel_key").to_numpy()
-        top = np.sort(key)[max(0, len(key) - k):]
-        return pa.table({"gumbel_key": pa.array(top)})
+        return pa.table({"n": pa.array([int((key > thresh).sum())])})
 
-    cand = (scores.map_batches(batch_topk, batch_format="pyarrow")
-                  .to_pandas()["gumbel_key"].to_numpy())
-    thresh = float(np.sort(cand)[-k])
+    n_gt = int(sum(r["n"] for r in
+                   scores.map_batches(count_gt, batch_format="pyarrow")
+                         .take_all()))
+    ties = (scores.filter(expr=f"gumbel_key == {thresh!r}")
+                  .to_pandas().sort_values("doc_id"))
+    tie_ids = frozenset(ties["doc_id"].head(k - n_gt).tolist())
+    tie_ref = ray.put(tie_ids)
 
     def flag(b: pa.Table) -> pa.Table:
-        sel = (b.column("gumbel_key").to_numpy() >= thresh)
+        key = b.column("gumbel_key").to_numpy()
+        did = b.column("doc_id").to_numpy()
+        t = ray.get(tie_ref)
+        sel = ((key > thresh)
+               | np.fromiter((d in t for d in did), bool, len(did)))
         return b.append_column("selected",
                                pa.array(sel.astype(np.int64)))
 
     out = scores.map_batches(flag, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _kth_largest(ds: ray.data.Dataset, col: str, k: int,
+                 n_bins: int = 512, cap: int = 200_000) -> float:
+    """Exact k-th largest value of a float column without ever
+    materializing it on the driver: histogram-count passes narrow the
+    bin holding rank k until its population fits under `cap`, then
+    only that bin's values are gathered and sorted.  Refinement
+    membership is defined by re-applying the PARENT level's bin
+    expression (never by re-derived value-range edges), so a value on
+    a float bin edge can't be dropped or double-counted — the
+    ops/relational.py _exact_kth_values convention (ADVICE r3).
+    Gumbel keys are continuous, so bin populations shrink
+    geometrically and refinement terminates."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    if lo == hi:
+        return lo
+
+    def bin_of(v: np.ndarray, lo: float, span: float) -> np.ndarray:
+        return np.minimum((((v - lo) / span) * n_bins).astype(np.int64),
+                          n_bins - 1)
+
+    member = None          # chained parent-bin membership predicate
+    while True:
+        span = (hi - lo) or 1.0
+
+        def hist(t: pa.Table, lo=lo, span=span,
+                 member=member) -> pa.Table:
+            v = t.column(col).to_numpy()
+            if member is not None:
+                v = v[member(v)]
+            uniq, cnt = np.unique(bin_of(v, lo, span),
+                                  return_counts=True)
+            return pa.table({"bin": pa.array(uniq),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        g = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby("bin").aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+        counts = np.zeros(n_bins, np.int64)
+        counts[g["bin"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        cum_top = np.cumsum(counts[::-1])[::-1]   # population of bins >= b
+        b = int(np.flatnonzero(cum_top >= k)[-1])
+        rank_in_bin = int(k - (cum_top[b + 1] if b + 1 < n_bins else 0))
+
+        def in_bin(v: np.ndarray, lo=lo, span=span, b=b,
+                   member=member) -> np.ndarray:
+            m = bin_of(v, lo, span) == b
+            return m & member(v) if member is not None else m
+
+        if counts[b] <= cap:
+            def gather(t: pa.Table, in_bin=in_bin) -> pa.Table:
+                v = t.column(col).to_numpy()
+                return pa.table({col: pa.array(v[in_bin(v)])})
+
+            vals = np.sort(ds.map_batches(gather, batch_format="pyarrow")
+                             .to_pandas()[col].to_numpy())
+            return float(vals[len(vals) - rank_in_bin])
+        member = in_bin
+        lo = lo + b * span / n_bins
+        hi = lo + span / n_bins
+        k = rank_in_bin

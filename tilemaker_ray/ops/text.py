@@ -784,8 +784,6 @@ def q_seq_pack(sf_dir: str, seq_len: int = SEQ_LEN,
     (3) in-bucket sorted cumsum + broadcast offset in a map_groups
     over the width table (2 ints/doc — the text never shuffles).
     Exactly SQL-oracled (window cumsum over doc_id)."""
-    import numpy as np
-
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",

@@ -312,13 +312,15 @@ def q_robots_filter(sf_dir: str) -> pd.DataFrame:
     """(url, robots_allowed, robots_rule) per page: the first matching
     rule decides (default allow).  Zero shuffle."""
     from ..sources.pages import pages_path, rows_for_sf
-    import numpy as np
     pages = pages_path(rows_for_sf(sf_dir))
     ds = ray.data.read_parquet(pages, columns=["url"])
 
     def admit(b: pa.Table) -> pa.Table:
         u = b.column("url").to_pandas()
-        host = u.str.extract(_HOSTPORT_RE, expand=False)
+        # fillna: a scheme-less/malformed url has no host — it must
+        # fall through to 'default' exactly like the oracle's
+        # regexp_extract('') + LIKE path, not poison np.select
+        host = u.str.extract(_HOSTPORT_RE, expand=False).fillna("")
         path = u.str.replace(_REST_RE, "", regex=True)
         conds, rules, allows = [], [], []
         for rid, action, field, lit in ROBOTS_RULES:
