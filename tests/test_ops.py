@@ -497,6 +497,31 @@ def test_dsir_select():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_badwords_oracle_and_counting():
+    """Blocklist scrub vs its SQL twin at SF, plus crafted counting
+    semantics: adjacent blocklist terms share a delimiter (lookahead),
+    substrings of longer tokens never match."""
+    import duckdb
+
+    from tilemaker_ray.ops.text import BADWORDS_ORACLE, q_badwords
+    mine = q_badwords(SF).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = (con.sql(BADWORDS_ORACLE).df()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, exp, check_dtype=False)
+    assert mine["n_badwords"].sum() > 0          # rule actually fires
+    assert 0 < mine["badword_pass"].sum() < len(mine)
+    import re
+    from tilemaker_ray.ops.text import BADWORDS
+    rx = re.compile(r"(?:^| )(?:"
+                    + "|".join(map(re.escape, BADWORDS)) + r")(?= |$)")
+    assert len(rx.findall("slow slow big")) == 3
+    assert len(rx.findall("slowly bigger slow")) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kth_largest_refinement():
     """The DSIR threshold finder must return the EXACT k-th largest
     under a tiny gather cap (forcing multiple histogram-refinement

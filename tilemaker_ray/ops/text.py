@@ -761,6 +761,52 @@ _LANG_SQL_SETS = {
     "fr": "['le','la','et','ville']",
 }
 
+# --- blocklist term filtering (C4-style badword scrub) ----------------------
+# C4 drops any page containing a blocklisted term; the list here is a
+# synthetic stand-in (no external data), but the kernel is the real
+# one: a broadcast term set matched with ONE compiled
+# delimiter-anchored alternation per batch — integer-exact outputs so
+# the oracle can never float-diverge.
+
+BADWORDS = ("slow", "big")
+
+
+def q_badwords(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_badwords, badword_pass) per document: blocklist-term
+    occurrence count and the C4 drop flag (pass = zero occurrences).
+    Zero shuffle; the compiled alternation is the vectorized
+    equivalent of an Aho-Corasick scan over a delimiter-tokenized
+    corpus."""
+    import re
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    rx = re.compile(
+        r"(?:^| )(?:" + "|".join(map(re.escape, BADWORDS)) + r")(?= |$)")
+
+    def scan(b: pa.Table) -> pa.Table:
+        txt = b.column("text").to_pandas()
+        n = txt.str.count(rx).astype("int64")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_badwords": pa.array(n),
+            "badword_pass": pa.array((n == 0).astype("int64")),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+
+
+BADWORDS_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN {BADWORDS!r})) AS BIGINT)
+             AS n_badwords,
+           CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+                                          w -> w IN {BADWORDS!r})) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS badword_pass
+    FROM documents
+"""
+
+
 # --- sequence packing (distributed prefix sum) ------------------------------
 
 SEQ_LEN = 2048
