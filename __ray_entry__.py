@@ -239,6 +239,12 @@ def _hll_distinct_urls(sf_dir: str):
     return q_hll_distinct_urls(sf_dir)
 
 
+def _semdedup(sf_dir: str):
+    from tilemaker_ray.ops.semdedup import q_semdedup
+
+    return q_semdedup(sf_dir)
+
+
 def _image_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_image_features
 
@@ -465,6 +471,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
         "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
+        # SemDeDup (Abbas et al. 2023): cluster-then-greedy semantic
+        # dedup — approximate by construction (cross-cluster pairs are
+        # invisible, the paper's trade-off); exact parity vs a
+        # single-process reference run is test-asserted
+        "semdedup": _semdedup,
         # distributed PCA over the embedding column (Gram-partial
         # shuffle + driver eigh; local-numpy parity-tested)
         "embedding_pca": similarity.q_embedding_pca,

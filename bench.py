@@ -158,6 +158,10 @@ def run_bench() -> dict:
     queries["dsir_select"] = timed(lambda: q_dsir_select(sf_dir))
     queries["seq_pack"] = timed(lambda: text.q_seq_pack(sf_dir))
 
+    # SemDeDup semantic dedup over the embeddings table
+    from tilemaker_ray.ops.semdedup import q_semdedup
+    queries["semdedup"] = timed(lambda: q_semdedup(sf_dir))
+
     # WARC source: index-free chunk-synchronized parse of the same
     # crawl as a .warc.gz (fixture built untimed, cached)
     from tilemaker_ray.sources.warc import read_warc, warc_path

@@ -1521,3 +1521,88 @@ def test_domain_pagerank_parity():
     np.testing.assert_allclose(got["rank"].to_numpy(), np.round(r, 12),
                                rtol=0, atol=1e-12)
     assert got["rank"].max() > 3.0 * got["rank"].min()
+
+
+# --- SemDeDup (embedding-cluster semantic dedup) ---------------------------
+
+def _ref_semdedup_greedy(ids, mat, thr):
+    """O(m^2) single-process greedy keep-by-ascending-id reference."""
+    kept_idx, rows = [], []
+    for i in range(len(ids)):
+        ex = None
+        for j in kept_idx:
+            if float(mat[i] @ mat[j]) >= thr:
+                ex = j
+                break
+        if ex is None:
+            kept_idx.append(i)
+            rows.append((ids[i], True, ids[i]))
+        else:
+            rows.append((ids[i], False, ids[ex]))
+    return pd.DataFrame(rows, columns=["vec_id", "kept", "exemplar"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_matches_local_reference():
+    """Distributed SemDeDup == single-process reference with the same
+    centroids (exact parity — the approximation lives only in the
+    clustering, which both sides share)."""
+    import __ray_entry__ as E
+    from tilemaker_ray.ops.similarity import DUP_THRESHOLD, _centroids
+    got = E.queries()["semdedup"](SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _centroids(SF)
+    buckets = np.argmax(mat @ cent.T, axis=1)
+    parts = [_ref_semdedup_greedy(ids[buckets == b], mat[buckets == b],
+                                  DUP_THRESHOLD)
+             for b in np.unique(buckets)]
+    exp = (pd.concat(parts).sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_semdedup_greedy_tiling_equivalence(monkeypatch):
+    """greedy_keep's tiled scan == the O(m^2) reference regardless of
+    where tile boundaries fall."""
+    from tilemaker_ray.ops import semdedup as sd
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((53, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(100, 153, dtype=np.int64)
+    exp = _ref_semdedup_greedy(ids, mat, 0.5)
+    for tile in (7, 16, 1000):
+        monkeypatch.setattr(sd, "BUCKET_TILE", tile)
+        got = sd.greedy_keep(ids, mat, 0.5)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_planted_dups(tmp_path, monkeypatch):
+    """Planted perturbed copies (cos ~0.96) are dropped with their base
+    as exemplar; invariants hold; multi-tile gather path exercised."""
+    from tilemaker_ray.ops import semdedup as sd
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base[:12] + 0.07 * rng.standard_normal((12, 16))
+    emb = np.concatenate([base, dup]).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": list(emb),
+        "label": np.zeros(len(emb), dtype=np.int32),
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    monkeypatch.setattr(sd, "BUCKET_TILE", 5)  # force the tiled path
+    got = (sd.semdedup_ds(str(tmp_path), threshold=0.9).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    nmat = emb.astype(np.float64)
+    nmat /= np.linalg.norm(nmat, axis=1, keepdims=True)
+    dropped = got[~got.kept]
+    assert len(dropped) >= 10  # most planted copies land with their base
+    kept_set = set(got[got.kept].vec_id)
+    for _, r in dropped.iterrows():
+        assert r.exemplar in kept_set
+        assert r.exemplar < r.vec_id
+        assert nmat[int(r.vec_id)] @ nmat[int(r.exemplar)] >= 0.9
