@@ -251,6 +251,12 @@ def _image_features(sf_dir: str):
     return q_image_features(sf_dir)
 
 
+def _image_phash_dups(sf_dir: str):
+    from tilemaker_ray.ops.phash import q_image_phash_dups
+
+    return q_image_phash_dups(sf_dir)
+
+
 def _audio_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_audio_features
 
@@ -490,6 +496,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # codecs; jpeg/webp/mp3/h264 stubbed at marked swap-in points;
         # schema/actor wiring real — rows-only)
         "image_features": _image_features,
+        # pHash image near-dup (DCT perceptual hash + 8x8-bit band LSH;
+        # exact for Hamming<=6 by pigeonhole — brute-force parity
+        # test-asserted; hash not SQL-expressible -> rows-only)
+        "image_phash_dups": _image_phash_dups,
         "audio_features": _audio_features,
         "video_frame_features": _video_frame_features,
         # flagship tiling pipeline (rows-only; MVT blob content gated

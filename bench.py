@@ -162,6 +162,10 @@ def run_bench() -> dict:
     from tilemaker_ray.ops.semdedup import q_semdedup
     queries["semdedup"] = timed(lambda: q_semdedup(sf_dir))
 
+    # pHash image near-dup over the planted-dup image fixture
+    from tilemaker_ray.ops.phash import q_image_phash_dups
+    queries["image_phash_dups"] = timed(lambda: q_image_phash_dups(sf_dir))
+
     # WARC source: index-free chunk-synchronized parse of the same
     # crawl as a .warc.gz (fixture built untimed, cached)
     from tilemaker_ray.sources.warc import read_warc, warc_path

@@ -399,3 +399,58 @@ class TestJpeg:
         dec = mm.decode_image(t.column("payload")[i].as_py(), "image/jpeg")
         assert dec.shape == (t.column("height")[i].as_py(),
                              t.column("width")[i].as_py())
+
+
+class TestPHash:
+    def test_affine_luma_invariance(self):
+        from tilemaker_ray.ops.phash import hamming64, phash64
+        rng = np.random.default_rng(0)
+        low = rng.integers(40, 216, (4, 4)).astype(np.float64)
+        img = np.clip(np.kron(low, np.ones((20, 20)))[:77, :70]
+                      + rng.normal(0, 4, (77, 70)), 0, 255).astype(np.uint8)
+        shifted = np.clip(1.1 * img.astype(np.float64) + 15,
+                          0, 255).astype(np.uint8)
+        assert hamming64(np.array([phash64(img)]),
+                         np.array([phash64(shifted)]))[0] <= 2
+        other = np.clip(np.kron(rng.integers(40, 216, (4, 4))
+                                .astype(np.float64),
+                                np.ones((20, 20)))[:77, :70],
+                        0, 255).astype(np.uint8)
+        assert hamming64(np.array([phash64(img)]),
+                         np.array([phash64(other)]))[0] > 10
+
+    def test_box_resize_exact_area_average(self):
+        from tilemaker_ray.ops.phash import _box_resize
+        assert np.allclose(_box_resize(np.full((50, 33), 77, np.uint8)), 77)
+        # 64x64 -> each cell is the exact mean of a 2x2 block
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (64, 64)).astype(np.float64)
+        got = _box_resize(img)
+        exp = img.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, exp)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_dup_pairs_match_bruteforce(self):
+        """Banding recall is perfect for HAM_T < N_BANDS (pigeonhole),
+        so the distributed op must equal brute-force all-pairs."""
+        import ray
+        from tilemaker_ray.ops.phash import (HAM_T, hamming64,
+                                             phash_dup_pairs, phash64,
+                                             synth_phash_table)
+        t = synth_phash_table(40)
+        got = phash_dup_pairs(ray.data.from_arrow(t))
+        hs = np.array([phash64(mm.decode_image(p.as_py(), m.as_py()))
+                       for p, m in zip(t.column("payload"),
+                                       t.column("media_type"))],
+                      dtype=np.uint64)
+        ids = t.column("doc_id").to_numpy()
+        ai, bj = np.triu_indices(len(ids), k=1)
+        dist = hamming64(hs[ai], hs[bj])
+        keep = dist <= HAM_T
+        exp = (pd.DataFrame({"doc_a": ids[ai][keep], "doc_b": ids[bj][keep],
+                             "hamming": dist[keep].astype(np.int64)})
+               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # every planted (base, copy) pair is present
+        planted = {(i, 40 + k) for k, i in enumerate(range(0, 40, 5))}
+        assert planted <= set(zip(got.doc_a, got.doc_b))

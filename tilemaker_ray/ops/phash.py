@@ -1,0 +1,220 @@
+"""Perceptual-hash (pHash) image near-duplicate detection — the
+image-side twin of the text SimHash/MinHash dedup family (the standard
+DCT perceptual hash: Zauner 2010, "Implementation and Benchmarking of
+Perceptual Image Hash Functions"; the pHash.org / imagehash scheme).
+
+Hash: grayscale → 32x32 box-mean resize (exact integral-image area
+average, any input size) → orthonormal 2-D DCT-II → the 8x8
+low-frequency block → threshold each coefficient against the MEDIAN of
+the 64 (median excludes DC, and the DC bit is forced 0) → 64-bit hash.
+Invariant to affine luma changes (brightness/contrast), downscaling
+and mild lossy re-encoding — the classic "same picture, different
+file" signal.
+
+Near-dup pairs: Hamming distance <= HAM_T via band bucketing, the SAME
+LSH shape as the text SimHash path: 8 bands x 8 bits, one
+(band_key:int64, doc_id:int64) row per band — by pigeonhole any pair
+with Hamming <= 7 shares at least one exact band, so for HAM_T <= 7
+candidate generation has PERFECT recall and the popcount verify makes
+the whole op exact (test-asserted equal to the brute-force all-pairs
+reference).
+
+Scale shape (100 TB of images):
+- decode + hash is an actor-pool map_batches stage (codecs imported
+  once per actor); image BYTES never shuffle — the exchange carries
+  (band_key, doc_id, phash) rows, 24 B per band row.
+- one groupby on the int band key; in-bucket verify is vectorized
+  XOR+popcount over uint64; pair dedup is a second small groupby on
+  (a, b).  A degenerate band value (e.g. all-black thumbnails) is the
+  hot-key risk — same mitigation as the text side: cap or pre-count
+  df per band value; the planted-fixture tests keep the exact path.
+
+The reference engine (cldellow/tilemaker) has no image path; this op
+belongs to the LLM-training-data half of the brief, next to
+ops/dedup.py (text) and ops/semdedup.py (embeddings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+PHASH_SIZE = 32     # resize target (DCT input)
+PHASH_LOW = 8       # low-frequency block edge -> 64-bit hash
+HAM_T = 6           # default near-dup Hamming threshold
+N_BANDS = 8         # 8 bands x 8 bits; exact recall for HAM_T <= 7
+
+
+def _dct_matrix(n: int = PHASH_SIZE) -> np.ndarray:
+    """Orthonormal DCT-II basis (same construction as ops/jpeg.py's
+    8x8 `_dct_matrix`, parameterized)."""
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None]
+                                  * np.pi / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix()
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+    return img.astype(np.float64)
+
+
+def _box_resize(img: np.ndarray, n: int = PHASH_SIZE) -> np.ndarray:
+    """Exact area-average resize to (n, n) via the integral image —
+    handles any input size >= 1 without interpolation kernels."""
+    a = img.astype(np.float64)
+    h, w = a.shape
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = a.cumsum(0).cumsum(1)
+    ye = np.round(np.linspace(0, h, n + 1)).astype(np.int64)
+    xe = np.round(np.linspace(0, w, n + 1)).astype(np.int64)
+    sums = (ii[ye[1:], :][:, xe[1:]] - ii[ye[:-1], :][:, xe[1:]]
+            - ii[ye[1:], :][:, xe[:-1]] + ii[ye[:-1], :][:, xe[:-1]])
+    areas = np.outer(np.diff(ye), np.diff(xe)).astype(np.float64)
+    areas[areas == 0] = 1.0
+    return sums / areas
+
+
+def phash64(img: np.ndarray) -> np.uint64:
+    """64-bit DCT perceptual hash of a grayscale or RGB uint8 image."""
+    small = _box_resize(_gray(img))
+    coef = (_DCT32 @ small @ _DCT32.T)[:PHASH_LOW, :PHASH_LOW].ravel()
+    med = np.median(coef[1:])           # exclude DC from the median
+    bits = coef > med
+    bits[0] = False                     # DC bit forced 0
+    return np.uint64(
+        np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) over uint64 arrays."""
+    x = (np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1)
+
+
+class PHasher:
+    """Actor-pool stage: decode (pure-numpy codecs, imported once per
+    actor) → phash.  Emits (doc_id, phash) — image bytes stop here."""
+
+    def __init__(self):
+        from .multimodal import decode_image
+        self._decode = decode_image
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        payloads = b.column("payload").to_pylist()
+        mts = b.column("media_type").to_pylist()
+        hs = np.empty(len(ids), np.uint64)
+        for i in range(len(ids)):
+            hs[i] = phash64(self._decode(payloads[i], mts[i]))
+        return pa.table({"doc_id": pa.array(ids),
+                         "phash": pa.array(hs.view(np.int64))})
+
+
+def phash_dataset(images: ray.data.Dataset,
+                  concurrency: int = 2) -> ray.data.Dataset:
+    return images.map_batches(PHasher, batch_format="pyarrow",
+                              concurrency=concurrency, batch_size=64)
+
+
+def _band_rows(b: pa.Table) -> pa.Table:
+    ids = b.column("doc_id").to_numpy().astype(np.int64)
+    hs = b.column("phash").to_numpy().view(np.uint64)
+    n = len(ids)
+    band = np.repeat(np.arange(N_BANDS, dtype=np.uint64), n)
+    vals = (np.tile(hs, N_BANDS) >> (band * np.uint64(8))) & np.uint64(0xFF)
+    key = ((band << np.uint64(8)) | vals).view(np.int64)
+    return pa.table({"key": pa.array(key),
+                     "doc_id": pa.array(np.tile(ids, N_BANDS)),
+                     "phash": pa.array(np.tile(hs.view(np.int64), N_BANDS))})
+
+
+def _bucket_pairs(g: pd.DataFrame, ham_t: int) -> pd.DataFrame:
+    d = g.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = d["doc_id"].to_numpy()
+    hs = d["phash"].to_numpy().view(np.uint64)
+    ai, bj = np.triu_indices(len(ids), k=1)
+    if len(ai):
+        dist = hamming64(hs[ai], hs[bj])
+        keep = dist <= ham_t
+        ai, bj, dist = ai[keep], bj[keep], dist[keep]
+    else:
+        dist = np.empty(0, np.int64)
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj],
+                         "hamming": dist.astype(np.int64)})
+
+
+def phash_dup_pairs(images: ray.data.Dataset,
+                    ham_t: int = HAM_T) -> pd.DataFrame:
+    """Exact Hamming-<=ham_t pairs (for ham_t < N_BANDS, banding recall
+    is perfect by pigeonhole), doc_a < doc_b, sorted."""
+    from ray.data.aggregate import Min
+    hashed = phash_dataset(images)
+    pairs = (hashed.map_batches(_band_rows, batch_format="pyarrow")
+             .groupby("key")
+             .map_groups(lambda g: _bucket_pairs(g, ham_t),
+                         batch_format="pandas")
+             .groupby(["doc_a", "doc_b"])          # band-multiplicity dedup
+             .aggregate(Min(on="hamming", alias_name="hamming")))
+    df = pairs.to_pandas()[["doc_a", "doc_b", "hamming"]]
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# --- deterministic fixture: structured images + perturbed copies ----------
+
+def synth_phash_table(n: int, seed: int = 31) -> pa.Table:
+    """Low-frequency 'photos' (random 4x4 fields upsampled — pHash is a
+    low-frequency signature; pure noise is the degenerate case) plus a
+    planted perturbed copy for every 5th image: brightness/contrast
+    shifted and re-encoded through the lossy baseline-JPEG codec —
+    the canonical same-picture-different-file pair."""
+    from .jpeg import encode_jpeg
+    from .multimodal import IMAGE_SCHEMA
+    from .png import encode_png
+    rng = np.random.default_rng(seed)
+    rows = {"doc_id": [], "media_type": [], "payload": [],
+            "width": [], "height": []}
+
+    def add(i: int, img: np.ndarray, jpeg: bool):
+        payload = (encode_jpeg(img, quality=90) if jpeg
+                   else encode_png(img))
+        rows["doc_id"].append(i)
+        rows["media_type"].append("image/jpeg" if jpeg else "image/png")
+        rows["payload"].append(payload)
+        rows["height"].append(img.shape[0])
+        rows["width"].append(img.shape[1])
+
+    base_imgs = {}
+    for i in range(n):
+        h = int(rng.integers(48, 96))
+        w = int(rng.integers(48, 96))
+        low = rng.integers(40, 216, (4, 4)).astype(np.float64)
+        img = np.clip(np.kron(low, np.ones((h // 4 + 1, w // 4 + 1)))
+                      [:h, :w] + rng.normal(0, 4, (h, w)),
+                      0, 255).astype(np.uint8)
+        base_imgs[i] = img
+        add(i, img, jpeg=False)
+    for k, i in enumerate(range(0, n, 5)):
+        img = base_imgs[i].astype(np.float64)
+        img = np.clip(1.08 * img + 12.0, 0, 255).astype(np.uint8)
+        add(n + k, img, jpeg=True)       # planted dup of doc i
+    return pa.table(rows, schema=IMAGE_SCHEMA)
+
+
+def q_image_phash_dups(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry (hash not SQL-expressible): planted-dup
+    fixture sized by sf, exact Hamming pairs."""
+    from ..sources.pages import rows_for_sf
+    n = max(100, rows_for_sf(sf_dir) // 200)
+    images = ray.data.from_arrow(synth_phash_table(n))
+    return phash_dup_pairs(images)
