@@ -257,6 +257,18 @@ def _image_phash_dups(sf_dir: str):
     return q_image_phash_dups(sf_dir)
 
 
+def _audio_fp_dups(sf_dir: str):
+    from tilemaker_ray.ops.audiofp import q_audio_fp_dups
+
+    return q_audio_fp_dups(sf_dir)
+
+
+def _video_fp_dups(sf_dir: str):
+    from tilemaker_ray.ops.videofp import q_video_fp_dups
+
+    return q_video_fp_dups(sf_dir)
+
+
 def _audio_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_audio_features
 
@@ -500,6 +512,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact for Hamming<=6 by pigeonhole — brute-force parity
         # test-asserted; hash not SQL-expressible -> rows-only)
         "image_phash_dups": _image_phash_dups,
+        # audio near-dup via Haitsma-Kalker subfingerprints + BER verify
+        # (brute-force parity test-asserted; not SQL-expressible ->
+        # rows-only)
+        "audio_fp_dups": _audio_fp_dups,
+        # video near-dup via frame-pHash banding + match-fraction verify
+        # (brute-force parity test-asserted; rows-only)
+        "video_fp_dups": _video_fp_dups,
         "audio_features": _audio_features,
         "video_frame_features": _video_frame_features,
         # flagship tiling pipeline (rows-only; MVT blob content gated

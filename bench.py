@@ -166,6 +166,12 @@ def run_bench() -> dict:
     from tilemaker_ray.ops.phash import q_image_phash_dups
     queries["image_phash_dups"] = timed(lambda: q_image_phash_dups(sf_dir))
 
+    # audio / video fingerprint near-dup over the planted-dup fixtures
+    from tilemaker_ray.ops.audiofp import q_audio_fp_dups
+    queries["audio_fp_dups"] = timed(lambda: q_audio_fp_dups(sf_dir))
+    from tilemaker_ray.ops.videofp import q_video_fp_dups
+    queries["video_fp_dups"] = timed(lambda: q_video_fp_dups(sf_dir))
+
     # WARC source: index-free chunk-synchronized parse of the same
     # crawl as a .warc.gz (fixture built untimed, cached)
     from tilemaker_ray.sources.warc import read_warc, warc_path

@@ -1,0 +1,117 @@
+"""Audio (Haitsma-Kalker subfingerprint) and video (frame-pHash)
+near-dup ops — margins, parity with brute force, negative controls."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+from tilemaker_ray.ops.audiofp import (AFP_BER_T, audio_dup_pairs,
+                                       audio_subfps, subfp_ber,
+                                       synth_audiofp_table)
+from tilemaker_ray.ops.multimodal import (AUDIO_SR, decode_wav,
+                                          encode_g711_wav,
+                                          encode_ima_adpcm_wav)
+from tilemaker_ray.ops.videofp import (MATCH_FRAC, clip_frame_hashes,
+                                       clip_match_frac, synth_videofp_table,
+                                       video_dup_pairs)
+
+
+def _tone(dur_s=1.5, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(AUDIO_SR * dur_s)) / AUDIO_SR
+    x = np.zeros(len(t))
+    for _ in range(8):
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.8, 4.0) * t
+                                 + rng.uniform(0, 6.28))
+        x += (rng.uniform(0.1, 1.0) * env
+              * np.sin(2 * np.pi * rng.uniform(120, 3500) * t))
+    # broadband noise bed: without it, inter-partial bands sit at the
+    # codec noise floor and their HK bits are coin flips
+    nz = np.fft.irfft(np.fft.rfft(rng.standard_normal(len(t))), len(t))
+    x = x + 0.03 * nz / nz.std()
+    return (x / np.abs(x).max() * 0.8).astype(np.float32)
+
+
+class TestAudioFP:
+    def test_gain_invariance(self):
+        x = _tone()
+        a = audio_subfps(x)
+        b = audio_subfps(0.4 * x)
+        assert subfp_ber(a, b) < 0.01
+
+    def test_g711_reencode_ber_separates(self):
+        x = _tone()
+        a = audio_subfps(x)
+        for law in ("mu", "a"):
+            y, sr = decode_wav(encode_g711_wav(0.7 * x, law))
+            assert subfp_ber(a, audio_subfps(y, sr)) < AFP_BER_T
+        other = audio_subfps(_tone(seed=4))
+        assert subfp_ber(a, other) > 0.35
+
+    def test_adpcm_negative_control(self):
+        """IMA ADPCM's 4-bit quantization noise lands dup BER in the
+        distinct range — documented OUT of scope for this op."""
+        x = _tone()
+        y, sr = decode_wav(encode_ima_adpcm_wav(0.7 * x))
+        assert subfp_ber(audio_subfps(x), audio_subfps(y, sr)) > AFP_BER_T
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_dup_pairs_match_bruteforce(self):
+        t = synth_audiofp_table(40)
+        got = audio_dup_pairs(ray.data.from_arrow(t))
+        fps = {}
+        for did, p in zip(t.column("doc_id").to_pylist(),
+                          t.column("payload").to_pylist()):
+            x, sr = decode_wav(p)
+            fps[did] = audio_subfps(x, sr)
+        bf = {(a, b) for a, b in itertools.combinations(sorted(fps), 2)
+              if subfp_ber(fps[a], fps[b]) <= AFP_BER_T}
+        assert bf == set(zip(got.doc_a, got.doc_b))
+        planted = {(i, 40 + k) for k, i in enumerate(range(0, 40, 5))}
+        assert planted <= set(zip(got.doc_a, got.doc_b))
+
+
+class TestVideoFP:
+    def test_match_frac_trim_invariant(self):
+        t = synth_videofp_table(5)
+        hs = [clip_frame_hashes(p.as_py(), m.as_py())
+              for p, m in zip(t.column("payload"), t.column("media_type"))]
+        # clip 5 is the planted trimmed re-encode of clip 0
+        assert clip_match_frac(hs[0], hs[5]) == 1.0
+        assert clip_match_frac(hs[0], hs[1]) < 0.3
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_dup_pairs_match_bruteforce(self):
+        t = synth_videofp_table(30)
+        got = video_dup_pairs(ray.data.from_arrow(t))
+        hs = {did: clip_frame_hashes(p.as_py(), m.as_py())
+              for did, p, m in zip(t.column("doc_id").to_pylist(),
+                                   t.column("payload"),
+                                   t.column("media_type"))}
+        bf = {(a, b) for a, b in itertools.combinations(sorted(hs), 2)
+              if clip_match_frac(hs[a], hs[b]) >= MATCH_FRAC}
+        assert bf == set(zip(got.doc_a, got.doc_b))
+        planted = {(i, 30 + k) for k, i in enumerate(range(0, 30, 5))}
+        assert planted <= set(zip(got.doc_a, got.doc_b))
+        assert (got.match_frac == 1.0).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_hot_key_cap_bounds_pairs(self):
+        """max_df drops a degenerate bucket (identical black clips)
+        instead of emitting O(m^2) pairs."""
+        from tilemaker_ray.ops.multimodal import encode_pgm
+        import pyarrow as pa
+        black = b"".join(encode_pgm(np.zeros((32, 32), np.uint8))
+                         for _ in range(8))
+        t = pa.table({"doc_id": list(range(20)),
+                      "media_type": ["video/x-raw-pgm"] * 20,
+                      "payload": [black] * 20,
+                      "n_frames": [8] * 20})
+        got = video_dup_pairs(ray.data.from_arrow(t), max_df=5)
+        assert len(got) == 0
+        full = video_dup_pairs(ray.data.from_arrow(t), max_df=None)
+        assert len(full) == 20 * 19 // 2

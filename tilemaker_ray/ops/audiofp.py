@@ -1,0 +1,236 @@
+"""Audio fingerprint near-duplicate detection — the audio twin of the
+image pHash op (ops/phash.py), an independent implementation of the
+Haitsma–Kalker / Philips robust-hash scheme ("A Highly Robust Audio
+Fingerprint System", ISMIR 2002).
+
+Per-frame 32-bit subfingerprints (not one per-doc hash — measured on
+the WAV fixtures, a 64-bit doc-level spectral hash cannot absorb G.711
+quantization noise at Hamming<=6, while subfingerprint BER separates
+by >3x):
+- decode (real WAV paths: PCM / G.711 mu/A-law / IMA ADPCM,
+  ops/multimodal.py) → frame (512/256 @ 8 kHz) → Hanning → rfft power
+  → 33 log-spaced band energies in 100–3800 Hz
+- bit(b,t) = sign((E[b,t]−E[b,t+1 bands]) time-difference), the
+  classic HK bit: log-domain differences cancel constant gain.
+
+Match = bit-error-rate over the aligned subfingerprint stream
+<= AFP_BER_T (HK uses 0.35 over 256-frame blocks; we verify whole
+recordings at 0.2).  Measured margins on the fixture: G.711 re-encode
+BER 0.08–0.13, distinct recordings 0.41–0.5.  IMA ADPCM (4-bit) lands
+at BER 0.38–0.43 — indistinguishable from distinct, so ADPCM
+re-encodes are explicitly OUT of scope (negative-control-tested).
+
+Candidate generation (the HK lookup strategy, halved for recall):
+explode each subfingerprint into its two exact 16-bit halves —
+(half_id:int32 key, doc_id) rows; any pair sharing >= 1 exact half is
+a candidate.  Approximate by construction (a dup pair could share no
+exact half); measured recall on the fixtures is 100% with ~10% of
+distinct pairs surfacing as candidates, all killed by the BER verify.
+
+Scale shape (100 TB of audio):
+- decode + subfingerprint is an actor-pool map_batches stage; audio
+  BYTES never shuffle — the candidate exchange carries
+  (key:int32, doc_id:int64) rows only.
+- ONE groupby on the int key; `max_df` drops degenerate hot keys
+  (silence) exactly like the text n-gram index's cap.
+- BER verify gathers subfingerprint sequences for CANDIDATE docs only
+  (the dup graph + sparse false positives — the same bounded-gather
+  argument as the IVF verify in ops/similarity.py).
+
+The reference engine (cldellow/tilemaker) has no audio path; this op
+belongs to the LLM-training-data half of the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .multimodal import AUDIO_FRAME, AUDIO_HOP, AUDIO_SR, frame_signal
+
+N_AFP_BANDS = 33            # 33 bands -> 32 HK bits per frame
+AFP_FMIN, AFP_FMAX = 100.0, 3800.0
+AFP_BER_T = 0.2             # verify threshold (HK: 0.35 per block)
+AFP_MAX_DF = 10_000         # hot-key cap on the candidate index
+
+
+def _band_slices(sr: int, frame: int) -> np.ndarray:
+    """rfft-bin start index of each log-spaced band edge, clamped so
+    every band spans >= 1 bin and edges stay monotonic."""
+    edges = np.geomspace(AFP_FMIN, min(AFP_FMAX, sr / 2 * 0.95),
+                         N_AFP_BANDS + 1)
+    bins = np.round(edges * frame / sr).astype(np.int64)
+    return np.maximum.accumulate(np.maximum(bins, np.arange(len(bins)) + 1))
+
+
+def audio_subfps(x: np.ndarray, sr: int = AUDIO_SR,
+                 frame: int = AUDIO_FRAME,
+                 hop: int = AUDIO_HOP) -> np.ndarray:
+    """HK subfingerprint stream of a mono float signal: one uint32 per
+    frame transition, gain-invariant by construction."""
+    fr = frame_signal(x.astype(np.float64), frame, hop)
+    spec = np.abs(np.fft.rfft(fr * np.hanning(frame), axis=1)) ** 2
+    sl = _band_slices(sr, frame)
+    csum = np.concatenate([np.zeros((len(fr), 1)), spec.cumsum(axis=1)],
+                          axis=1)
+    e = np.log(csum[:, sl[1:]] - csum[:, sl[:-1]] + 1e-12)
+    d = e[:, :-1] - e[:, 1:]                  # band differences (32)
+    bits = (d[1:] - d[:-1]) > 0               # time differences (T-1, 32)
+    if not len(bits):
+        return np.zeros(0, np.uint32)
+    return (np.ascontiguousarray(np.packbits(bits, axis=1))
+            .view(">u4").ravel().astype(np.uint32))
+
+
+def subfp_ber(a: np.ndarray, b: np.ndarray) -> float:
+    """Bit-error rate over the aligned overlap of two subfp streams."""
+    m = min(len(a), len(b))
+    if m == 0:
+        return 1.0
+    x = np.ascontiguousarray((a[:m] ^ b[:m]).astype(np.uint32))
+    return float(np.unpackbits(x.view(np.uint8)).sum()) / (32 * m)
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV decode (all four compression paths) →
+    subfingerprint stream.  Emits (doc_id, fps:list<uint32>) — audio
+    bytes stop here."""
+
+    def __init__(self):
+        from .multimodal import decode_wav
+        self._decode = decode_wav
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        fps = []
+        for payload in b.column("payload").to_pylist():
+            x, sr = self._decode(payload)
+            fps.append(audio_subfps(x, sr))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "fps": pa.array([f.tolist() for f in fps],
+                            pa.list_(pa.uint32()))})
+
+
+def audio_fp_dataset(audio: ray.data.Dataset,
+                     concurrency: int = 2) -> ray.data.Dataset:
+    return audio.map_batches(AudioFingerprinter, batch_format="pyarrow",
+                             concurrency=concurrency, batch_size=32)
+
+
+def _half_key_rows(b: pa.Table) -> pa.Table:
+    """Explode (doc_id, fps) into distinct (key, doc_id) rows — key =
+    half_index<<16 | 16-bit half value."""
+    out_key, out_id = [], []
+    ids = b.column("doc_id").to_numpy()
+    for i, fps in enumerate(b.column("fps").to_pylist()):
+        v = np.asarray(fps, np.uint32)
+        keys = np.unique(np.concatenate([
+            v >> np.uint32(16),
+            (np.uint32(1) << np.uint32(16)) | (v & np.uint32(0xFFFF))]))
+        out_key.append(keys.astype(np.int64) if len(keys)
+                       else np.zeros(0, np.int64))
+        out_id.append(np.full(len(keys), ids[i], np.int64))
+    return pa.table({
+        "key": pa.array(np.concatenate(out_key) if out_key
+                        else np.zeros(0, np.int64)),
+        "doc_id": pa.array(np.concatenate(out_id) if out_id
+                           else np.zeros(0, np.int64))})
+
+
+def _bucket_pairs(g: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if max_df is not None and len(ids) > max_df:
+        ids = ids[:0]                       # hot key: drop, don't O(m^2)
+    ai, bj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+
+
+def audio_dup_pairs(audio: ray.data.Dataset,
+                    ber_t: float = AFP_BER_T,
+                    max_df: int | None = AFP_MAX_DF) -> pd.DataFrame:
+    """(doc_a, doc_b, ber) pairs with >= 1 shared exact subfp half and
+    aligned BER <= ber_t; doc_a < doc_b, sorted."""
+    from ray.data.aggregate import Count
+    fps = audio_fp_dataset(audio).materialize()
+    cand = (fps.map_batches(_half_key_rows, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(lambda g: _bucket_pairs(g, max_df),
+                        batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])       # key-multiplicity dedup
+            .aggregate(Count())
+            .to_pandas())
+    if not len(cand):
+        return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                             "doc_b": np.zeros(0, np.int64),
+                             "ber": np.zeros(0, np.float64)})
+    # gather subfp sequences for candidate docs only (bounded: the
+    # candidate dup graph), then vectorized-per-pair BER verify
+    need = set(map(int, np.unique(cand[["doc_a", "doc_b"]].to_numpy())))
+    seqs = (fps.map_batches(
+        lambda b: b.filter(pa.compute.is_in(
+            b.column("doc_id"), pa.array(sorted(need), pa.int64()))),
+        batch_format="pyarrow").to_pandas())
+    by_id = {int(r.doc_id): np.asarray(r.fps, np.uint32)
+             for r in seqs.itertuples()}
+    ber = np.array([subfp_ber(by_id[int(a)], by_id[int(b)])
+                    for a, b in zip(cand["doc_a"], cand["doc_b"])])
+    keep = ber <= ber_t
+    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
+                        "doc_b": cand["doc_b"].to_numpy()[keep],
+                        "ber": np.round(ber[keep], 6)})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# --- deterministic fixture: recordings + re-encoded gain-shifted dups -----
+
+def synth_audiofp_table(n: int, seed: int = 37) -> pa.Table:
+    """Music-like 'recordings': 8 random partials, each with its own
+    slow amplitude envelope (the HK bits ARE envelope dynamics — a
+    stationary tone has no time-difference signal), over a weak noise
+    bed.  For every 5th recording a planted dup: gain-scaled 0.7x and
+    re-encoded through lossy G.711 (alternating mu-law / A-law)."""
+    from .multimodal import encode_g711_wav, encode_wav
+    rng = np.random.default_rng(seed)
+    rows = {"doc_id": [], "media_type": [], "payload": [], "n_samples": []}
+
+    def add(i: int, x: np.ndarray, enc):
+        rows["doc_id"].append(i)
+        rows["media_type"].append("audio/wav")
+        rows["payload"].append(enc(np.clip(x, -1.0, 1.0)))
+        rows["n_samples"].append(len(x))
+
+    base = {}
+    for i in range(n):
+        dur = int(rng.integers(AUDIO_SR, AUDIO_SR * 2))   # 1-2 s
+        t = np.arange(dur) / AUDIO_SR
+        x = np.zeros(dur)
+        for _ in range(8):
+            f = rng.uniform(120, 3500)
+            a = rng.uniform(0.1, 1.0)
+            env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.8, 4.0) * t
+                                     + rng.uniform(0, 2 * np.pi))
+            x += a * env * np.sin(2 * np.pi * f * t
+                                  + rng.uniform(0, 2 * np.pi))
+        nz = np.fft.irfft(np.fft.rfft(rng.standard_normal(dur)), dur)
+        x = ((x + 0.03 * nz / nz.std())).astype(np.float64)
+        x = (x / np.abs(x).max() * 0.8).astype(np.float32)
+        base[i] = x
+        add(i, x, encode_wav)
+    for k, i in enumerate(range(0, n, 5)):
+        law = "mu" if k % 2 == 0 else "a"
+        add(n + k, 0.7 * base[i],
+            lambda s, law=law: encode_g711_wav(s, law))
+    return pa.table(rows)
+
+
+def q_audio_fp_dups(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry (fingerprint not SQL-expressible):
+    planted-dup fixture sized by sf, HK subfp + BER-verified pairs."""
+    from ..sources.pages import rows_for_sf
+    n = max(60, rows_for_sf(sf_dir) // 300)
+    audio = ray.data.from_arrow(synth_audiofp_table(n))
+    return audio_dup_pairs(audio)

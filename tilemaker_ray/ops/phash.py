@@ -11,23 +11,11 @@ Invariant to affine luma changes (brightness/contrast), downscaling
 and mild lossy re-encoding — the classic "same picture, different
 file" signal.
 
-Near-dup pairs: Hamming distance <= HAM_T via band bucketing, the SAME
-LSH shape as the text SimHash path: 8 bands x 8 bits, one
-(band_key:int64, doc_id:int64) row per band — by pigeonhole any pair
-with Hamming <= 7 shares at least one exact band, so for HAM_T <= 7
-candidate generation has PERFECT recall and the popcount verify makes
-the whole op exact (test-asserted equal to the brute-force all-pairs
-reference).
-
-Scale shape (100 TB of images):
-- decode + hash is an actor-pool map_batches stage (codecs imported
-  once per actor); image BYTES never shuffle — the exchange carries
-  (band_key, doc_id, phash) rows, 24 B per band row.
-- one groupby on the int band key; in-bucket verify is vectorized
-  XOR+popcount over uint64; pair dedup is a second small groupby on
-  (a, b).  A degenerate band value (e.g. all-black thumbnails) is the
-  hot-key risk — same mitigation as the text side: cap or pre-count
-  df per band value; the planted-fixture tests keep the exact path.
+Near-dup pairs: Hamming distance <= HAM_T via the shared band-LSH
+exchange (ops/hamming_lsh.py — exact for HAM_T < 8 by pigeonhole; see
+that module for the scale shape).  Decode + hash is an actor-pool
+map_batches stage (codecs imported once per actor); image BYTES never
+shuffle — only (band_key, doc_id, phash) rows do.
 
 The reference engine (cldellow/tilemaker) has no image path; this op
 belongs to the LLM-training-data half of the brief, next to
@@ -42,10 +30,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .hamming_lsh import HAM_T, N_BANDS, dup_pairs_64, hamming64, pack_bits64
+
 PHASH_SIZE = 32     # resize target (DCT input)
 PHASH_LOW = 8       # low-frequency block edge -> 64-bit hash
-HAM_T = 6           # default near-dup Hamming threshold
-N_BANDS = 8         # 8 bands x 8 bits; exact recall for HAM_T <= 7
 
 
 def _dct_matrix(n: int = PHASH_SIZE) -> np.ndarray:
@@ -91,15 +79,7 @@ def phash64(img: np.ndarray) -> np.uint64:
     med = np.median(coef[1:])           # exclude DC from the median
     bits = coef > med
     bits[0] = False                     # DC bit forced 0
-    return np.uint64(
-        np.packbits(bits.astype(np.uint8)).view(">u8")[0])
-
-
-def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized popcount(a ^ b) over uint64 arrays."""
-    x = (np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64))
-    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                         axis=1).sum(axis=1)
+    return pack_bits64(bits)
 
 
 class PHasher:
@@ -127,47 +107,11 @@ def phash_dataset(images: ray.data.Dataset,
                               concurrency=concurrency, batch_size=64)
 
 
-def _band_rows(b: pa.Table) -> pa.Table:
-    ids = b.column("doc_id").to_numpy().astype(np.int64)
-    hs = b.column("phash").to_numpy().view(np.uint64)
-    n = len(ids)
-    band = np.repeat(np.arange(N_BANDS, dtype=np.uint64), n)
-    vals = (np.tile(hs, N_BANDS) >> (band * np.uint64(8))) & np.uint64(0xFF)
-    key = ((band << np.uint64(8)) | vals).view(np.int64)
-    return pa.table({"key": pa.array(key),
-                     "doc_id": pa.array(np.tile(ids, N_BANDS)),
-                     "phash": pa.array(np.tile(hs.view(np.int64), N_BANDS))})
-
-
-def _bucket_pairs(g: pd.DataFrame, ham_t: int) -> pd.DataFrame:
-    d = g.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = d["doc_id"].to_numpy()
-    hs = d["phash"].to_numpy().view(np.uint64)
-    ai, bj = np.triu_indices(len(ids), k=1)
-    if len(ai):
-        dist = hamming64(hs[ai], hs[bj])
-        keep = dist <= ham_t
-        ai, bj, dist = ai[keep], bj[keep], dist[keep]
-    else:
-        dist = np.empty(0, np.int64)
-    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj],
-                         "hamming": dist.astype(np.int64)})
-
-
 def phash_dup_pairs(images: ray.data.Dataset,
                     ham_t: int = HAM_T) -> pd.DataFrame:
     """Exact Hamming-<=ham_t pairs (for ham_t < N_BANDS, banding recall
     is perfect by pigeonhole), doc_a < doc_b, sorted."""
-    from ray.data.aggregate import Min
-    hashed = phash_dataset(images)
-    pairs = (hashed.map_batches(_band_rows, batch_format="pyarrow")
-             .groupby("key")
-             .map_groups(lambda g: _bucket_pairs(g, ham_t),
-                         batch_format="pandas")
-             .groupby(["doc_a", "doc_b"])          # band-multiplicity dedup
-             .aggregate(Min(on="hamming", alias_name="hamming")))
-    df = pairs.to_pandas()[["doc_a", "doc_b", "hamming"]]
-    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return dup_pairs_64(phash_dataset(images), "phash", ham_t)
 
 
 # --- deterministic fixture: structured images + perturbed copies ----------

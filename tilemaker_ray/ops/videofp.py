@@ -1,0 +1,203 @@
+"""Video near-duplicate detection via frame-sampled perceptual hashes
+— the video member of the fingerprint-dedup family (image:
+ops/phash.py, audio: ops/audiofp.py), using the standard frame-level
+matching shape of published CBCD (content-based copy detection)
+systems: hash sampled frames, candidate clips share an exact hash
+band, verify by frame match fraction.
+
+Clip-level pooling (bit-majority or median-DCT of frame pHashes) was
+measured FRAGILE on short clips — ties flip under re-encode noise —
+so matching is per-frame, alignment-free:
+- signature: pHash64 of every `stride`-th decoded frame
+  (list<uint64> per clip; rawvideo decode from ops/multimodal.py).
+- candidates: each frame hash explodes into its four exact 16-bit
+  bands — (band_key:int64, doc_id) rows; by pigeonhole two frames
+  within Hamming<=3 share an exact band (measured JPEG-reencode frame
+  drift is <=2), so candidate recall is effectively perfect.
+- verify: match fraction = max over the two directions of
+  "fraction of my sampled frames with a Hamming<=FRAME_HAM match in
+  the other clip" >= MATCH_FRAC (robust to trimming either end).
+  Measured: planted luma-shift + JPEG-reencode + head-trim dups score
+  1.0, distinct clips 0.0.
+
+Scale shape (100 TB of video): decode + hash is an actor-pool stage —
+video BYTES never shuffle; the exchange is (key:int64, doc_id:int64)
+rows, one groupby on the int key with a `max_df` hot-key cap
+(black/static frames are the degenerate bucket); verify gathers frame-
+hash lists for CANDIDATE clips only (bounded dup graph, the same
+gather argument as ops/similarity.py's IVF verify).
+
+The reference engine (cldellow/tilemaker) has no video path; this op
+belongs to the LLM-training-data half of the brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+FRAME_HAM = 6            # per-frame near-match threshold
+MATCH_FRAC = 0.8         # verified-dup frame match fraction
+VFP_MAX_DF = 10_000      # hot-key cap on the candidate index
+
+
+def clip_frame_hashes(payload: bytes, media_type: str,
+                      stride: int = 1) -> np.ndarray:
+    from .multimodal import decode_video
+    from .phash import phash64
+    frames = list(decode_video(payload, media_type))[::stride]
+    return np.array([phash64(f) for f in frames], np.uint64)
+
+
+def clip_match_frac(a: np.ndarray, b: np.ndarray,
+                    ham: int = FRAME_HAM) -> float:
+    """Alignment-free frame match fraction, max over both directions
+    (so a clip trimmed from a longer one still scores 1.0)."""
+    from .hamming_lsh import hamming64
+    if not len(a) or not len(b):
+        return 0.0
+    d = hamming64(np.repeat(a, len(b)),
+                  np.tile(b, len(a))).reshape(len(a), len(b))
+    return float(max((d.min(axis=1) <= ham).mean(),
+                     (d.min(axis=0) <= ham).mean()))
+
+
+class VideoFingerprinter:
+    """Actor-pool stage: rawvideo decode → per-frame pHash list.
+    Emits (doc_id, fhashes:list<uint64>) — video bytes stop here."""
+
+    def __init__(self, stride: int = 1):
+        self.stride = stride
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        mts = b.column("media_type").to_pylist()
+        hs = [clip_frame_hashes(p, mts[i], self.stride)
+              for i, p in enumerate(b.column("payload").to_pylist())]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "fhashes": pa.array([h.view(np.int64).tolist() for h in hs],
+                                pa.list_(pa.int64()))})
+
+
+def video_fp_dataset(video: ray.data.Dataset, stride: int = 1,
+                     concurrency: int = 2) -> ray.data.Dataset:
+    return video.map_batches(VideoFingerprinter(stride),
+                             batch_format="pyarrow",
+                             concurrency=concurrency, batch_size=16)
+
+
+def _band_key_rows(b: pa.Table) -> pa.Table:
+    """Explode (doc_id, fhashes) into distinct (key, doc_id) rows —
+    key = band_index<<16 | exact 16-bit band of a frame hash."""
+    out_key, out_id = [], []
+    ids = b.column("doc_id").to_numpy()
+    for i, fh in enumerate(b.column("fhashes").to_pylist()):
+        v = np.asarray(fh, np.int64).view(np.uint64)
+        bandix = np.repeat(np.arange(4, dtype=np.uint64), len(v))
+        vals = (np.tile(v, 4) >> (bandix * np.uint64(16))) & np.uint64(0xFFFF)
+        keys = np.unique((bandix << np.uint64(16)) | vals)
+        out_key.append(keys.view(np.int64))
+        out_id.append(np.full(len(keys), ids[i], np.int64))
+    return pa.table({
+        "key": pa.array(np.concatenate(out_key) if out_key
+                        else np.zeros(0, np.int64)),
+        "doc_id": pa.array(np.concatenate(out_id) if out_id
+                           else np.zeros(0, np.int64))})
+
+
+def _bucket_pairs(g: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if max_df is not None and len(ids) > max_df:
+        ids = ids[:0]                       # hot key: drop, don't O(m^2)
+    ai, bj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+
+
+def video_dup_pairs(video: ray.data.Dataset,
+                    frame_ham: int = FRAME_HAM,
+                    match_frac: float = MATCH_FRAC,
+                    stride: int = 1,
+                    max_df: int | None = VFP_MAX_DF) -> pd.DataFrame:
+    """(doc_a, doc_b, match_frac) clip pairs sharing >= 1 exact frame-
+    hash band whose verified frame match fraction >= match_frac;
+    doc_a < doc_b, sorted."""
+    from ray.data.aggregate import Count
+    fps = video_fp_dataset(video, stride).materialize()
+    cand = (fps.map_batches(_band_key_rows, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(lambda g: _bucket_pairs(g, max_df),
+                        batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])       # key-multiplicity dedup
+            .aggregate(Count())
+            .to_pandas())
+    if not len(cand):
+        return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                             "doc_b": np.zeros(0, np.int64),
+                             "match_frac": np.zeros(0, np.float64)})
+    need = set(map(int, np.unique(cand[["doc_a", "doc_b"]].to_numpy())))
+    seqs = (fps.map_batches(
+        lambda b: b.filter(pa.compute.is_in(
+            b.column("doc_id"), pa.array(sorted(need), pa.int64()))),
+        batch_format="pyarrow").to_pandas())
+    by_id = {int(r.doc_id): np.asarray(r.fhashes, np.int64).view(np.uint64)
+             for r in seqs.itertuples()}
+    mf = np.array([clip_match_frac(by_id[int(a)], by_id[int(b)], frame_ham)
+                   for a, b in zip(cand["doc_a"], cand["doc_b"])])
+    keep = mf >= match_frac
+    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
+                        "doc_b": cand["doc_b"].to_numpy()[keep],
+                        "match_frac": np.round(mf[keep], 6)})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# --- deterministic fixture: clips + re-encoded trimmed dups ----------------
+
+def synth_videofp_table(n: int, seed: int = 41) -> pa.Table:
+    """Low-frequency 'clips' (pHash's signal lives in low frequencies;
+    pure-noise frames are its documented degenerate case): a 6x6 field
+    upsampled, rolled 3 px per frame, 8-24 frames.  Every 5th clip
+    gets a planted dup: head-trimmed one frame, luma-shifted 1.1x+10
+    and every frame re-encoded through lossy baseline JPEG q90."""
+    from .jpeg import decode_jpeg, encode_jpeg
+    from .multimodal import encode_pgm
+    rng = np.random.default_rng(seed)
+    rows = {"doc_id": [], "media_type": [], "payload": [], "n_frames": []}
+
+    def add(i: int, frames: list[bytes]):
+        rows["doc_id"].append(i)
+        rows["media_type"].append("video/x-raw-pgm")
+        rows["payload"].append(b"".join(frames))
+        rows["n_frames"].append(len(frames))
+
+    base = {}
+    for i in range(n):
+        h = int(rng.integers(48, 96))
+        w = int(rng.integers(48, 96))
+        nf = int(rng.integers(8, 24))
+        low = rng.integers(30, 226, (6, 6)).astype(np.float64)
+        img = np.clip(np.kron(low, np.ones((h // 6 + 1, w // 6 + 1)))
+                      [:h, :w], 0, 255).astype(np.uint8)
+        frames = [np.roll(img, 3 * f, axis=1) for f in range(nf)]
+        base[i] = frames
+        add(i, [encode_pgm(f) for f in frames])
+    for k, i in enumerate(range(0, n, 5)):
+        dup = []
+        for f in base[i][1:]:                       # head-trim one frame
+            g = np.clip(1.1 * f.astype(np.float64) + 10,
+                        0, 255).astype(np.uint8)
+            dup.append(encode_pgm(decode_jpeg(encode_jpeg(g, quality=90))))
+        add(n + k, dup)
+    return pa.table(rows)
+
+
+def q_video_fp_dups(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry (fingerprint not SQL-expressible):
+    planted-dup fixture sized by sf, frame-matched dup pairs."""
+    from ..sources.pages import rows_for_sf
+    n = max(50, rows_for_sf(sf_dir) // 400)
+    video = ray.data.from_arrow(synth_videofp_table(n))
+    return video_dup_pairs(video)
