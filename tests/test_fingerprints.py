@@ -59,6 +59,18 @@ class TestAudioFP:
         y, sr = decode_wav(encode_ima_adpcm_wav(0.7 * x))
         assert subfp_ber(audio_subfps(x), audio_subfps(y, sr)) > AFP_BER_T
 
+    def test_band_slices_strictly_increasing(self):
+        """Review r4: rounded log-spaced edges coincide at some sample
+        rates (sr=16000 was the repro), giving a zero-width band whose
+        bit column degrades to noise.  Edges must be strictly
+        increasing and stay inside the rfft bin count at ANY sr."""
+        from tilemaker_ray.ops.audiofp import _band_slices
+        for sr in (8000, 11025, 16000, 22050, 44100, 48000, 96000):
+            for frame in (256, 512, 1024):
+                s = _band_slices(sr, frame)
+                assert (np.diff(s) >= 1).all(), (sr, frame)
+                assert s[0] >= 1 and s[-1] <= frame // 2 + 1, (sr, frame)
+
     @pytest.mark.usefixtures("ray_session")
     def test_dup_pairs_match_bruteforce(self):
         t = synth_audiofp_table(40)

@@ -429,6 +429,20 @@ class TestPHash:
         exp = img.reshape(32, 2, 32, 2).mean(axis=(1, 3))
         np.testing.assert_allclose(got, exp)
 
+    def test_box_resize_small_images(self):
+        """Sub-32px inputs must not degenerate to zero-width cells
+        (review r4: rounded edges gave 0-valued stripes, so a tiny
+        image hashed unlike its own upscale)."""
+        from tilemaker_ray.ops.phash import _box_resize, hamming64, phash64
+        assert np.allclose(_box_resize(np.full((16, 16), 200, np.uint8)),
+                           200)
+        rng = np.random.default_rng(7)
+        small = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        up = np.kron(small, np.ones((3, 3), np.uint8))   # 48x48 upscale
+        d = hamming64(np.array([phash64(small)]),
+                      np.array([phash64(up)]))[0]
+        assert d <= 2, d
+
     @pytest.mark.usefixtures("ray_session")
     def test_dup_pairs_match_bruteforce(self):
         """Banding recall is perfect for HAM_T < N_BANDS (pigeonhole),

@@ -516,9 +516,17 @@ def test_badwords_oracle_and_counting():
     import re
     from tilemaker_ray.ops.text import BADWORDS
     rx = re.compile(r"(?:^| )(?:"
-                    + "|".join(map(re.escape, BADWORDS)) + r")(?= |$)")
+                    + "|".join(map(re.escape, BADWORDS)) + r")(?= |\Z)")
     assert len(rx.findall("slow slow big")) == 3
     assert len(rx.findall("slowly bigger slow")) == 1
+    # Trailing-newline parity (review r4): $ matches before a final
+    # '\n', but the split-on-space oracle keeps the newline inside the
+    # last token — \Z must NOT count it.  Verified against DuckDB.
+    assert len(rx.findall("ends with slow\n")) == 0
+    nl = con.sql("SELECT len(list_filter(string_split("
+                 "'ends with slow' || chr(10), ' '), "
+                 "w -> w IN ('slow', 'big')))").fetchone()[0]
+    assert nl == 0
 
 
 @pytest.mark.usefixtures("ray_session")

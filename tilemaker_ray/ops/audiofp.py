@@ -58,12 +58,21 @@ AFP_MAX_DF = 10_000         # hot-key cap on the candidate index
 
 
 def _band_slices(sr: int, frame: int) -> np.ndarray:
-    """rfft-bin start index of each log-spaced band edge, clamped so
-    every band spans >= 1 bin and edges stay monotonic."""
+    """rfft-bin start index of each log-spaced band edge, STRICTLY
+    increasing so every band spans >= 1 bin at any sample rate (at
+    e.g. sr=16000 two rounded edges coincide, which would give a
+    zero-width band whose energy is log(1e-12) for every frame and
+    kill that bit column).  Strictness: nondecreasing-accumulate of
+    (bins - i) + i forces a +1 step; the tail is clamped back under
+    the rfft bin count while staying strict."""
     edges = np.geomspace(AFP_FMIN, min(AFP_FMAX, sr / 2 * 0.95),
                          N_AFP_BANDS + 1)
     bins = np.round(edges * frame / sr).astype(np.int64)
-    return np.maximum.accumulate(np.maximum(bins, np.arange(len(bins)) + 1))
+    n = len(bins)
+    i = np.arange(n)
+    e = np.maximum.accumulate(np.maximum(bins, i + 1) - i) + i
+    top = frame // 2 + 1        # rfft bin count (csum upper bound)
+    return np.minimum(e, top - (n - 1 - i))
 
 
 def audio_subfps(x: np.ndarray, sr: int = AUDIO_SR,
@@ -141,48 +150,19 @@ def _half_key_rows(b: pa.Table) -> pa.Table:
                            else np.zeros(0, np.int64))})
 
 
-def _bucket_pairs(g: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if max_df is not None and len(ids) > max_df:
-        ids = ids[:0]                       # hot key: drop, don't O(m^2)
-    ai, bj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
-
-
 def audio_dup_pairs(audio: ray.data.Dataset,
                     ber_t: float = AFP_BER_T,
                     max_df: int | None = AFP_MAX_DF) -> pd.DataFrame:
     """(doc_a, doc_b, ber) pairs with >= 1 shared exact subfp half and
-    aligned BER <= ber_t; doc_a < doc_b, sorted."""
-    from ray.data.aggregate import Count
+    aligned BER <= ber_t; doc_a < doc_b, sorted.  Candidate exchange +
+    verify run on the shared skeleton in ops/hamming_lsh.py."""
+    from .hamming_lsh import keyed_dup_pairs
     fps = audio_fp_dataset(audio).materialize()
-    cand = (fps.map_batches(_half_key_rows, batch_format="pyarrow")
-            .groupby("key")
-            .map_groups(lambda g: _bucket_pairs(g, max_df),
-                        batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])       # key-multiplicity dedup
-            .aggregate(Count())
-            .to_pandas())
-    if not len(cand):
-        return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
-                             "doc_b": np.zeros(0, np.int64),
-                             "ber": np.zeros(0, np.float64)})
-    # gather subfp sequences for candidate docs only (bounded: the
-    # candidate dup graph), then vectorized-per-pair BER verify
-    need = set(map(int, np.unique(cand[["doc_a", "doc_b"]].to_numpy())))
-    seqs = (fps.map_batches(
-        lambda b: b.filter(pa.compute.is_in(
-            b.column("doc_id"), pa.array(sorted(need), pa.int64()))),
-        batch_format="pyarrow").to_pandas())
-    by_id = {int(r.doc_id): np.asarray(r.fps, np.uint32)
-             for r in seqs.itertuples()}
-    ber = np.array([subfp_ber(by_id[int(a)], by_id[int(b)])
-                    for a, b in zip(cand["doc_a"], cand["doc_b"])])
-    keep = ber <= ber_t
-    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
-                        "doc_b": cand["doc_b"].to_numpy()[keep],
-                        "ber": np.round(ber[keep], 6)})
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return keyed_dup_pairs(
+        fps, _half_key_rows, "fps",
+        seq_fn=lambda v: np.asarray(v, np.uint32),
+        score_fn=subfp_ber, score_col="ber",
+        keep_fn=lambda s: s <= ber_t, max_df=max_df)
 
 
 # --- deterministic fixture: recordings + re-encoded gain-shifted dups -----

@@ -76,6 +76,70 @@ def _bucket_pairs(g: pd.DataFrame, ham_t: int,
                          "hamming": dist.astype(np.int64)})
 
 
+def _keyed_pairs(g: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
+    """All doc pairs sharing one exact key; a key with document
+    frequency above max_df is dropped, not exploded O(m^2)."""
+    ids = np.unique(g["doc_id"].to_numpy())
+    if max_df is not None and len(ids) > max_df:
+        ids = ids[:0]
+    ai, bj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+
+
+def keyed_dup_pairs(fps: ray.data.Dataset,
+                    key_batch_fn,
+                    seq_col: str,
+                    seq_fn,
+                    score_fn,
+                    score_col: str,
+                    keep_fn,
+                    max_df: int | None) -> pd.DataFrame:
+    """Shared candidate exchange + verify behind the audio and video
+    fingerprint dedup ops (ops/audiofp.py, ops/videofp.py):
+
+    1. `key_batch_fn` explodes (doc_id, <seq_col>) batches into distinct
+       (key:int64, doc_id:int64) rows — media bytes never reach this
+       exchange.
+    2. ONE groupby on the int key; `max_df` drops degenerate hot keys
+       (silence, black frames) instead of emitting O(m^2) pair rows.
+    3. Key-multiplicity dedup via a second small (doc_a, doc_b) groupby.
+    4. Sequences are gathered for CANDIDATE docs only (bounded: the dup
+       graph plus sparse false positives), then `score_fn(a, b)` runs
+       per pair and `keep_fn(scores)` masks the verified dups.
+
+    Returns (doc_a, doc_b, <score_col>) with doc_a < doc_b, sorted.
+    """
+    from ray.data.aggregate import Count
+    cand = (fps.map_batches(key_batch_fn, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(lambda g: _keyed_pairs(g, max_df),
+                        batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count())
+            .to_pandas())
+    if not len(cand):
+        return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
+                             "doc_b": np.zeros(0, np.int64),
+                             score_col: np.zeros(0, np.float64)})
+    # Hoisted once (not per batch): the Arrow value set for the
+    # candidate-doc filter.
+    need_arr = pa.array(
+        sorted(map(int, np.unique(cand[["doc_a", "doc_b"]].to_numpy()))),
+        pa.int64())
+    seqs = (fps.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("doc_id"), need_arr)),
+        batch_format="pyarrow").to_pandas())
+    by_id = {int(r.doc_id): seq_fn(getattr(r, seq_col))
+             for r in seqs.itertuples()}
+    score = np.array([score_fn(by_id[int(a)], by_id[int(b)])
+                      for a, b in zip(cand["doc_a"], cand["doc_b"])])
+    keep = keep_fn(score) if len(score) else np.zeros(0, bool)
+    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
+                        "doc_b": cand["doc_b"].to_numpy()[keep],
+                        score_col: np.round(score[keep], 6)})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def dup_pairs_64(hashed: ray.data.Dataset, hash_col: str,
                  ham_t: int = HAM_T,
                  max_bucket: int | None = None) -> pd.DataFrame:

@@ -63,12 +63,18 @@ def _box_resize(img: np.ndarray, n: int = PHASH_SIZE) -> np.ndarray:
     h, w = a.shape
     ii = np.zeros((h + 1, w + 1))
     ii[1:, 1:] = a.cumsum(0).cumsum(1)
-    ye = np.round(np.linspace(0, h, n + 1)).astype(np.int64)
-    xe = np.round(np.linspace(0, w, n + 1)).astype(np.int64)
-    sums = (ii[ye[1:], :][:, xe[1:]] - ii[ye[:-1], :][:, xe[1:]]
-            - ii[ye[1:], :][:, xe[:-1]] + ii[ye[:-1], :][:, xe[:-1]])
-    areas = np.outer(np.diff(ye), np.diff(xe)).astype(np.float64)
-    areas[areas == 0] = 1.0
+    # Floor edges with a forced >=1-pixel span per cell: for h >= n this
+    # is an exact partition; for h < n cells overlap (nearest-neighbor
+    # repetition), so a tiny image and its upscale hash alike instead of
+    # degenerating to zero-width cells whose "mean" is 0.
+    idx = np.arange(n, dtype=np.int64)
+    ylo = idx * h // n
+    yhi = np.maximum(ylo + 1, (idx + 1) * h // n)
+    xlo = idx * w // n
+    xhi = np.maximum(xlo + 1, (idx + 1) * w // n)
+    sums = (ii[yhi, :][:, xhi] - ii[ylo, :][:, xhi]
+            - ii[yhi, :][:, xlo] + ii[ylo, :][:, xlo])
+    areas = np.outer(yhi - ylo, xhi - xlo).astype(np.float64)
     return sums / areas
 
 
@@ -108,10 +114,16 @@ def phash_dataset(images: ray.data.Dataset,
 
 
 def phash_dup_pairs(images: ray.data.Dataset,
-                    ham_t: int = HAM_T) -> pd.DataFrame:
-    """Exact Hamming-<=ham_t pairs (for ham_t < N_BANDS, banding recall
-    is perfect by pigeonhole), doc_a < doc_b, sorted."""
-    return dup_pairs_64(phash_dataset(images), "phash", ham_t)
+                    ham_t: int = HAM_T,
+                    max_bucket: int | None = 10_000) -> pd.DataFrame:
+    """Exact Hamming-<=ham_t pairs (for ham_t < N_BANDS and
+    max_bucket=None, banding recall is perfect by pigeonhole),
+    doc_a < doc_b, sorted.  max_bucket defaults ON (like the audio /
+    video twins): m degenerate thumbnails (all-black, a repeated logo)
+    in one band bucket would otherwise emit O(m^2) pair rows in a
+    single map_groups task."""
+    return dup_pairs_64(phash_dataset(images), "phash", ham_t,
+                        max_bucket=max_bucket)
 
 
 # --- deterministic fixture: structured images + perturbed copies ----------

@@ -73,7 +73,9 @@ def q_quality_score(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     stop_rx = re.compile(
-        r"(?:^| )(?:" + "|".join(map(re.escape, STOPWORDS)) + r")(?= |$)")
+        # \Z, not $: $ also matches before a trailing newline, which the
+        # split-on-space SQL oracle would count as part of the last token.
+        r"(?:^| )(?:" + "|".join(map(re.escape, STOPWORDS)) + r")(?= |\Z)")
 
     def score(b: pa.Table) -> pa.Table:
         txt = b.column("text").to_pandas()
@@ -781,7 +783,9 @@ def q_badwords(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     rx = re.compile(
-        r"(?:^| )(?:" + "|".join(map(re.escape, BADWORDS)) + r")(?= |$)")
+        # \Z, not $: $ also matches before a trailing newline, which the
+        # split-on-space SQL oracle would count as part of the last token.
+        r"(?:^| )(?:" + "|".join(map(re.escape, BADWORDS)) + r")(?= |\Z)")
 
     def scan(b: pa.Table) -> pa.Table:
         txt = b.column("text").to_pandas()
@@ -795,13 +799,17 @@ def q_badwords(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(scan, batch_format="pyarrow").to_pandas()
 
 
+# Render the IN-list explicitly: {tuple!r} would emit invalid SQL
+# ("IN ('slow',)") if the blocklist ever shrinks to one term.
+_BADWORDS_IN = "(" + ", ".join(f"'{w}'" for w in BADWORDS) + ")"
+
 BADWORDS_ORACLE = f"""
     SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '),
-                                w -> w IN {BADWORDS!r})) AS BIGINT)
+                                w -> w IN {_BADWORDS_IN})) AS BIGINT)
              AS n_badwords,
            CAST(CASE WHEN len(list_filter(string_split(text, ' '),
-                                          w -> w IN {BADWORDS!r})) = 0
+                                          w -> w IN {_BADWORDS_IN})) = 0
                      THEN 1 ELSE 0 END AS BIGINT) AS badword_pass
     FROM documents
 """

@@ -85,7 +85,11 @@ class VideoFingerprinter:
 
 def video_fp_dataset(video: ray.data.Dataset, stride: int = 1,
                      concurrency: int = 2) -> ray.data.Dataset:
-    return video.map_batches(VideoFingerprinter(stride),
+    # Pass the CLASS (not an instance): an instance makes Ray run a
+    # task pool that re-pickles and re-initializes per task; the class
+    # gets the actor pool the decode stage is designed for.
+    return video.map_batches(VideoFingerprinter,
+                             fn_constructor_kwargs={"stride": stride},
                              batch_format="pyarrow",
                              concurrency=concurrency, batch_size=16)
 
@@ -109,14 +113,6 @@ def _band_key_rows(b: pa.Table) -> pa.Table:
                            else np.zeros(0, np.int64))})
 
 
-def _bucket_pairs(g: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if max_df is not None and len(ids) > max_df:
-        ids = ids[:0]                       # hot key: drop, don't O(m^2)
-    ai, bj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
-
-
 def video_dup_pairs(video: ray.data.Dataset,
                     frame_ham: int = FRAME_HAM,
                     match_frac: float = MATCH_FRAC,
@@ -124,34 +120,16 @@ def video_dup_pairs(video: ray.data.Dataset,
                     max_df: int | None = VFP_MAX_DF) -> pd.DataFrame:
     """(doc_a, doc_b, match_frac) clip pairs sharing >= 1 exact frame-
     hash band whose verified frame match fraction >= match_frac;
-    doc_a < doc_b, sorted."""
-    from ray.data.aggregate import Count
+    doc_a < doc_b, sorted.  Candidate exchange + verify run on the
+    shared skeleton in ops/hamming_lsh.py."""
+    from .hamming_lsh import keyed_dup_pairs
     fps = video_fp_dataset(video, stride).materialize()
-    cand = (fps.map_batches(_band_key_rows, batch_format="pyarrow")
-            .groupby("key")
-            .map_groups(lambda g: _bucket_pairs(g, max_df),
-                        batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])       # key-multiplicity dedup
-            .aggregate(Count())
-            .to_pandas())
-    if not len(cand):
-        return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
-                             "doc_b": np.zeros(0, np.int64),
-                             "match_frac": np.zeros(0, np.float64)})
-    need = set(map(int, np.unique(cand[["doc_a", "doc_b"]].to_numpy())))
-    seqs = (fps.map_batches(
-        lambda b: b.filter(pa.compute.is_in(
-            b.column("doc_id"), pa.array(sorted(need), pa.int64()))),
-        batch_format="pyarrow").to_pandas())
-    by_id = {int(r.doc_id): np.asarray(r.fhashes, np.int64).view(np.uint64)
-             for r in seqs.itertuples()}
-    mf = np.array([clip_match_frac(by_id[int(a)], by_id[int(b)], frame_ham)
-                   for a, b in zip(cand["doc_a"], cand["doc_b"])])
-    keep = mf >= match_frac
-    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
-                        "doc_b": cand["doc_b"].to_numpy()[keep],
-                        "match_frac": np.round(mf[keep], 6)})
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return keyed_dup_pairs(
+        fps, _band_key_rows, "fhashes",
+        seq_fn=lambda v: np.asarray(v, np.int64).view(np.uint64),
+        score_fn=lambda a, b: clip_match_frac(a, b, frame_ham),
+        score_col="match_frac",
+        keep_fn=lambda s: s >= match_frac, max_df=max_df)
 
 
 # --- deterministic fixture: clips + re-encoded trimmed dups ----------------
