@@ -179,19 +179,24 @@ def _content_samples(sf_dir: str):
 
 
 def _page_hygiene(sf_dir: str):
-    """url_canonicalize ⊕ html_extract ⊕ link_stats ⊕ robots_filter
-    — all per-page
+    """url_canonicalize ⊕ html_extract ⊕ link_stats ⊕ robots_filter ⊕
+    frontier_schedule — all per-page
     (one row per url) crawl-hygiene signals.  The rich-HTML table is
     generated with the SAME url key space as the default pages table
     (sources/pages.py generate_rich_block), so the per-url ops join 1:1
-    on url and one driver row checks every column of all four."""
+    on url and one driver row checks every column of all five.
+    frontier_schedule's host column is dropped here (url_canonicalize
+    already carries one); its own tests cover it."""
     from tilemaker_ray.ops import web
 
     a = web.q_url_canonicalize(sf_dir)
     b = web.q_html_extract(sf_dir)
     c = web.q_link_stats(sf_dir)
     d = web.q_robots_filter(sf_dir)
+    e = web.q_frontier_schedule(sf_dir)[
+        ["url", "priority", "slot", "fetch_order"]]
     return (a.merge(b, on="url").merge(c, on="url").merge(d, on="url")
+             .merge(e, on="url")
              .sort_values("url").reset_index(drop=True))
 
 
@@ -326,7 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ORDERING CONTRACT: the driver's correctness window checks entries
     in dict order and has historically covered only a prefix (50 of 64
     in round 3), so every oracled query MUST precede every rows-only
-    one.  All 50 oracled entries fill the window exactly; to fit 72
+    one.  All 50 oracled entries fill the window exactly; to fit 73
     oracled ops into those 50 slots, same-grain ops share a merged row
     (see the merged-driver-rows wrappers above):
     quality_score carries repetition_score + langid + dup_span_chars +
@@ -335,7 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the BPE variant) + lm_bits + lm_tercile + seq_pack (packing
     positions via distributed prefix sum), hash_sample carries stratified_sample +
     weighted_sample + lang_balance, url_canonicalize carries
-    html_extract + link_stats + robots_filter (same per-url grain — the rich-HTML
+    html_extract + link_stats + robots_filter + frontier_schedule
+    (same per-url grain — the rich-HTML
     table shares the pages table's url key space by design),
     domain_stats carries anchor_stats (same per-domain grain), s2_cells
     carries zorder_encode (same per-event grain), rasterize carries
@@ -570,19 +576,23 @@ def oracle_sql() -> dict[str, str]:
     """
     # merged per-url crawl-hygiene row (see _page_hygiene): the three
     # per-page oracles join 1:1 on url (shared key space by design)
-    from tilemaker_ray.ops.web import robots_filter_oracle_sql
+    from tilemaker_ray.ops.web import (frontier_schedule_oracle_sql,
+                                       robots_filter_oracle_sql)
     uc = url_canonicalize_oracle_sql(pages_path(20_000))
     he = html_extract_oracle_sql(rich_pages_path(20_000))
     ls = link_stats_oracle_sql(rich_pages_path(20_000))
     rb = robots_filter_oracle_sql(pages_path(20_000))
+    fs = frontier_schedule_oracle_sql(pages_path(20_000))
     out["url_canonicalize"] = f"""
         SELECT u.url, u.canonical_url, u.host,
                h.main_text, h.content_chars, h.html_chars,
                l.n_links, l.n_internal, l.n_external, l.n_ext_hosts,
-               r.robots_allowed, r.robots_rule
+               r.robots_allowed, r.robots_rule,
+               f.priority, f.slot, f.fetch_order
         FROM ({uc}) u JOIN ({he}) h ON u.url = h.url
                       JOIN ({ls}) l ON u.url = l.url
                       JOIN ({rb}) r ON u.url = r.url
+                      JOIN ({fs}) f ON u.url = f.url
     """
     out["domain_cap"] = domain_cap_oracle_sql(pages_path(20_000))
     out["pii_redact"] = pii_redact_oracle_sql(pii_pages_path(20_000))

@@ -338,7 +338,8 @@ def test_domain_stats_oracle():
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", ["url_canonicalize", "domain_cap",
                                   "html_extract", "link_stats",
-                                  "anchor_stats", "robots_filter"])
+                                  "anchor_stats", "robots_filter",
+                                  "frontier_schedule"])
 def test_web_pages_oracles(name):
     """URL canonicalization / per-domain cap / HTML main-content
     extraction / per-page outlink stats vs their SQL twins over the
@@ -353,13 +354,15 @@ def test_web_pages_oracles(name):
           "html_extract": web.q_html_extract,
           "link_stats": web.q_link_stats,
           "anchor_stats": web.q_anchor_stats,
-          "robots_filter": web.q_robots_filter}[name]
+          "robots_filter": web.q_robots_filter,
+          "frontier_schedule": web.q_frontier_schedule}[name]
     sql = {"url_canonicalize": web.url_canonicalize_oracle_sql,
            "domain_cap": web.domain_cap_oracle_sql,
            "html_extract": web.html_extract_oracle_sql,
            "link_stats": web.link_stats_oracle_sql,
            "anchor_stats": web.anchor_stats_oracle_sql,
-           "robots_filter": web.robots_filter_oracle_sql}[name]
+           "robots_filter": web.robots_filter_oracle_sql,
+           "frontier_schedule": web.frontier_schedule_oracle_sql}[name]
     path = (rich_pages_path
             if name in ("html_extract", "link_stats", "anchor_stats")
             else pages_path)(rows_for_sf(SF))
@@ -369,6 +372,25 @@ def test_web_pages_oracles(name):
     a, b = normalize(mine), normalize(exp)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_schedule_politeness():
+    """Round-robin property: sorted by fetch_order, the first
+    n_hosts entries are every host's single best URL (slot 1, one per
+    host), and slot blocks never interleave — cycle k completes before
+    cycle k+1 starts."""
+    from tilemaker_ray.ops.web import q_frontier_schedule
+    out = q_frontier_schedule(SF).sort_values("fetch_order")
+    assert (out["fetch_order"].to_numpy()
+            == np.arange(1, len(out) + 1)).all()
+    nh = out["host"].nunique()
+    head = out.head(nh)
+    assert (head["slot"] == 1).all() and head["host"].is_unique
+    assert (np.diff(out["slot"].to_numpy()) >= 0).all()
+    # within a slot block, priority is non-increasing
+    for _, g in out.groupby("slot"):
+        assert (np.diff(g["priority"].to_numpy()) <= 0).all()
 
 
 def test_extract_main_text_crafted():

@@ -776,3 +776,103 @@ def q_domain_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     df = pd.DataFrame({"domain_id": np.arange(n, dtype=np.int64),
                        "rank": np.round(r, 12)})
     return df.sort_values("domain_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier scheduling (politeness round-robin)
+# ---------------------------------------------------------------------------
+
+def q_frontier_schedule(sf_dir: str) -> pd.DataFrame:
+    """Politeness-aware crawl-frontier scheduling — the URL-ordering
+    stage every large crawler runs (the Heritrix/Nutch shape: at most
+    one in-flight URL per host per cycle): (url, host, priority, slot,
+    fetch_order) where
+
+      slot        = per-host rank by (priority DESC, url) — cycle k
+                    fetches each host's k-th best URL,
+      fetch_order = global position in (slot ASC, priority DESC, url)
+                    order — all first-choice URLs precede any host's
+                    second choice (round-robin politeness).
+
+    priority here is content length (a stand-in for any score column).
+
+    Scale shape — a DISTRIBUTED double row_number() with no global
+    sort:
+      1. one streaming pass derives (url, host, priority);
+      2. slot: groupby(host) in-group rank (a host's frontier is
+         bounded — crawlers cap per-host queues; a mega-host would
+         salt by url-hash range and offset, the seq_pack pattern);
+      3. fetch_order: the (slot, priority) histogram is driver-sized
+         (slots x distinct priorities, both small ints), so the driver
+         cumsums ONLY that table in (slot ASC, priority DESC) order and
+         broadcasts offsets; a groupby((slot, priority)) ranks by url
+         within each cell and adds the offset.  No corpus-wide sort or
+         materialization; ties inside one (slot, priority) cell are the
+         only in-group work.
+    """
+    import ray
+    pages = pages_path(rows_for_sf(sf_dir))
+    ds = ray.data.read_parquet(pages, columns=["url", "text"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        u = b.column("url").to_pandas()
+        host = (u.str.extract(_HOSTPORT_RE, expand=False)
+                 .str.lower().fillna(""))
+        pr = b.column("text").to_pandas().str.len().astype("int64")
+        return pa.table({"url": pa.array(u), "host": pa.array(host),
+                         "priority": pa.array(pr)})
+
+    def host_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "url"],
+                          ascending=[False, True]).copy()
+        g["slot"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    slotted = (ds.map_batches(feats, batch_format="pyarrow")
+                 .groupby("host")
+                 .map_groups(host_rank, batch_format="pandas")
+                 .materialize())
+
+    hist = (slotted.groupby(["slot", "priority"])
+                   .aggregate(Count(alias_name="n"))
+                   .to_pandas()
+                   .sort_values(["slot", "priority"],
+                                ascending=[True, False]))
+    offs = np.concatenate(
+        [[0], np.cumsum(hist["n"].to_numpy(dtype=np.int64))[:-1]])
+    off_ref = ray.put({(int(s), int(p)): int(o)
+                       for s, p, o in zip(hist["slot"], hist["priority"],
+                                          offs)})
+
+    def enumerate_cell(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[(int(g["slot"].iloc[0]),
+                                 int(g["priority"].iloc[0]))]
+        g = g.sort_values("url").copy()
+        g["fetch_order"] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (slotted.groupby(["slot", "priority"])
+                  .map_groups(enumerate_cell, batch_format="pandas")
+                  .to_pandas())
+    return (out[["url", "host", "priority", "slot", "fetch_order"]]
+            .sort_values("url").reset_index(drop=True))
+
+
+def frontier_schedule_oracle_sql(pages_dir: str) -> str:
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 lower(regexp_extract(url, '{_HOSTPORT_RE}', 1)) AS host,
+                 CAST(length(text) AS BIGINT) AS priority
+          FROM read_parquet('{pages_dir}/*.parquet')
+        ), s AS (
+          SELECT url, host, priority,
+                 CAST(row_number() OVER (PARTITION BY host
+                      ORDER BY priority DESC, url) AS BIGINT) AS slot
+          FROM p
+        )
+        SELECT url, host, priority, slot,
+               CAST(row_number() OVER (ORDER BY slot, priority DESC, url)
+                    AS BIGINT) AS fetch_order
+        FROM s ORDER BY url
+    """
