@@ -250,6 +250,12 @@ def _semdedup(sf_dir: str):
     return q_semdedup(sf_dir)
 
 
+def _bitext_mine(sf_dir: str):
+    from tilemaker_ray.ops.bitext import q_bitext_mine
+
+    return q_bitext_mine(sf_dir)
+
+
 def _image_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_image_features
 
@@ -500,6 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # invisible, the paper's trade-off); exact parity vs a
         # single-process reference run is test-asserted
         "semdedup": _semdedup,
+        # margin-based bitext mining (Artetxe & Schwenk ratio margin,
+        # the LASER/CCMatrix parallel-pair stage): float margins ->
+        # rows-only; 100% planted-pair recall/precision test-asserted
+        "bitext_mine": _bitext_mine,
         # distributed PCA over the embedding column (Gram-partial
         # shuffle + driver eigh; local-numpy parity-tested)
         "embedding_pca": similarity.q_embedding_pca,

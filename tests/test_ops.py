@@ -1636,3 +1636,69 @@ def test_semdedup_planted_dups(tmp_path, monkeypatch):
         assert r.exemplar in kept_set
         assert r.exemplar < r.vec_id
         assert nmat[int(r.vec_id)] @ nmat[int(r.exemplar)] >= 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBitextMine:
+    def test_planted_pairs_exact(self):
+        """Forward margin mining recovers EVERY planted translation and
+        nothing else on the rotated-distractor fixture."""
+        import pandas as pd
+        from tilemaker_ray.ops.bitext import TGT_ID_BASE, q_bitext_mine
+        out = q_bitext_mine(SF)
+        src = pd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id"])
+        planted = {int(v) for v in src.vec_id if v % 3 == 0}
+        assert set(out.src_id) == planted            # recall 1.0
+        assert (out.tgt_id == TGT_ID_BASE + out.src_id).all()  # precision
+
+    def test_margin_matches_numpy_bruteforce(self):
+        """The distributed two-pass margins equal a single-process
+        numpy recomputation of the Artetxe-Schwenk ratio margin."""
+        import pandas as pd
+        import ray
+        from tilemaker_ray.ops.bitext import (BITEXT_K, bitext_mine,
+                                              synth_tgt_table)
+        src_df = (pd.read_parquet(f"{SF}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+                  .sort_values("vec_id"))
+        tgt_t = synth_tgt_table(SF)
+        sm = np.stack(src_df.embedding.to_numpy()).astype(np.float64)
+        sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+        tm = np.stack(tgt_t.column("embedding").to_pandas().to_numpy()
+                      ).astype(np.float64)
+        tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+        tids = tgt_t.column("vec_id").to_numpy()
+        sims = sm @ tm.T
+        k = BITEXT_K
+        fwd_knn = np.sort(sims, axis=1)[:, -k:].mean(axis=1)
+        bwd_knn = np.sort(sims, axis=0)[-k:, :].mean(axis=0)
+        j = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(sm)), j]
+        margin = best / ((fwd_knn + bwd_knn[j]) / 2)
+        exp = pd.DataFrame({
+            "src_id": src_df.vec_id.to_numpy(),
+            "tgt_id": tids[j],
+            "margin": np.round(margin, 6)})
+        exp = (exp[margin >= 1.5]
+               .sort_values("src_id").reset_index(drop=True))
+        got = bitext_mine(
+            ray.data.from_pandas(src_df.reset_index(drop=True)),
+            ray.data.from_arrow(tgt_t), margin_t=1.5)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_margin_separation_gap(self):
+        """The fixture's planted/distractor margin gap straddles the
+        default threshold with real slack on both sides."""
+        import ray
+        from tilemaker_ray.ops.bitext import (BITEXT_MARGIN_T, TGT_ID_BASE,
+                                              bitext_mine, synth_tgt_table)
+        src = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        tgt = ray.data.from_arrow(synth_tgt_table(SF))
+        allp = bitext_mine(src, tgt, margin_t=0.0)
+        truth = (allp.tgt_id == TGT_ID_BASE + allp.src_id) & \
+                (allp.src_id % 3 == 0)
+        lo, hi = allp[~truth].margin.max(), allp[truth].margin.min()
+        assert lo < BITEXT_MARGIN_T < hi
+        assert hi - lo > 0.2            # a real gap, not a knife edge
