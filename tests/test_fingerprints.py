@@ -127,3 +127,82 @@ class TestVideoFP:
         assert len(got) == 0
         full = video_dup_pairs(ray.data.from_arrow(t), max_df=None)
         assert len(full) == 20 * 19 // 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuarantine:
+    """on_error='quarantine': one corrupt payload must not sink the
+    block — failed rows carry an error string and are excluded from
+    the pair exchange; strict mode still raises (100 TB posture:
+    corrupt media rows are a certainty)."""
+
+    def _poisoned(self, t, bad_id):
+        import pyarrow as pa
+        bad = {"doc_id": [bad_id], "media_type": ["video/x-raw-pgm"],
+               "payload": [b"\x00garbage-not-a-frame"]}
+        for name in t.column_names:
+            if name not in bad:
+                bad[name] = [t.column(name)[0].as_py()]
+        return pa.concat_tables(
+            [t, pa.table({n: pa.array(bad[n], t.schema.field(n).type)
+                          for n in t.column_names})])
+
+    def test_video_quarantine(self):
+        from tilemaker_ray.ops.videofp import (video_dup_pairs,
+                                               video_fp_dataset,
+                                               synth_videofp_table)
+        t = self._poisoned(synth_videofp_table(10), 999)
+        with pytest.raises(Exception):
+            video_dup_pairs(ray.data.from_arrow(t))
+        got = video_dup_pairs(ray.data.from_arrow(t),
+                              on_error="quarantine")
+        clean = video_dup_pairs(ray.data.from_arrow(
+            synth_videofp_table(10)))
+        pd.testing.assert_frame_equal(got, clean)
+        fp = video_fp_dataset(ray.data.from_arrow(t),
+                              on_error="quarantine").to_pandas()
+        bad = fp[fp.doc_id == 999]
+        assert len(bad) == 1 and bad.iloc[0].error != ""
+        assert (fp[fp.doc_id != 999].error == "").all()
+
+    def test_image_quarantine(self):
+        import pyarrow as pa
+        from tilemaker_ray.ops.phash import (phash_dup_pairs,
+                                             phash_dataset,
+                                             synth_phash_table)
+        t = synth_phash_table(10)
+        bad = pa.table({n: pa.array(
+            [b"\xff\xd8broken" if n == "payload"
+             else ("image/jpeg" if n == "media_type"
+                   else t.column(n)[0].as_py())],
+            t.schema.field(n).type) for n in t.column_names})
+        bad = bad.set_column(bad.schema.get_field_index("doc_id"),
+                             "doc_id", pa.array([999]))
+        t2 = pa.concat_tables([t, bad])
+        with pytest.raises(Exception):
+            phash_dup_pairs(ray.data.from_arrow(t2))
+        got = phash_dup_pairs(ray.data.from_arrow(t2),
+                              on_error="quarantine")
+        clean = phash_dup_pairs(ray.data.from_arrow(t))
+        pd.testing.assert_frame_equal(got, clean)
+        fp = phash_dataset(ray.data.from_arrow(t2),
+                           on_error="quarantine").to_pandas()
+        assert (fp[fp.doc_id == 999].error != "").all()
+
+    def test_audio_quarantine(self):
+        import pyarrow as pa
+        from tilemaker_ray.ops.audiofp import (audio_dup_pairs,
+                                               synth_audiofp_table)
+        t = synth_audiofp_table(10)
+        bad = pa.table({n: pa.array(
+            [b"RIFFnope" if n == "payload"
+             else (999 if n == "doc_id"
+                   else t.column(n)[0].as_py())],
+            t.schema.field(n).type) for n in t.column_names})
+        t2 = pa.concat_tables([t, bad])
+        with pytest.raises(Exception):
+            audio_dup_pairs(ray.data.from_arrow(t2))
+        got = audio_dup_pairs(ray.data.from_arrow(t2),
+                              on_error="quarantine")
+        clean = audio_dup_pairs(ray.data.from_arrow(t))
+        pd.testing.assert_frame_equal(got, clean)

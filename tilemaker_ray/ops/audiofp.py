@@ -106,27 +106,45 @@ def subfp_ber(a: np.ndarray, b: np.ndarray) -> float:
 class AudioFingerprinter:
     """Actor-pool stage: WAV decode (all four compression paths) →
     subfingerprint stream.  Emits (doc_id, fps:list<uint32>) — audio
-    bytes stop here."""
+    bytes stop here.
 
-    def __init__(self):
+    on_error="quarantine" adds an `error` column ('' for ok rows,
+    empty fps for failed ones) and keeps going past undecodable
+    payloads — the same corrupt-media triage pattern as
+    phash.PHasher."""
+
+    def __init__(self, on_error: str = "raise"):
         from .multimodal import decode_wav
         self._decode = decode_wav
+        self.on_error = on_error
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy().astype(np.int64)
-        fps = []
+        fps, errs = [], []
         for payload in b.column("payload").to_pylist():
-            x, sr = self._decode(payload)
-            fps.append(audio_subfps(x, sr))
-        return pa.table({
+            try:
+                x, sr = self._decode(payload)
+                fps.append(audio_subfps(x, sr))
+                errs.append("")
+            except Exception as e:          # noqa: BLE001 — quarantine
+                if self.on_error == "raise":
+                    raise
+                fps.append(np.zeros(0, np.uint32))
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+        cols = {
             "doc_id": pa.array(ids),
             "fps": pa.array([f.tolist() for f in fps],
-                            pa.list_(pa.uint32()))})
+                            pa.list_(pa.uint32()))}
+        if self.on_error == "quarantine":
+            cols["error"] = pa.array(errs, pa.string())
+        return pa.table(cols)
 
 
 def audio_fp_dataset(audio: ray.data.Dataset,
-                     concurrency: int = 2) -> ray.data.Dataset:
+                     concurrency: int = 2,
+                     on_error: str = "raise") -> ray.data.Dataset:
     return audio.map_batches(AudioFingerprinter, batch_format="pyarrow",
+                             fn_constructor_kwargs={"on_error": on_error},
                              concurrency=concurrency, batch_size=32)
 
 
@@ -152,12 +170,23 @@ def _half_key_rows(b: pa.Table) -> pa.Table:
 
 def audio_dup_pairs(audio: ray.data.Dataset,
                     ber_t: float = AFP_BER_T,
-                    max_df: int | None = AFP_MAX_DF) -> pd.DataFrame:
+                    max_df: int | None = AFP_MAX_DF,
+                    on_error: str = "raise") -> pd.DataFrame:
     """(doc_a, doc_b, ber) pairs with >= 1 shared exact subfp half and
     aligned BER <= ber_t; doc_a < doc_b, sorted.  Candidate exchange +
-    verify run on the shared skeleton in ops/hamming_lsh.py."""
+    verify run on the shared skeleton in ops/hamming_lsh.py.
+    on_error="quarantine" excludes undecodable payloads from the
+    exchange instead of failing."""
+    import pyarrow.compute as pc
+
     from .hamming_lsh import keyed_dup_pairs
-    fps = audio_fp_dataset(audio).materialize()
+    fps = audio_fp_dataset(audio, on_error=on_error)
+    if on_error == "quarantine":
+        fps = fps.map_batches(
+            lambda b: b.filter(pc.equal(b.column("error"), ""))
+                       .drop_columns(["error"]),
+            batch_format="pyarrow")
+    fps = fps.materialize()
     return keyed_dup_pairs(
         fps, _half_key_rows, "fps",
         seq_fn=lambda v: np.asarray(v, np.uint32),
@@ -212,5 +241,7 @@ def q_audio_fp_dups(sf_dir: str) -> pd.DataFrame:
     planted-dup fixture sized by sf, HK subfp + BER-verified pairs."""
     from ..sources.pages import rows_for_sf
     n = max(60, rows_for_sf(sf_dir) // 300)
-    audio = ray.data.from_arrow(synth_audiofp_table(n))
+    # one Arrow table = ONE block: repartition so the decode
+    # actor pool actually fans out
+    audio = ray.data.from_arrow(synth_audiofp_table(n)).repartition(8)
     return audio_dup_pairs(audio)

@@ -90,40 +90,67 @@ def phash64(img: np.ndarray) -> np.uint64:
 
 class PHasher:
     """Actor-pool stage: decode (pure-numpy codecs, imported once per
-    actor) → phash.  Emits (doc_id, phash) — image bytes stop here."""
+    actor) → phash.  Emits (doc_id, phash) — image bytes stop here.
 
-    def __init__(self):
+    on_error="quarantine" adds an `error` column ('' for ok rows) and
+    keeps going past undecodable payloads instead of failing the task —
+    at 100 TB corrupt media rows are a certainty, and one bad payload
+    must not sink a block (downstream consumers filter error == '';
+    the quarantine rows ARE the triage report)."""
+
+    def __init__(self, on_error: str = "raise"):
         from .multimodal import decode_image
         self._decode = decode_image
+        self.on_error = on_error
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy().astype(np.int64)
         payloads = b.column("payload").to_pylist()
         mts = b.column("media_type").to_pylist()
-        hs = np.empty(len(ids), np.uint64)
+        hs = np.zeros(len(ids), np.uint64)
+        errs = []
         for i in range(len(ids)):
-            hs[i] = phash64(self._decode(payloads[i], mts[i]))
-        return pa.table({"doc_id": pa.array(ids),
-                         "phash": pa.array(hs.view(np.int64))})
+            try:
+                hs[i] = phash64(self._decode(payloads[i], mts[i]))
+                errs.append("")
+            except Exception as e:          # noqa: BLE001 — quarantine
+                if self.on_error == "raise":
+                    raise
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+        cols = {"doc_id": pa.array(ids),
+                "phash": pa.array(hs.view(np.int64))}
+        if self.on_error == "quarantine":
+            cols["error"] = pa.array(errs, pa.string())
+        return pa.table(cols)
 
 
 def phash_dataset(images: ray.data.Dataset,
-                  concurrency: int = 2) -> ray.data.Dataset:
+                  concurrency: int = 2,
+                  on_error: str = "raise") -> ray.data.Dataset:
     return images.map_batches(PHasher, batch_format="pyarrow",
+                              fn_constructor_kwargs={"on_error": on_error},
                               concurrency=concurrency, batch_size=64)
 
 
 def phash_dup_pairs(images: ray.data.Dataset,
                     ham_t: int = HAM_T,
-                    max_bucket: int | None = 10_000) -> pd.DataFrame:
+                    max_bucket: int | None = 10_000,
+                    on_error: str = "raise") -> pd.DataFrame:
     """Exact Hamming-<=ham_t pairs (for ham_t < N_BANDS and
     max_bucket=None, banding recall is perfect by pigeonhole),
     doc_a < doc_b, sorted.  max_bucket defaults ON (like the audio /
     video twins): m degenerate thumbnails (all-black, a repeated logo)
     in one band bucket would otherwise emit O(m^2) pair rows in a
-    single map_groups task."""
-    return dup_pairs_64(phash_dataset(images), "phash", ham_t,
-                        max_bucket=max_bucket)
+    single map_groups task.  on_error="quarantine" excludes
+    undecodable payloads from the exchange instead of failing."""
+    import pyarrow.compute as pc
+    hashed = phash_dataset(images, on_error=on_error)
+    if on_error == "quarantine":
+        hashed = hashed.map_batches(
+            lambda b: b.filter(pc.equal(b.column("error"), ""))
+                       .drop_columns(["error"]),
+            batch_format="pyarrow")
+    return dup_pairs_64(hashed, "phash", ham_t, max_bucket=max_bucket)
 
 
 # --- deterministic fixture: structured images + perturbed copies ----------
@@ -172,5 +199,7 @@ def q_image_phash_dups(sf_dir: str) -> pd.DataFrame:
     fixture sized by sf, exact Hamming pairs."""
     from ..sources.pages import rows_for_sf
     n = max(100, rows_for_sf(sf_dir) // 200)
-    images = ray.data.from_arrow(synth_phash_table(n))
+    # one Arrow table = ONE block: repartition so the decode
+    # actor pool actually fans out
+    images = ray.data.from_arrow(synth_phash_table(n)).repartition(8)
     return phash_dup_pairs(images)

@@ -67,29 +67,48 @@ def clip_match_frac(a: np.ndarray, b: np.ndarray,
 
 class VideoFingerprinter:
     """Actor-pool stage: rawvideo decode → per-frame pHash list.
-    Emits (doc_id, fhashes:list<uint64>) — video bytes stop here."""
+    Emits (doc_id, fhashes:list<uint64>) — video bytes stop here.
 
-    def __init__(self, stride: int = 1):
+    on_error="quarantine" adds an `error` column ('' for ok rows,
+    empty hash list for failed ones) and keeps going past undecodable
+    payloads — the same corrupt-media triage pattern as
+    phash.PHasher."""
+
+    def __init__(self, stride: int = 1, on_error: str = "raise"):
         self.stride = stride
+        self.on_error = on_error
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy().astype(np.int64)
         mts = b.column("media_type").to_pylist()
-        hs = [clip_frame_hashes(p, mts[i], self.stride)
-              for i, p in enumerate(b.column("payload").to_pylist())]
-        return pa.table({
+        hs, errs = [], []
+        for i, p in enumerate(b.column("payload").to_pylist()):
+            try:
+                hs.append(clip_frame_hashes(p, mts[i], self.stride))
+                errs.append("")
+            except Exception as e:          # noqa: BLE001 — quarantine
+                if self.on_error == "raise":
+                    raise
+                hs.append(np.zeros(0, np.uint64))
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+        cols = {
             "doc_id": pa.array(ids),
             "fhashes": pa.array([h.view(np.int64).tolist() for h in hs],
-                                pa.list_(pa.int64()))})
+                                pa.list_(pa.int64()))}
+        if self.on_error == "quarantine":
+            cols["error"] = pa.array(errs, pa.string())
+        return pa.table(cols)
 
 
 def video_fp_dataset(video: ray.data.Dataset, stride: int = 1,
-                     concurrency: int = 2) -> ray.data.Dataset:
+                     concurrency: int = 2,
+                     on_error: str = "raise") -> ray.data.Dataset:
     # Pass the CLASS (not an instance): an instance makes Ray run a
     # task pool that re-pickles and re-initializes per task; the class
     # gets the actor pool the decode stage is designed for.
     return video.map_batches(VideoFingerprinter,
-                             fn_constructor_kwargs={"stride": stride},
+                             fn_constructor_kwargs={"stride": stride,
+                                                    "on_error": on_error},
                              batch_format="pyarrow",
                              concurrency=concurrency, batch_size=16)
 
@@ -117,13 +136,24 @@ def video_dup_pairs(video: ray.data.Dataset,
                     frame_ham: int = FRAME_HAM,
                     match_frac: float = MATCH_FRAC,
                     stride: int = 1,
-                    max_df: int | None = VFP_MAX_DF) -> pd.DataFrame:
+                    max_df: int | None = VFP_MAX_DF,
+                    on_error: str = "raise") -> pd.DataFrame:
     """(doc_a, doc_b, match_frac) clip pairs sharing >= 1 exact frame-
     hash band whose verified frame match fraction >= match_frac;
     doc_a < doc_b, sorted.  Candidate exchange + verify run on the
-    shared skeleton in ops/hamming_lsh.py."""
+    shared skeleton in ops/hamming_lsh.py.  on_error="quarantine"
+    excludes undecodable payloads from the exchange instead of
+    failing."""
+    import pyarrow.compute as pc
+
     from .hamming_lsh import keyed_dup_pairs
-    fps = video_fp_dataset(video, stride).materialize()
+    fps = video_fp_dataset(video, stride, on_error=on_error)
+    if on_error == "quarantine":
+        fps = fps.map_batches(
+            lambda b: b.filter(pc.equal(b.column("error"), ""))
+                       .drop_columns(["error"]),
+            batch_format="pyarrow")
+    fps = fps.materialize()
     return keyed_dup_pairs(
         fps, _band_key_rows, "fhashes",
         seq_fn=lambda v: np.asarray(v, np.int64).view(np.uint64),
@@ -177,5 +207,7 @@ def q_video_fp_dups(sf_dir: str) -> pd.DataFrame:
     planted-dup fixture sized by sf, frame-matched dup pairs."""
     from ..sources.pages import rows_for_sf
     n = max(50, rows_for_sf(sf_dir) // 400)
-    video = ray.data.from_arrow(synth_videofp_table(n))
+    # one Arrow table = ONE block: repartition so the decode
+    # actor pool actually fans out
+    video = ray.data.from_arrow(synth_videofp_table(n)).repartition(8)
     return video_dup_pairs(video)
