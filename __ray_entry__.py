@@ -256,6 +256,27 @@ def _bitext_mine(sf_dir: str):
     return q_bitext_mine(sf_dir)
 
 
+def _incremental_tiles(sf_dir: str):
+    """Rows-only: incremental tile maintenance — patch the snapshot-1
+    feature store to snapshot 2 and re-render only affected tiles;
+    byte-parity with a full re-render is test-asserted
+    (tests/test_incremental.py)."""
+    from tilemaker_ray.pipelines.incremental import (assemble_tiles,
+                                                     geom_store,
+                                                     incremental_update)
+    from tilemaker_ray.sources.pages import (pages_path, rows_for_sf,
+                                             snapshot2_pages_path)
+
+    n = rows_for_sf(sf_dir)
+    old_dir, new_dir = pages_path(n), snapshot2_pages_path(n)
+    store = geom_store(old_dir).materialize()
+    old_tiles = assemble_tiles(store, nparts=16).to_pandas()
+    tiles, _ = incremental_update(old_dir, new_dir, store, old_tiles)
+    out = tiles[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(
+        drop=True)
+
+
 def _image_features(sf_dir: str):
     from tilemaker_ray.ops.multimodal import q_image_features
 
@@ -541,6 +562,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by unit + golden-byte tests)
         "flagship_tiles": _flagship_tiles,
         "flagship_joined_tiles": _flagship_joined_tiles,
+        # incremental tile maintenance across crawl snapshots (rows-
+        # only; byte-parity with a full re-render test-asserted)
+        "incremental_tiles": _incremental_tiles,
         # OSM-source pipeline on the reference's Monaco fixture
         "osm_monaco_tiles": _osm_monaco_tiles,
         "osm_monaco_omt_tiles": _osm_monaco_omt_tiles,

@@ -150,8 +150,23 @@ def run_bench() -> dict:
 
     # crawl-snapshot delta (snapshot-2 fixture built untimed, cached)
     from tilemaker_ray.sources.pages import snapshot2_pages_path
-    snapshot2_pages_path(rows_for_sf(sf_dir))
+    snap2 = snapshot2_pages_path(rows_for_sf(sf_dir))
     queries["crawl_delta"] = timed(lambda: web.q_crawl_delta(sf_dir))
+
+    # incremental tile maintenance: patch the snapshot-1 feature store
+    # to snapshot 2 and re-render ONLY affected tiles.  The store and
+    # old tiles are built untimed — a deployment amortizes them across
+    # increments; the timed region is what a recrawl actually costs.
+    # Compare against flagship_tiles (the full-render wall).
+    from tilemaker_ray.pipelines.incremental import (assemble_tiles,
+                                                     geom_store,
+                                                     incremental_update)
+    inc_store = geom_store(pages).materialize()
+    inc_tiles = assemble_tiles(inc_store, nparts=64).to_pandas()
+    queries["incremental_update"] = timed(
+        lambda: incremental_update(pages, snap2, inc_store, inc_tiles,
+                                   nparts=64))
+    del inc_store, inc_tiles
 
     # DSIR importance resampling + sequence packing
     from tilemaker_ray.ops.dsir import q_dsir_select

@@ -544,7 +544,18 @@ def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     from ..sources.pages import (pages_path, rows_for_sf,
                                  snapshot2_pages_path)
     n = rows_for_sf(sf_dir)
-    sides = {"old": pages_path(n), "new": snapshot2_pages_path(n)}
+    out = crawl_delta_ds(pages_path(n), snapshot2_pages_path(n))
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def crawl_delta_ds(old_dir: str, new_dir: str) -> "ray.data.Dataset":
+    """(url, status ∈ {new, gone, changed, unchanged}) Dataset across
+    two page-snapshot dirs — the CDX-style revisit classifier.  A
+    tagged-union bucket join: both sides hash to the same url bucket,
+    ONE groupby resolves each url's pair of content hashes (no
+    driver-side join; the per-bucket pivot touches only that bucket's
+    urls)."""
+    sides = {"old": old_dir, "new": new_dir}
 
     def hashed(side: str):
         def f(b: pa.Table) -> pa.Table:
@@ -574,9 +585,8 @@ def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
             ["new", "gone", "unchanged"], default="changed")
         return pd.DataFrame({"url": w["url"], "status": status})
 
-    out = both.groupby("bucket").map_groups(resolve,
-                                            batch_format="pandas")
-    return out.to_pandas().sort_values("url").reset_index(drop=True)
+    return both.groupby("bucket").map_groups(resolve,
+                                             batch_format="pandas")
 
 
 def crawl_delta_oracle_sql(old_dir: str, new_dir: str) -> str:

@@ -1,0 +1,180 @@
+"""Incremental tile maintenance across crawl snapshots — re-render
+ONLY the tiles a page delta touches, byte-identical to a full re-render
+of the new snapshot.
+
+The reference engine rebuilds the whole tileset per run (tilemaker has
+no incremental mode; its merge sinks only append disjoint bboxes).
+At 100 TB a weekly recrawl changes a few percent of pages, so a full
+rebuild wastes ~97% of the work; this module is the incremental view
+maintenance the Ray-Data design makes natural:
+
+1. **Delta classification** — `ops/web.py:crawl_delta_ds` (the
+   CDX-style revisit classifier): one tagged-union bucket join over
+   (url, md5(text)) gives each url's status ∈ {new, gone, changed,
+   unchanged}.  Only the non-`unchanged` slice (a few percent of a
+   recrawl) ever leaves this stage.
+2. **Delta geometry** — the extractor + single-pass GeomMap run over
+   just the delta pages: OLD versions of changed/gone urls (rows to
+   retract) and NEW versions of changed/new urls (rows to insert).
+   `feature_id` is a pure function of (url, emission index)
+   (stages/extract.py: FNV-1a(url) ^ j·φ64), so re-extracting the old
+   version reproduces EXACTLY the stored rows to retract — no
+   tombstones or row pointers needed.
+3. **Store update** — the persisted feature store (the stage-B
+   geometry partials, keyed by tile) is patched streaming:
+   `old_store.filter(feature_id ∉ retracted) ∪ new_delta_rows`.
+   The retracted-id set is dup-graph-sized (delta pages × features per
+   page), broadcast via the filter closure; at larger deltas the
+   filter upgrades to the Bloom semi-join in ops/sketch.py.
+4. **Affected-tile re-assembly** — affected tiles T = tile keys of
+   retracted ∪ inserted rows, packed to one int64 and broadcast; the
+   patched store filtered to T goes through the SAME pk exchange +
+   TileAssembler as the full pipeline, so re-rendered tiles are
+   byte-identical to a full run's.  Untouched tiles pass through from
+   the previous tile output.
+
+Parity is test-asserted: full render of snapshot 2 == incremental
+update of snapshot 1's render, down to the gzipped MVT bytes
+(tests/test_incremental.py).
+
+Store durability note: in-session the store is a materialized Dataset
+(pandas blocks; `pts` holds numpy point arrays).  The durable layout
+packs `pts` with geom/core.pack_mls into binary columns and writes
+partitioned parquet per macro-block — the same encoding the extract
+schema already uses on the wire.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import Config, default_config
+
+
+def _tile_key(zoom, x, y) -> np.ndarray:
+    """(zoom, tile_x, tile_y) packed to one int64: zoom<<58 | x<<29 | y."""
+    return ((np.asarray(zoom, np.int64) << 58)
+            | (np.asarray(x, np.int64) << 29)
+            | np.asarray(y, np.int64))
+
+
+def geom_store(pages_dir: str, config: Config | None = None,
+               url_filter: set[str] | None = None) -> ray.data.Dataset:
+    """The feature store: single-pass geometry partials (stage-B rows,
+    incl. feature_id) for every page — the persisted intermediate an
+    incremental run patches instead of recomputing.  `url_filter`
+    restricts extraction to a url set (the delta path); the filter is
+    applied AT the read so non-delta pages never reach the extractor."""
+    from ..stages.salted import GeomMap
+    from .flagship import feature_dataset
+
+    config = config or default_config()
+    if url_filter is None:
+        feats = feature_dataset(pages_dir, config)
+    else:
+        import pyarrow.compute as pc
+        need = pa.array(sorted(url_filter), pa.string())
+        ds = ray.data.read_parquet(
+            pages_dir, columns=["url", "html", "text", "lang"])
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("url"), need)),
+            batch_format="pyarrow")
+        from ..stages.extract import PageFeatureExtractor
+        known = {l.name for l in config.layers}
+        feats = ds.map_batches(PageFeatureExtractor,
+                               fn_constructor_kwargs={"known_layers": known},
+                               batch_format="pyarrow", batch_size=2048,
+                               concurrency=(1, 8))
+    geom_map = GeomMap(config)
+    return feats.map_batches(lambda b: geom_map(b), batch_format="pyarrow")
+
+
+def assemble_tiles(store: ray.data.Dataset, nparts: int,
+                   config: Config | None = None) -> ray.data.Dataset:
+    """Stage B of the single-pass pipeline over an (optionally
+    filtered) feature store: pk exchange + TileAssembler — the same
+    code path as pipelines/flagship.tile_dataset, so per-tile output
+    bytes are identical however the store was produced."""
+    from ..stages.salted import TileAssembler, add_partition_key
+
+    config = config or default_config()
+    assembler = TileAssembler(config)
+    keyed = store.map_batches(lambda df: add_partition_key(df, nparts),
+                              batch_format="pandas")
+    return keyed.groupby("pk").map_groups(lambda df: assembler(df),
+                                          batch_format="pandas")
+
+
+def incremental_update(old_dir: str, new_dir: str,
+                       old_store: ray.data.Dataset,
+                       old_tiles: pd.DataFrame,
+                       config: Config | None = None,
+                       nparts: int = 16,
+                       ) -> tuple[pd.DataFrame, ray.data.Dataset]:
+    """Patch `old_store` / `old_tiles` (a previous full run over
+    old_dir) to the new snapshot.  Returns (tiles, new_store) where
+    tiles == a full render of new_dir (byte-identical MVTs) and
+    new_store is the patched feature store for the NEXT increment."""
+    from .flagship import tile_dataset  # noqa: F401  (parity twin)
+
+    config = config or default_config()
+
+    # 1. delta classification (distributed bucket join)
+    from ..ops.web import crawl_delta_ds
+    delta = (crawl_delta_ds(old_dir, new_dir)
+             .filter(lambda r: r["status"] != "unchanged")
+             .to_pandas())
+    retract_urls = set(delta[delta.status.isin(["changed", "gone"])].url)
+    insert_urls = set(delta[delta.status.isin(["changed", "new"])].url)
+
+    # 2. delta geometry: old versions to retract, new versions to insert
+    retracted = (geom_store(old_dir, config, url_filter=retract_urls)
+                 .materialize() if retract_urls else None)
+    inserted = (geom_store(new_dir, config, url_filter=insert_urls)
+                .materialize() if insert_urls else None)
+
+    # 3. patch the store: drop retracted feature ids, union inserts
+    drop_ids: set[int] = set()
+    touched = []
+    if retracted is not None:
+        r = retracted.to_pandas()
+        drop_ids = set(int(v) for v in r["feature_id"].to_numpy())
+        touched.append(_tile_key(r["zoom"], r["tile_x"], r["tile_y"]))
+    if inserted is not None:
+        i = inserted.to_pandas()[["zoom", "tile_x", "tile_y"]]
+        touched.append(_tile_key(i["zoom"], i["tile_x"], i["tile_y"]))
+
+    def drop_retracted(df: pd.DataFrame) -> pd.DataFrame:
+        if not drop_ids:
+            return df
+        return df[~df["feature_id"].isin(drop_ids).to_numpy()]
+
+    new_store = old_store.map_batches(drop_retracted, batch_format="pandas")
+    if inserted is not None:
+        new_store = new_store.union(inserted)
+    new_store = new_store.materialize()
+
+    # 4. re-assemble ONLY the affected tiles
+    if not touched:
+        return (old_tiles.sort_values(["zoom", "tile_x", "tile_y"])
+                .reset_index(drop=True), new_store)
+    t_set = set(int(v) for v in np.unique(np.concatenate(touched)))
+
+    def only_affected(df: pd.DataFrame) -> pd.DataFrame:
+        k = _tile_key(df["zoom"], df["tile_x"], df["tile_y"])
+        return df[pd.Series(k).isin(t_set).to_numpy()]
+
+    affected_rows = new_store.map_batches(only_affected,
+                                          batch_format="pandas")
+    redone = assemble_tiles(affected_rows, nparts, config).to_pandas()
+
+    old_keys = _tile_key(old_tiles["zoom"], old_tiles["tile_x"],
+                         old_tiles["tile_y"])
+    untouched = old_tiles[~pd.Series(old_keys).isin(t_set).to_numpy()]
+    tiles = pd.concat([untouched, redone], ignore_index=True)
+    return (tiles.sort_values(["zoom", "tile_x", "tile_y"])
+            .reset_index(drop=True), new_store)
