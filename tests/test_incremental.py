@@ -53,6 +53,25 @@ def test_incremental_matches_full_render():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_store_parquet_roundtrip(tmp_path):
+    """Durable store layout: save → load → assemble reproduces the
+    direct assembly byte-for-byte (the between-recrawls persistence an
+    incremental deployment relies on)."""
+    from tilemaker_ray.pipelines.incremental import load_store, save_store
+    old_dir = pages_path(N_PAGES)
+    store = geom_store(old_dir).materialize()
+    direct = _tiles_df(assemble_tiles(store, nparts=16))
+    p = str(tmp_path / "store")
+    save_store(store, p)
+    loaded = load_store(p)
+    again = _tiles_df(assemble_tiles(loaded, nparts=16))
+    pd.testing.assert_frame_equal(
+        again[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]],
+        direct[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]])
+    assert all(a == b for a, b in zip(again["mvt"], direct["mvt"]))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_incremental_touches_only_affected_tiles():
     """The re-rendered tile set is a strict subset: untouched tiles are
     passed through from the old output object-identically (no

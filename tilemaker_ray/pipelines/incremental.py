@@ -37,11 +37,11 @@ Parity is test-asserted: full render of snapshot 2 == incremental
 update of snapshot 1's render, down to the gzipped MVT bytes
 (tests/test_incremental.py).
 
-Store durability note: in-session the store is a materialized Dataset
-(pandas blocks; `pts` holds numpy point arrays).  The durable layout
-packs `pts` with geom/core.pack_mls into binary columns and writes
-partitioned parquet per macro-block — the same encoding the extract
-schema already uses on the wire.
+Store durability: `save_store` / `load_store` persist the store as
+zoom-partitioned parquet (every geometry column is already wire-packed
+binary, so persistence is a plain write) and a reloaded store
+reproduces the direct assembly byte-for-byte
+(tests/test_incremental.py::test_store_parquet_roundtrip).
 """
 
 from __future__ import annotations
@@ -91,6 +91,41 @@ def geom_store(pages_dir: str, config: Config | None = None,
                                concurrency=(1, 8))
     geom_map = GeomMap(config)
     return feats.map_batches(lambda b: geom_map(b), batch_format="pyarrow")
+
+
+def save_store(store: ray.data.Dataset, path: str) -> None:
+    """Persist the feature store as zoom-partitioned parquet — the
+    durable layout an incremental deployment keeps between recrawls
+    (every geometry column is already wire-packed: `pts` rows are the
+    binary blobs the assembler consumes, so no re-encoding happens
+    here).  Partitioning by zoom keeps per-directory file counts
+    bounded and lets a resumed run prune zoom levels at the read."""
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        out = df.copy()
+        out["pts"] = out["pts"].map(bytes)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    store.map_batches(to_arrow, batch_format="pandas").write_parquet(
+        path, partition_cols=["zoom"])
+
+
+def load_store(path: str) -> ray.data.Dataset:
+    """Reload a persisted feature store; columns come back with the
+    dtypes the assembler expects (partition column restored to uint8,
+    binary pts to bytes objects)."""
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["zoom"] = df["zoom"].astype(np.uint8)
+        df["tile_x"] = df["tile_x"].astype(np.uint32)
+        df["tile_y"] = df["tile_y"].astype(np.uint32)
+        df["mx"] = df["mx"].astype(np.uint32)
+        df["my"] = df["my"].astype(np.uint32)
+        df["geom_type"] = df["geom_type"].astype(np.uint8)
+        df["feature_id"] = df["feature_id"].astype(np.uint64)
+        return df
+
+    return ray.data.read_parquet(path).map_batches(restore,
+                                                   batch_format="pandas")
 
 
 def assemble_tiles(store: ray.data.Dataset, nparts: int,
