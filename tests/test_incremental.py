@@ -91,3 +91,39 @@ def test_incremental_touches_only_affected_tiles():
     # pass-through rows keep the SAME mvt object (identity, not just
     # equality) — proof they were not re-rendered
     assert same > 0.2 * len(got), (same, len(got))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_only_change_counts_as_delta(tmp_path):
+    """Feature extraction reads lang (the MVT lang attribute), so a
+    snapshot whose only difference is a lang re-annotation MUST still
+    re-render those tiles (review r4: a text-only delta hash silently
+    skipped it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    old_dir = pages_path(N_PAGES)
+    import glob
+    tables = [pq.read_table(f) for f in
+              sorted(glob.glob(f"{old_dir}/*.parquet"))]
+    t = pa.concat_tables(tables)
+    lang = t.column("lang").to_pylist()
+    flipped = 0
+    for i in range(0, len(lang), 13):         # re-annotate every 13th
+        lang[i] = "xx" if lang[i] != "xx" else "yy"
+        flipped += 1
+    t2 = t.set_column(t.schema.get_field_index("lang"), "lang",
+                      pa.array(lang, pa.string()))
+    new_dir = str(tmp_path / "snap_langfix")
+    import os
+    os.makedirs(new_dir)
+    pq.write_table(t2, f"{new_dir}/block-00000.parquet")
+
+    old_store = geom_store(old_dir).materialize()
+    old_tiles = _tiles_df(assemble_tiles(old_store, nparts=16))
+    got, _ = incremental_update(old_dir, new_dir, old_store, old_tiles)
+    exp = _tiles_df(tile_dataset(new_dir))
+    got = _tiles_df(got)
+    assert flipped > 0
+    assert len(got) == len(exp)
+    assert all(a == b for a, b in zip(got["mvt"], exp["mvt"]))

@@ -1702,3 +1702,25 @@ class TestBitextMine:
         lo, hi = allp[~truth].margin.max(), allp[truth].margin.min()
         assert lo < BITEXT_MARGIN_T < hi
         assert hi - lo > 0.2            # a real gap, not a knife edge
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bitext_empty_side_returns_empty():
+    """An empty corpus side (a language shard filtered to nothing)
+    mines zero pairs instead of crashing (review r4)."""
+    import pyarrow as pa
+    import ray
+    from tilemaker_ray.ops.bitext import bitext_mine, synth_tgt_table
+    dim = 64
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array([], pa.float64()), dim)}))
+    tgt = ray.data.from_arrow(synth_tgt_table(SF))
+    out = bitext_mine(empty, tgt)
+    assert len(out) == 0 and list(out.columns) == ["src_id", "tgt_id",
+                                                   "margin"]
+    src = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out2 = bitext_mine(src, empty)
+    assert len(out2) == 0

@@ -61,6 +61,12 @@ def _knn_stats_batch(b: pa.Table, other: np.ndarray, other_ids: np.ndarray,
     top-k cosines against the broadcast opposite side, plus (optionally)
     the argmax candidate."""
     ids = b.column("vec_id").to_numpy().astype(np.int64)
+    if not len(ids):
+        out = {"vec_id": pa.array(ids), "knn_mean": pa.array([], pa.float64())}
+        if want_best:
+            out["best_id"] = pa.array([], pa.int64())
+            out["best_cos"] = pa.array([], pa.float64())
+        return pa.table(out)
     mat = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)
                    ).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -79,10 +85,20 @@ def _knn_stats_batch(b: pa.Table, other: np.ndarray, other_ids: np.ndarray,
 def _broadcast_side(ds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
     """Materialize one side as an id-aligned normalized matrix (the
     broadcast small side; see module docstring for the IVF upgrade)."""
-    df = ds.to_pandas().sort_values("vec_id")
+    df = ds.to_pandas()
+    # an empty Dataset can to_pandas() to a COLUMN-LESS frame
+    if not len(df) or "vec_id" not in df.columns:
+        return np.zeros(0, np.int64), np.zeros((0, 1))
+    df = df.sort_values("vec_id")
     ids = df["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"src_id": np.zeros(0, np.int64),
+                         "tgt_id": np.zeros(0, np.int64),
+                         "margin": np.zeros(0, np.float64)})
 
 
 def bitext_mine(src: ray.data.Dataset, tgt: ray.data.Dataset,
@@ -92,6 +108,10 @@ def bitext_mine(src: ray.data.Dataset, tgt: ray.data.Dataset,
     sorted by src_id.  Both datasets carry (vec_id, embedding)."""
     tgt_ids, tgt_mat = _broadcast_side(tgt)
     src_ids, src_mat = _broadcast_side(src)
+    if not len(src_ids) or not len(tgt_ids):
+        # an empty side (a language shard with nothing left after
+        # upstream filtering) mines nothing — not a crash
+        return _empty_pairs()
     tgt_ref, tgt_id_ref = ray.put(tgt_mat), ray.put(tgt_ids)
     src_ref, src_id_ref = ray.put(src_mat), ray.put(src_ids)
 

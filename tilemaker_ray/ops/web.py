@@ -548,20 +548,30 @@ def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("url").reset_index(drop=True)
 
 
-def crawl_delta_ds(old_dir: str, new_dir: str) -> "ray.data.Dataset":
+def crawl_delta_ds(old_dir: str, new_dir: str,
+                   content_cols: tuple[str, ...] = ("text",),
+                   ) -> "ray.data.Dataset":
     """(url, status ∈ {new, gone, changed, unchanged}) Dataset across
     two page-snapshot dirs — the CDX-style revisit classifier.  A
     tagged-union bucket join: both sides hash to the same url bucket,
     ONE groupby resolves each url's pair of content hashes (no
     driver-side join; the per-bucket pivot touches only that bucket's
-    urls)."""
+    urls).
+
+    `content_cols` defines what counts as "changed" (md5 over the
+    concatenation).  The default matches the CDX convention (body
+    text); the incremental tile pipeline passes every column feature
+    extraction reads — a lang-only re-annotation MUST count as changed
+    there or its tiles go stale (review r4)."""
     sides = {"old": old_dir, "new": new_dir}
 
     def hashed(side: str):
         def f(b: pa.Table) -> pa.Table:
             u = b.column("url").to_pandas()
-            h = pd.Series([hashlib.md5(t.encode()).hexdigest()
-                           for t in b.column("text").to_pylist()])
+            cols = [b.column(c).to_pylist() for c in content_cols]
+            h = pd.Series([hashlib.md5(
+                "\x00".join(str(v) for v in vals).encode()).hexdigest()
+                for vals in zip(*cols)])
             bk = (pd.util.hash_pandas_object(u, index=False)
                   % DELTA_BUCKETS).astype("int64")
             return pa.table({"bucket": pa.array(bk.to_numpy()),
@@ -571,7 +581,7 @@ def crawl_delta_ds(old_dir: str, new_dir: str) -> "ray.data.Dataset":
                                               pa.string())})
         return f
 
-    parts = [ray.data.read_parquet(p, columns=["url", "text"])
+    parts = [ray.data.read_parquet(p, columns=["url", *content_cols])
                 .map_batches(hashed(s), batch_format="pyarrow")
              for s, p in sides.items()]
     both = parts[0].union(parts[1])

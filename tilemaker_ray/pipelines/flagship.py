@@ -58,7 +58,13 @@ def feature_dataset(pages_dir: str, config: Config | None = None,
                     concurrency: int | tuple | None = None,
                     batch_size: int = 2048,
                     with_joins: bool = False,
-                    profile_factory=None) -> ray.data.Dataset:
+                    profile_factory=None,
+                    url_filter: set[str] | None = None) -> ray.data.Dataset:
+    """url_filter restricts extraction to a url set (the incremental
+    pipeline's delta path) — applied between read and extractor so the
+    SAME wiring (columns, extractor kwargs, profile, WARC derivation)
+    serves both the full and the filtered run; non-matching pages never
+    reach the extractor."""
     config = config or default_config()
     if concurrency is None:
         concurrency = _default_concurrency()
@@ -86,6 +92,12 @@ def feature_dataset(pages_dir: str, config: Config | None = None,
     else:
         ds = ray.data.read_parquet(pages_dir,
                                    columns=["url", "html", "text", "lang"])
+    if url_filter is not None:
+        import pyarrow.compute as pc
+        need = pa.array(sorted(url_filter), pa.string())
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("url"), need)),
+            batch_format="pyarrow")
     return ds.map_batches(
         PageFeatureExtractor,
         fn_constructor_kwargs=kwargs,
