@@ -154,16 +154,24 @@ def run_bench() -> dict:
     queries["crawl_delta"] = timed(lambda: web.q_crawl_delta(sf_dir))
 
     # incremental tile maintenance: patch the snapshot-1 feature store
-    # to snapshot 2 and re-render ONLY affected tiles.  The store and
-    # old tiles are built untimed — a deployment amortizes them across
-    # increments; the timed region is what a recrawl actually costs.
-    # Compare against flagship_tiles (the full-render wall).
+    # and re-render ONLY affected tiles.  The store and old tiles are
+    # built untimed — a deployment amortizes them across increments;
+    # the timed region is what a recrawl actually costs.  Two deltas:
+    # the realistic ~2.7% churn (the motivating case — compare against
+    # flagship_tiles, the full-render wall) and the adversarial ~37%
+    # snapshot2 delta (where a full rebuild is legitimately
+    # competitive).
     from tilemaker_ray.pipelines.incremental import (assemble_tiles,
                                                      geom_store,
                                                      incremental_update)
+    from tilemaker_ray.sources.pages import small_delta_pages_path
+    sdelta = small_delta_pages_path(rows_for_sf(sf_dir))
     inc_store = geom_store(pages).materialize()
     inc_tiles = assemble_tiles(inc_store, nparts=64).to_pandas()
     queries["incremental_update"] = timed(
+        lambda: incremental_update(pages, sdelta, inc_store, inc_tiles,
+                                   nparts=64))
+    queries["incremental_update_bigdelta"] = timed(
         lambda: incremental_update(pages, snap2, inc_store, inc_tiles,
                                    nparts=64))
     del inc_store, inc_tiles

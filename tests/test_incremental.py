@@ -94,6 +94,22 @@ def test_incremental_touches_only_affected_tiles():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_small_delta_parity():
+    """The realistic ~2.7% churn fixture (the bench workload) also
+    renders byte-identically to a full rebuild."""
+    from tilemaker_ray.sources.pages import small_delta_pages_path
+    old_dir = pages_path(N_PAGES)
+    new_dir = small_delta_pages_path(N_PAGES)
+    old_store = geom_store(old_dir).materialize()
+    old_tiles = _tiles_df(assemble_tiles(old_store, nparts=16))
+    got, _ = incremental_update(old_dir, new_dir, old_store, old_tiles)
+    exp = _tiles_df(tile_dataset(new_dir))
+    got = _tiles_df(got)
+    assert len(got) == len(exp)
+    assert all(a == b for a, b in zip(got["mvt"], exp["mvt"]))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lang_only_change_counts_as_delta(tmp_path):
     """Feature extraction reads lang (the MVT lang attribute), so a
     snapshot whose only difference is a lang re-annotation MUST still

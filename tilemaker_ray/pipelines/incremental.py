@@ -185,23 +185,35 @@ def incremental_update(old_dir: str, new_dir: str,
             return df
         return df[~df["feature_id"].isin(drop_ids).to_numpy()]
 
+    # The patched store stays LAZY (log-structured: base minus
+    # retractions plus inserts).  Materializing it here would rewrite
+    # the ENTIRE corpus-sized store inside the increment — measured
+    # 3x the whole increment's wall at a 2.7% delta.  The caller
+    # compacts (materialize / save_store) on its own amortization
+    # schedule, exactly like any LSM store.
     new_store = old_store.map_batches(drop_retracted, batch_format="pandas")
     if inserted is not None:
         new_store = new_store.union(inserted)
-    new_store = new_store.materialize()
 
-    # 4. re-assemble ONLY the affected tiles
+    # 4. re-assemble ONLY the affected tiles, scanning the BASE store
+    # (one pass, filter fused into the scan) + the insert delta —
+    # the lazy patched store is never consumed here.
     if not touched:
         return (old_tiles.sort_values(["zoom", "tile_x", "tile_y"])
                 .reset_index(drop=True), new_store)
     t_set = set(int(v) for v in np.unique(np.concatenate(touched)))
 
-    def only_affected(df: pd.DataFrame) -> pd.DataFrame:
+    def affected_not_dropped(df: pd.DataFrame) -> pd.DataFrame:
         k = _tile_key(df["zoom"], df["tile_x"], df["tile_y"])
-        return df[pd.Series(k).isin(t_set).to_numpy()]
+        keep = pd.Series(k).isin(t_set).to_numpy()
+        if drop_ids:
+            keep &= ~df["feature_id"].isin(drop_ids).to_numpy()
+        return df[keep]
 
-    affected_rows = new_store.map_batches(only_affected,
+    affected_rows = old_store.map_batches(affected_not_dropped,
                                           batch_format="pandas")
+    if inserted is not None:
+        affected_rows = affected_rows.union(inserted)
     redone = assemble_tiles(affected_rows, nparts, config).to_pandas()
 
     old_keys = _tile_key(old_tiles["zoom"], old_tiles["tile_x"],

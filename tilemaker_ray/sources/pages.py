@@ -282,6 +282,39 @@ def generate_snapshot2_block(seed: int, block_id: int,
     return out.filter(pa.array(keep))
 
 
+def small_delta_pages_path(n_rows: int, seed: int = 42,
+                           every: int = 37,
+                           root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """A recrawl snapshot with a REALISTIC delta: only every `every`-th
+    page's text changed (~2.7% — a weekly recrawl's churn), no
+    gone/new urls.  The incremental-maintenance bench uses this; the
+    snapshot2 fixture's ~37% delta exercises correctness, not the
+    motivating workload.  Unchanged rows are byte-identical to
+    pages_path(n_rows) (derived from the same generate_block)."""
+    d = os.path.join(root, f"smalldelta_n{n_rows}_s{seed}_e{every}")
+
+    def gen(b: int, rows: int) -> pa.Table:
+        t = generate_block(seed, b, rows)
+        i = np.arange(b * BLOCK_ROWS, b * BLOCK_ROWS + rows,
+                      dtype=np.int64)
+        changed = (i % every) == 0
+        txt = np.asarray(t.column("text").to_pylist(), dtype=object)
+        txt[changed] = [s + " minor revision" for s in txt[changed]]
+        html = np.asarray(t.column("html").to_pylist(), dtype=object)
+        html[changed] = [
+            f"<html><body><p>{s}</p></body></html>".encode()
+            for s in txt[changed]]
+        return pa.table({
+            "url": t.column("url"),
+            "warc_ts": t.column("warc_ts"),
+            "html": pa.array(html.tolist(), pa.binary()),
+            "text": pa.array(txt.tolist(), pa.string()),
+            "lang": t.column("lang"),
+        })
+
+    return _materialize_blocked(d, n_rows, gen)
+
+
 def snapshot2_pages_path(n_rows: int, seed: int = 42,
                          root: str = "/tmp/tilemaker_ray_pages") -> str:
     """Materialize (once) the second-crawl snapshot: the modified
