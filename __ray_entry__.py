@@ -472,6 +472,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contact-pages variant: per-class counts + redacted text
         "pii_redact": web.q_pii_redact,
         # --- rows-only (no oracle by construction) ---
+        # decontamination SCALE path (GPT-3/PaLM token-aligned n-gram
+        # hash join — probe-count-independent; collision-exact by gram
+        # string confirm; token-boundary semantics differ from the
+        # oracled substring variant by design, parity test-asserted on
+        # token-aligned probes)
+        "decontaminate_ngram": text.q_decontaminate_ngram,
         # substring keep-first cleaning (Lee et al. ExactSubstr): the
         # cleaned TEXT is the product; its removed-char counts are
         # oracled in-window inside quality_score (dup_removed_chars)

@@ -132,6 +132,8 @@ def run_bench() -> dict:
         ("bloom_semi_join", sketch.q_bloom_semi_join),
         ("zonal_stats", geospatial.q_zonal_stats),
         ("cdc_chunk_stats", dedup.q_cdc_chunk_stats),
+        ("decontaminate", text.q_decontaminate),
+        ("decontaminate_ngram", text.q_decontaminate_ngram),
     ]:
         queries[name] = timed(lambda fn=fn: fn(sf_dir))
 

@@ -1724,3 +1724,72 @@ def test_bitext_empty_side_returns_empty():
                                 columns=["vec_id", "embedding"])
     out2 = bitext_mine(src, empty)
     assert len(out2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_ngram_brute_parity():
+    """The hash-join scale path matches a brute-force token-aligned
+    scan exactly (collisions closed by the gram-string confirm)."""
+    import pandas as pd
+    from tilemaker_ray.ops.text import _probe_grams, q_decontaminate_ngram
+
+    got = q_decontaminate_ngram(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    probes = _probe_grams(SF)
+    grams = {}                    # gram string -> min probe_id
+    for pid, g in zip(probes["probe_id"], probes["gram"]):
+        grams[g] = min(grams.get(g, pid), pid)
+    by_n = {}
+    for g, pid in grams.items():
+        by_n.setdefault(len(g.split(" ")), {})[g] = pid
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        best, hits = None, 0
+        for n, gset in by_n.items():
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                if g in gset:
+                    hits += 1
+                    pid = gset[g]
+                    best = pid if best is None else min(best, pid)
+        if best is not None:
+            rows.append({"doc_id": did, "probe_id": best, "n_hits": hits})
+    exp = (pd.DataFrame(rows, columns=["doc_id", "probe_id", "n_hits"])
+           .astype("int64").sort_values("doc_id").reset_index(drop=True))
+    assert len(exp) >= 5          # the fixture plants real hits
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_ngram_token_boundary(tmp_path):
+    """Token-aligned semantics: a probe gram embedded MID-WORD is not
+    contamination (the substring variant would flag it); an aligned
+    occurrence is, and the smallest matching probe wins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tilemaker_ray.ops.text import PROBE_MOD, q_decontaminate_ngram
+
+    g0 = "alpha beta gamma delta epsilon zeta eta theta"
+    g1 = "one two three four five six seven eight"
+    texts = {
+        0: g0 + " trailing words here",              # probe 0
+        PROBE_MOD: g1 + " more trailing words",      # probe 101
+        1: "prefix " + g0 + " suffix",               # aligned -> hit p0
+        2: "prefixalpha beta gamma delta epsilon zeta eta theta x",
+        3: f"x {g1} y {g0} z",                       # both -> min pid 0
+        4: "no contamination at all in this document text",
+    }
+    d = tmp_path / "sf_ngram"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }), str(d / "documents.parquet"))
+    got = q_decontaminate_ngram(str(d)).set_index("doc_id")
+    # probes self-match (their own first-8 gram), doc 1 and 3 hit
+    assert set(got.index) == {0, PROBE_MOD, 1, 3}
+    assert got.loc[1, "probe_id"] == 0
+    assert got.loc[3, "probe_id"] == 0 and got.loc[3, "n_hits"] == 2
+    assert 2 not in got.index     # mid-word: NOT token-aligned

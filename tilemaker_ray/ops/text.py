@@ -725,8 +725,8 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     probe_id) with the smallest matching probe.  The probe table is
     broadcast once via ray.put and scanned per batch with vectorized
     str.contains — never shuffled against the corpus.  At real probe
-    volumes (10^4-10^6 grams) the per-probe scan upgrades to one
-    Aho-Corasick automaton built per actor in __init__; substring
+    volumes (10^4-10^6 grams) use q_decontaminate_ngram below — the
+    probe-count-independent hash-join path; this variant's substring
     (not token-aligned) semantics match the SQL oracle exactly."""
     probes = _probe_grams(sf_dir)
     probes_ref = ray.put(probes)
@@ -754,6 +754,115 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(Match, fn_constructor_kwargs={"ref": probes_ref},
                          batch_format="pyarrow", concurrency=(1, 8))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# --- decontamination SCALE path: token-aligned n-gram hash join -------------
+# The published recipe (GPT-3 appx C / PaLM / Llama): a document is
+# contaminated when it shares a token-aligned n-gram with a benchmark.
+# Instead of scanning every probe gram against every doc (O(probes ×
+# corpus) — q_decontaminate's per-probe str.contains, whose documented
+# upgrade was an Aho-Corasick automaton), hash every corpus gram ONCE
+# per batch with a vectorized polynomial over per-token siphashes and
+# probe membership becomes one searchsorted against a broadcast sorted
+# hash table: O(corpus grams × log probes), independent of probe count.
+# 64-bit collisions are closed exactly: each hash hit re-compares the
+# actual gram tokens against the probe string, so the output carries
+# NO approximation — it differs from q_decontaminate only by the
+# published token-aligned (vs raw-substring) boundary semantics.
+
+_GRAM_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def _rolling_gram_hashes(tok_hash: np.ndarray, n: int) -> np.ndarray:
+    """Horner-combine n consecutive token hashes; position i gets the
+    hash of tokens [i, i+n). uint64 wraparound arithmetic."""
+    m = len(tok_hash) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = tok_hash[:m].copy()
+        for k in range(1, n):
+            acc = acc * _GRAM_BASE + tok_hash[k:k + m]
+    return acc
+
+
+def _flatten_tokens(texts: pd.Series):
+    """(flat token array, per-doc lengths, per-doc start offsets)."""
+    import itertools
+    toks = texts.str.split(" ")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.fromiter(itertools.chain.from_iterable(toks),
+                       dtype=object, count=int(lens.sum()))
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    return flat, lens, starts
+
+
+def decontaminate_ngram_ds(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, probe_id, n_hits): min matching probe + confirmed gram
+    hit count per contaminated doc, token-aligned n-gram semantics."""
+    probes = _probe_grams(sf_dir)
+    ptoks = probes["gram"].str.split(" ")
+    by_n: dict[int, tuple] = {}
+    for n, sub in probes.groupby(ptoks.str.len()):
+        th = pd.util.hash_array(
+            np.fromiter((t for g in sub["gram"] for t in g.split(" ")),
+                        dtype=object, count=int(n) * len(sub)))
+        with np.errstate(over="ignore"):
+            h = th[::int(n)].copy()
+            for k in range(1, int(n)):
+                h = h * _GRAM_BASE + th[k::int(n)]
+        order = np.lexsort((sub["probe_id"].to_numpy(), h))
+        by_n[int(n)] = (h[order],
+                        sub["probe_id"].to_numpy()[order],
+                        sub["gram"].to_numpy()[order])
+    probes_ref = ray.put(by_n)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class GramJoin:
+        def __init__(self, ref):
+            self.by_n = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            flat, lens, starts = _flatten_tokens(b.column("text").to_pandas())
+            tok_hash = pd.util.hash_array(flat) if len(flat) else \
+                np.empty(0, dtype=np.uint64)
+            doc_of = np.repeat(np.arange(len(ids)), lens)
+            best = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+            hits = np.zeros(len(ids), dtype=np.int64)
+            for n, (ph, ppid, pgram) in self.by_n.items():
+                acc = _rolling_gram_hashes(tok_hash, n)
+                if not len(acc):
+                    continue
+                # gram starting at flat index i is in-doc iff tokens
+                # i..i+n-1 share a doc: position-in-doc + n <= doc len
+                pos = np.arange(len(acc)) - starts[doc_of[:len(acc)]]
+                valid = pos + n <= lens[doc_of[:len(acc)]]
+                cand = np.nonzero(valid)[0]
+                lo = np.searchsorted(ph, acc[cand], side="left")
+                hi = np.searchsorted(ph, acc[cand], side="right")
+                for i, l, r in zip(cand[lo < hi], lo[lo < hi], hi[lo < hi]):
+                    gram = " ".join(flat[i:i + n])
+                    d = doc_of[i]
+                    for j in range(l, r):      # collision-exact confirm
+                        if pgram[j] == gram:
+                            hits[d] += 1
+                            if ppid[j] < best[d]:
+                                best[d] = ppid[j]
+                            break
+            m = best < np.iinfo(np.int64).max
+            return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                             "probe_id": pa.array(best[m], pa.int64()),
+                             "n_hits": pa.array(hits[m], pa.int64())})
+
+    return ds.map_batches(GramJoin, fn_constructor_kwargs={"ref": probes_ref},
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+def q_decontaminate_ngram(sf_dir: str) -> pd.DataFrame:
+    return (decontaminate_ngram_ds(sf_dir).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 _LANG_SQL_SETS = {
