@@ -244,6 +244,12 @@ def _hll_distinct_urls(sf_dir: str):
     return q_hll_distinct_urls(sf_dir)
 
 
+def _pq_topk(sf_dir: str):
+    from tilemaker_ray.ops.pq import q_pq_topk
+
+    return q_pq_topk(sf_dir)
+
+
 def _semdedup(sf_dir: str):
     from tilemaker_ray.ops.semdedup import q_semdedup
 
@@ -528,6 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs_ivf": similarity.q_cosine_dup_pairs_ivf,
         "cosine_dup_pairs_lsh": similarity.q_cosine_dup_pairs_lsh,
         "ivf_topk": similarity.q_ivf_topk,
+        # product-quantization ANN (Jégou et al. 2011): 32x-compressed
+        # uint8 codes, ADC codes-only scan, exact rerank of the
+        # shortlist — approximate by construction (reranked recall@10
+        # = 1.0 vs the oracled brute force is test-asserted)
+        "pq_topk": _pq_topk,
         # SemDeDup (Abbas et al. 2023): cluster-then-greedy semantic
         # dedup — approximate by construction (cross-cluster pairs are
         # invisible, the paper's trade-off); exact parity vs a

