@@ -238,6 +238,12 @@ def _bpe_merges(sf_dir: str):
     return q_bpe_merges(sf_dir)
 
 
+def _export_shards(sf_dir: str):
+    from tilemaker_ray.pipelines.export import q_export_shards
+
+    return q_export_shards(sf_dir)
+
+
 def _hll_distinct_urls(sf_dir: str):
     from tilemaker_ray.ops.sketch import q_hll_distinct_urls
 
@@ -519,6 +525,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL oracle; bit-identical to the pure-Python reference
         # trainer by test)
         "bpe_merges": _bpe_merges,
+        # tokenize-and-pack export (the pretraining last mile): BPE
+        # ids → distributed prefix sum → fixed-length blocks →
+        # resumable parquet shards; per-shard integer sum/xor pins
+        # every token id (stream parity + resume byte-identity
+        # test-asserted in tests/test_export.py)
+        "export_shards": _export_shards,
         # full-data distributed Lloyd k-means training (iterative — no
         # SQL oracle; parity with a local Lloyd run test-asserted)
         "kmeans_train": similarity.q_kmeans_train,

@@ -1,0 +1,282 @@
+"""Tokenize-and-pack export — the LAST MILE of a pretraining data
+pipeline: corpus → trained-BPE token ids → one concatenated stream →
+fixed seq_len training blocks → resumable partitioned parquet shards.
+
+Composes the repo's existing primitives end-to-end: the distributed
+BPE trainer (ops/bpe.py, Sennrich et al. 2016), the distributed
+prefix sum of ops/text.py:q_seq_pack, and the checkpoint-manifest
+resume discipline of pipelines/resumable.py.
+
+Reference parity: the reference engine (cldellow/tilemaker) ends at
+MVT containers (tile_worker.cpp:521-536 writes one blob per tile);
+this is the webtext-graft equivalent terminal sink — one parquet
+shard per block range, each independently rewritable.
+
+Scale shape:
+- TOKENIZE is one streaming actor-pool pass (merge ranks broadcast,
+  per-actor word cache) emitting (doc_id, bucket, width, ids).  The
+  token table is materialized once in plasma (spill-backed) — it IS
+  the intermediate product being reorganized; the production variant
+  checkpoints it to parquet exactly like resumable.py's stage A.
+- PLACE is the distributed prefix sum: per-bucket width totals (tiny
+  groupby) → driver cumsums the BUCKET table only → broadcast
+  offsets.  Because docs are id-sorted within a bucket, each bucket
+  owns ONE CONTIGUOUS token span [g0, g1) of the global stream, so
+  block slicing is pure np.split at seq_len boundaries — no per-doc
+  Python loop anywhere in the packing path.
+- EXCHANGE ships (block_id, pos, segment) rows — token ids only,
+  never text — through ONE groupby on shard = block_id //
+  SHARD_BLOCKS.  Per-shard group size is bounded by SHARD_BLOCKS *
+  seq_len ids regardless of corpus size.
+- WRITE is atomic (tmp + rename) with a per-shard manifest row; a
+  rerun skips finished shards (byte-identical output is
+  test-asserted), so a 100 TB export resumes at shard granularity.
+
+Rows-only driver entry (`q_export_shards`): per-shard
+(shard, n_blocks, n_tokens, tok_sum, tok_xor) — integer-exact, and
+the xor/sum pair pins every token id in every block; a flipped or
+misplaced id flips the row.  Stream-reconstruction parity with a
+single-process reference tokenize-concat-chunk is asserted in
+tests/test_export.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from tilemaker_ray.ops.bpe import BPE_MERGES, EOW, BpeTokenizer, bpe_train
+
+EXPORT_SEQ_LEN = 512
+SHARD_BLOCKS = 16        # blocks per shard file
+PACK_BUCKET = 4096       # docs per prefix-sum bucket (matches seq_pack)
+EOS_ID = 0
+PAD_ID = 1
+UNK_ID = 2
+_META_IDS = 3
+
+
+def corpus_chars(sf_dir: str) -> list[str]:
+    """Distinct characters of the corpus (one streaming pass; per-batch
+    distinct sets union on the driver — the char space is tiny)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def distinct(b: pa.Table) -> pa.Table:
+        s = set("".join(b.column("text").to_pylist()))
+        s.discard(" ")
+        return pa.table({"c": pa.array(sorted(s), pa.string())})
+
+    got = ds.map_batches(distinct, batch_format="pyarrow").to_pandas()
+    return sorted(set(got["c"]))
+
+
+def build_vocab(sf_dir: str,
+                merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol→id table: ids 0-2 are EOS/PAD/UNK; base
+    characters (sorted) + EOW + merge products (rank order) follow.
+    A merge product that collides with an earlier symbol keeps the
+    first id."""
+    vocab: dict[str, int] = {}
+    nxt = _META_IDS
+    for s in [*corpus_chars(sf_dir), EOW,
+              *[a + b for a, b in merges]]:
+        if s not in vocab:
+            vocab[s] = nxt
+            nxt += 1
+    return vocab
+
+
+class IdTokenizer:
+    """Actor-pool stage: text → BPE symbol ids (+ EOS per doc)."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 vocab: dict[str, int], bucket: int):
+        self.bpe = BpeTokenizer(merges)
+        self.vocab = vocab
+        self.bucket = bucket
+
+    def doc_ids(self, text: str) -> np.ndarray:
+        v = self.vocab
+        out = [v.get(s, UNK_ID) for w in text.split(" ")
+               for s in self.bpe.word(w)]
+        out.append(EOS_ID)
+        return np.asarray(out, np.int32)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy()
+        ids = [self.doc_ids(t) for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(did),
+            "bucket": pa.array(did // self.bucket),
+            "w": pa.array([len(x) for x in ids], pa.int64()),
+            "ids": pa.array([x.tolist() for x in ids],
+                            pa.list_(pa.int32())),
+        })
+
+
+def _bucket_offsets(tok: ray.data.Dataset) -> tuple[np.ndarray, int]:
+    """Driver-side cumsum over the BUCKET table only (N/4096 rows):
+    returns (per-bucket global start offsets, total token count)."""
+    from ray.data.aggregate import Sum
+    totals = (tok.groupby("bucket").aggregate(Sum("w", alias_name="tot"))
+                 .to_pandas().sort_values("bucket"))
+    nb = int(totals["bucket"].max()) + 1 if len(totals) else 0
+    per = np.zeros(nb, dtype=np.int64)
+    per[totals["bucket"].to_numpy()] = totals["tot"].to_numpy("int64")
+    off = np.concatenate([[0], np.cumsum(per)])
+    return off[:-1], int(off[-1])
+
+
+def _slice_bucket(g: pd.DataFrame, offs: np.ndarray,
+                  seq_len: int, shard_blocks: int) -> pd.DataFrame:
+    """One bucket → (shard, block, pos, seg) segment rows.  Docs are
+    id-sorted and contiguous, so the bucket's tokens are ONE span
+    [g0, g1) of the global stream; np.split at block boundaries does
+    all the work."""
+    g = g.sort_values("doc_id")
+    cat = np.concatenate([np.asarray(x, np.int32)
+                          for x in g["ids"].to_numpy()])
+    g0 = int(offs[int(g["bucket"].iloc[0])])
+    g1 = g0 + len(cat)
+    first_edge = (g0 // seq_len + 1) * seq_len
+    cuts = np.arange(first_edge, g1, seq_len) - g0
+    segs = np.split(cat, cuts)
+    starts = np.concatenate([[0], cuts]) + g0
+    blocks = starts // seq_len
+    pos = starts - blocks * seq_len
+    keep = [i for i, s in enumerate(segs) if len(s)]
+    return pd.DataFrame({
+        "shard": (blocks[keep] // shard_blocks).astype(np.int64),
+        "block": blocks[keep].astype(np.int64),
+        "pos": pos[keep].astype(np.int64),
+        "seg": [segs[i].tobytes() for i in keep],
+    })
+
+
+class ShardWriter:
+    """map_groups stage: assemble one shard's blocks and write the
+    parquet file atomically; a finished shard (manifest row + file)
+    is skipped and re-reports its recorded stats (resume)."""
+
+    def __init__(self, out_dir: str, seq_len: int, shard_blocks: int,
+                 total_tokens: int):
+        self.out = out_dir
+        self.L = seq_len
+        self.sb = shard_blocks
+        self.total = total_tokens
+        os.makedirs(f"{out_dir}/_manifest", exist_ok=True)
+        os.makedirs(f"{out_dir}/shards", exist_ok=True)
+
+    def _paths(self, shard: int) -> tuple[str, str]:
+        return (f"{self.out}/shards/shard-{shard:06d}.parquet",
+                f"{self.out}/_manifest/shard-{shard:06d}.json")
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        fpath, mpath = self._paths(shard)
+        if os.path.exists(mpath) and os.path.exists(fpath):
+            with open(mpath) as f:
+                st = json.load(f)
+            st["resumed"] = 1
+            return pd.DataFrame([st])
+        lo = shard * self.sb
+        hi = min((shard + 1) * self.sb,
+                 -(-self.total // self.L))  # ceil-div: global block count
+        nblk = hi - lo
+        mat = np.full((nblk, self.L), PAD_ID, np.int32)
+        for blk, p, seg in zip(g["block"].to_numpy(),
+                               g["pos"].to_numpy(), g["seg"].to_numpy()):
+            a = np.frombuffer(seg, np.int32)
+            mat[int(blk) - lo, int(p):int(p) + len(a)] = a
+        tbl = pa.table({
+            "block_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "tokens": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), self.L),
+        })
+        tmp = fpath + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, fpath)
+        n_tok = min(self.total, hi * self.L) - lo * self.L
+        st = {
+            "shard": shard, "n_blocks": int(nblk), "n_tokens": int(n_tok),
+            "tok_sum": int(mat.astype(np.int64).sum()),
+            "tok_xor": int(np.bitwise_xor.reduce(
+                mat.astype(np.int64).reshape(-1))),
+            "resumed": 0,
+        }
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(st, f)
+        os.replace(mpath + ".tmp", mpath)
+        return pd.DataFrame([st])
+
+
+def export_shards(sf_dir: str, out_dir: str,
+                  seq_len: int = EXPORT_SEQ_LEN,
+                  shard_blocks: int = SHARD_BLOCKS,
+                  n_merges: int = BPE_MERGES,
+                  merges: list[tuple[str, str]] | None = None,
+                  ) -> pd.DataFrame:
+    """Run the full export; returns per-shard stats (shard, n_blocks,
+    n_tokens, tok_sum, tok_xor, resumed) sorted by shard."""
+    if merges is None:
+        merges = bpe_train(sf_dir, n_merges)
+    vocab = build_vocab(sf_dir, merges)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    tok = ds.map_batches(
+        IdTokenizer, batch_format="pyarrow",
+        fn_constructor_kwargs={"merges": merges, "vocab": vocab,
+                               "bucket": PACK_BUCKET},
+        concurrency=(1, 8)).materialize()
+    offs, total = _bucket_offsets(tok)
+    offs_ref = ray.put(offs)
+
+    def slice_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return _slice_bucket(g, ray.get(offs_ref), seq_len, shard_blocks)
+
+    segs = tok.groupby("bucket").map_groups(slice_fn,
+                                            batch_format="pandas")
+    stats = segs.groupby("shard").map_groups(
+        ShardWriter, batch_format="pandas",
+        fn_constructor_kwargs={"out_dir": out_dir, "seq_len": seq_len,
+                               "shard_blocks": shard_blocks,
+                               "total_tokens": total},
+        concurrency=(1, 8)).to_pandas()
+    return stats.sort_values("shard").reset_index(drop=True)
+
+
+def read_stream(out_dir: str, seq_len: int) -> np.ndarray:
+    """Concatenated token stream from the written shards (test/consumer
+    helper; blocks in block_id order, PAD tail trimmed)."""
+    files = sorted(glob.glob(f"{out_dir}/shards/shard-*.parquet"))
+    blocks = []
+    for f in files:
+        t = pq.read_table(f)
+        mat = (t.column("tokens").combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False)
+               .reshape(len(t), seq_len))
+        blocks.append((t.column("block_id").to_numpy(), mat))
+    ids = np.concatenate([b[0] for b in blocks])
+    mat = np.concatenate([b[1] for b in blocks])
+    stream = mat[np.argsort(ids)].reshape(-1)
+    nz = np.flatnonzero(stream != PAD_ID)
+    return stream[:nz[-1] + 1] if len(nz) else stream[:0]
+
+
+def q_export_shards(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver entry: per-shard integer stats of the packed
+    export (fresh output dir per call; the sum/xor pair pins every
+    token id in every block)."""
+    import tempfile
+    out = tempfile.mkdtemp(prefix="tmk_export_")
+    df = export_shards(sf_dir, out)
+    return df.drop(columns=["resumed"])
