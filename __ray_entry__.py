@@ -125,15 +125,17 @@ def _token_counts(sf_dir: str):
 
 
 def _s2_zorder(sf_dir: str):
-    """s2_cells ⊕ zorder_encode — both are full per-event encodings
-    (one row per event_id), so one joined driver row checks every
-    column of both ops.  Merged in round 4 to free a window slot for
-    zonal_stats (see queries() ordering contract)."""
-    from tilemaker_ray.ops import geospatial, s2ops
+    """s2_cells ⊕ zorder_encode ⊕ dbscan — all full per-event
+    encodings (one row per event_id), so one joined driver row checks
+    every column of all three ops.  Merged in round 4 to free window
+    slots for zonal_stats (ordering contract); dbscan (exact grid
+    DBSCAN, recursive-CTE oracle) added in the round-4 third wave."""
+    from tilemaker_ray.ops import dbscan, geospatial, s2ops
 
     a = s2ops.q_s2_cells(sf_dir)
     b = geospatial.q_zorder_encode(sf_dir)
-    return (a.merge(b, on="event_id")
+    c = dbscan.q_dbscan(sf_dir)
+    return (a.merge(b, on="event_id").merge(c, on="event_id")
              .sort_values("event_id").reset_index(drop=True))
 
 
@@ -706,10 +708,13 @@ def oracle_sql() -> dict[str, str]:
                      JOIN ({lt}) lt ON t.doc_id = lt.doc_id
                      JOIN ({sp}) p ON t.doc_id = p.doc_id
     """
+    from tilemaker_ray.ops.dbscan import DBSCAN_ORACLE
     s2c, zo = out.pop("s2_cells"), out.pop("zorder_encode")
     out["s2_cells"] = f"""
-        SELECT s.event_id, s.token12, s.token30, z.z_order
+        SELECT s.event_id, s.token12, s.token30, z.z_order,
+               d.n_nbrs, d.is_core, d.cluster_id
         FROM ({s2c}) s JOIN ({zo}) z ON s.event_id = z.event_id
+                       JOIN ({DBSCAN_ORACLE}) d ON s.event_id = d.event_id
     """
     ra, ru = out.pop("rasterize"), out.pop("raster_runs")
     out["rasterize"] = f"""

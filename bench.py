@@ -107,8 +107,9 @@ def run_bench() -> dict:
         }
 
     # secondary operator pipelines over the sf tables
-    from tilemaker_ray.ops import (dedup, geospatial, raster, relational,
-                                   s2ops, similarity, sketch, text, web)
+    from tilemaker_ray.ops import (dbscan, dedup, geospatial, raster,
+                                   relational, s2ops, similarity, sketch,
+                                   text, web)
     for name, fn in [
         ("tile_assign_points", geospatial.q_tile_assign_points),
         ("pip_join", geospatial.q_pip_join),
@@ -132,6 +133,7 @@ def run_bench() -> dict:
         ("bloom_semi_join", sketch.q_bloom_semi_join),
         ("zonal_stats", geospatial.q_zonal_stats),
         ("cdc_chunk_stats", dedup.q_cdc_chunk_stats),
+        ("dbscan", dbscan.q_dbscan),
         ("decontaminate", text.q_decontaminate),
         ("decontaminate_ngram", text.q_decontaminate_ngram),
     ]:

@@ -1111,6 +1111,20 @@ def q_cdc_chunk_stats(sf_dir: str) -> pd.DataFrame:
 def components_pointer_doubling(docs: ray.data.Dataset,
                                 pairs: ray.data.Dataset,
                                 ) -> tuple[pd.DataFrame, int]:
+    """Driver-side wrapper over components_pointer_doubling_ds —
+    collects the (doc_id, label) Dataset into a sorted DataFrame for
+    the query/test callers.  Pipelines that feed the labels into
+    further distributed stages (ops/dbscan.py) should use the _ds
+    variant and never bring the labels to the driver."""
+    labels, rounds = components_pointer_doubling_ds(docs, pairs)
+    df = labels.to_pandas()
+    df["label"] = df["label"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True), rounds
+
+
+def components_pointer_doubling_ds(docs: ray.data.Dataset,
+                                   pairs: ray.data.Dataset,
+                                   ) -> tuple[ray.data.Dataset, int]:
     """Connected-component min-labels in O(log diameter) rounds —
     the upgrade over q_dedup_clusters' O(diameter) min-label
     propagation for high-diameter graphs (chains of near-dups).
@@ -1123,7 +1137,8 @@ def components_pointer_doubling(docs: ray.data.Dataset,
     from the nodes pointing at it).  Labels are monotone
     non-increasing and bounded, so the label-sum fixpoint test
     terminates; the doubling makes long chains collapse
-    geometrically.  Returns (labels df, rounds run).
+    geometrically.  Returns (labels Dataset, rounds run) — the labels
+    never touch the driver.
 
     Inputs: `docs` with a doc_id column; `pairs` with (doc_a, doc_b)
     undirected edges.  Everything stays Datasets between rounds."""
@@ -1146,8 +1161,7 @@ def components_pointer_doubling(docs: ray.data.Dataset,
     edges_tagged = (pairs.map_batches(bidirect, batch_format="pyarrow")
                     .materialize())
     if not edges_tagged.count():
-        df = labels.to_pandas()
-        return df.sort_values("doc_id").reset_index(drop=True), 0
+        return labels, 0
 
     def relax(g: pd.DataFrame) -> pa.Table:
         lab = g.loc[g.kind == 0, "val"]
@@ -1208,6 +1222,4 @@ def components_pointer_doubling(docs: ray.data.Dataset,
         if s == prev:
             break
         prev = s
-    df = labels.to_pandas()
-    df["label"] = df["label"].astype("int64")
-    return df.sort_values("doc_id").reset_index(drop=True), rounds
+    return labels, rounds
