@@ -102,6 +102,23 @@ def test_dbscan_parity_sf0001(ray_session):
     pd.testing.assert_frame_equal(out, ref)
 
 
+def test_dbscan_hot_cell_skew(ray_session):
+    # 4k points crammed into ONE eps-cell (the dense-urban-tile skew
+    # case): the home-axis tile loop must keep the per-group distance
+    # matrices bounded while staying exact vs brute force
+    rng = np.random.default_rng(7)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    lon = rng.uniform(0.0, 0.9, n)
+    lat = rng.uniform(0.0, 0.9, n)
+    out = (D.dbscan_ds(_points(ids, np.c_[lon, lat]), eps=1.0,
+                       min_pts=3, home_tile=257).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ref = D.dbscan_local(ids, lon, lat, eps=1.0, min_pts=3)
+    pd.testing.assert_frame_equal(out, ref)
+    assert out["is_core"].all() and out["cluster_id"].nunique() == 1
+
+
 def test_dbscan_oracle_sf0001(ray_session):
     out = D.q_dbscan(SF)
     con = duckdb.connect()

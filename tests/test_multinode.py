@@ -82,3 +82,17 @@ def test_node_loss_mid_shuffle_parity():
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
     assert "NODELOSS OK" in p.stdout
+
+
+def test_spill_streaming_parity():
+    # The object store is squeezed to ~100 MiB — far below the
+    # flagship's intermediates at 60k pages — and the run must
+    # complete byte-identically by SPILLING (streaming backpressure),
+    # with the script asserting spill files were actually written.
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "spill_check.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "SPILL PARITY OK" in p.stdout

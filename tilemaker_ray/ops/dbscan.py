@@ -116,7 +116,7 @@ def _segments(g: pd.DataFrame):
         yield order[bounds[i]:bounds[i + 1]]
 
 
-def _make_core_kernel(eps: float):
+def _make_core_kernel(eps: float, tile: int = _HOME_TILE):
     e2 = eps * eps
 
     def kernel(g: pd.DataFrame) -> pa.Table:
@@ -132,8 +132,8 @@ def _make_core_kernel(eps: float):
             lo, la = lon[seg], lat[seg]
             hlo, hla = lon[hm], lat[hm]
             nn = np.empty(len(hm), np.int64)
-            for h0 in range(0, len(hm), _HOME_TILE):
-                sl = slice(h0, h0 + _HOME_TILE)
+            for h0 in range(0, len(hm), tile):
+                sl = slice(h0, h0 + tile)
                 d2 = ((hlo[sl, None] - lo[None, :]) ** 2
                       + (hla[sl, None] - la[None, :]) ** 2)
                 nn[sl] = (d2 <= e2).sum(1)
@@ -153,7 +153,7 @@ def _make_core_kernel(eps: float):
     return kernel
 
 
-def _make_edge_kernel(eps: float):
+def _make_edge_kernel(eps: float, tile: int = _HOME_TILE):
     """Core-core edges: within a cell, each HOME core pairs with every
     core copy of larger event_id within eps — each unordered pair is
     emitted exactly once (in the smaller endpoint's home cell)."""
@@ -171,8 +171,8 @@ def _make_edge_kernel(eps: float):
                 continue
             lo, la, ids = lon[seg], lat[seg], eid[seg]
             hlo, hla, hid = lon[hm], lat[hm], eid[hm]
-            for h0 in range(0, len(hm), _HOME_TILE):
-                sl = slice(h0, h0 + _HOME_TILE)
+            for h0 in range(0, len(hm), tile):
+                sl = slice(h0, h0 + tile)
                 d2 = ((hlo[sl, None] - lo[None, :]) ** 2
                       + (hla[sl, None] - la[None, :]) ** 2)
                 ai, bi = np.nonzero((d2 <= e2)
@@ -187,7 +187,7 @@ def _make_edge_kernel(eps: float):
     return kernel
 
 
-def _make_border_kernel(eps: float):
+def _make_border_kernel(eps: float, tile: int = _HOME_TILE):
     """Per cell: each HOME (non-core) point takes the minimum cluster
     label among labeled-core copies within eps, else NOISE."""
     e2 = eps * eps
@@ -209,8 +209,8 @@ def _make_border_kernel(eps: float):
                 lo, la, cl = lon[cand], lat[cand], lab[cand]
                 hlo, hla = lon[hm], lat[hm]
                 best = np.empty(len(hm), np.int64)
-                for h0 in range(0, len(hm), _HOME_TILE):
-                    sl = slice(h0, h0 + _HOME_TILE)
+                for h0 in range(0, len(hm), tile):
+                    sl = slice(h0, h0 + tile)
                     d2 = ((hlo[sl, None] - lo[None, :]) ** 2
                           + (hla[sl, None] - la[None, :]) ** 2)
                     near = np.where(d2 <= e2, cl[None, :],
@@ -280,7 +280,8 @@ def _components_local(ids: pd.DataFrame, ed: pd.DataFrame) -> pd.DataFrame:
 
 
 def dbscan_ds(points: ray.data.Dataset, eps: float = EPS,
-              min_pts: int = MIN_PTS) -> ray.data.Dataset:
+              min_pts: int = MIN_PTS,
+              home_tile: int = _HOME_TILE) -> ray.data.Dataset:
     """(event_id, lon, lat) Dataset → (event_id, n_nbrs, is_core,
     cluster_id) Dataset under exact grid DBSCAN (module docstring)."""
     from .dedup import components_pointer_doubling_ds
@@ -292,7 +293,8 @@ def dbscan_ds(points: ray.data.Dataset, eps: float = EPS,
         lambda b: _replicate(b, eps, _OFFS9, home9),
         batch_format="pyarrow")
     flags = (rep.groupby("bucket")
-                .map_groups(_make_core_kernel(eps), batch_format="pandas")
+                .map_groups(_make_core_kernel(eps, home_tile),
+                            batch_format="pandas")
                 .materialize())
     # cores feeds three downstream stages — materialize once
     cores = flags.filter(expr=f"n_nbrs >= {min_pts}").materialize()
@@ -303,7 +305,8 @@ def dbscan_ds(points: ray.data.Dataset, eps: float = EPS,
         lambda b: _replicate(b, eps, _OFFS9, home9, carry=("n_nbrs",)),
         batch_format="pyarrow")
     edges = (crep.groupby("bucket")
-                 .map_groups(_make_edge_kernel(eps), batch_format="pandas"))
+                 .map_groups(_make_edge_kernel(eps, home_tile),
+                             batch_format="pandas"))
 
     def all_noise(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -399,7 +402,7 @@ def dbscan_ds(points: ray.data.Dataset, eps: float = EPS,
                   .union(cand.map_batches(cand_rows,
                                           batch_format="pyarrow"))
                   .groupby("bucket")
-                  .map_groups(_make_border_kernel(eps),
+                  .map_groups(_make_border_kernel(eps, home_tile),
                               batch_format="pandas"))
     return core_out.union(border_out)
 
