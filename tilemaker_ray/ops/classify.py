@@ -53,8 +53,14 @@ _DOCS_BUCKET = np.int64(NB_BUCKETS)
 
 
 def _hash_tokens(toks: np.ndarray) -> np.ndarray:
-    """Deterministic token→bucket hash (stable across processes)."""
-    return (pd.util.hash_array(toks) % NB_BUCKETS).astype(np.int64)
+    """Deterministic token→bucket hash (stable across processes).
+    Bucket-identical to hashing every occurrence, but the siphash
+    runs once per UNIQUE token (factorize + gather) — the corpus
+    repeats each token hundreds of times per batch."""
+    codes, uniq = pd.factorize(toks)
+    h = (pd.util.hash_array(uniq.astype(object, copy=False))
+         % NB_BUCKETS).astype(np.int64)
+    return h[codes]
 
 
 def _labeled_ds(sf_dir: str) -> ray.data.Dataset:

@@ -46,22 +46,29 @@ from ray.data.aggregate import Sum
 DSIR_BUCKETS = 1 << 16
 DSIR_ALPHA = 1.0
 DSIR_KEEP_FRAC = 0.1
-_NGRAM_SEP = "\x00"
 
 
 def ngram_buckets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(doc positions, hashed bucket ids) for the unigram + bigram
     features of a batch of texts (zero-based RangeIndex required).
-    Fully vectorized; bigrams never cross a document boundary."""
+    Fully vectorized; bigrams never cross a document boundary.
+
+    Only UNIQUE tokens are string-hashed (factorize + gather — the
+    corpus repeats each token hundreds of times, and object-array
+    hashing was the dominant cost of all three DSIR corpus passes);
+    bigram buckets FNV-mix the two unique-token hashes, so no pair
+    strings are ever built.  Fit and score share this kernel, so the
+    bucket mapping — any fixed mapping — is self-consistent."""
     ex = texts.str.split(" ").explode()
     pos_u = ex.index.to_numpy()
-    tok = ex.to_numpy(dtype=object)
-    bk_u = (pd.util.hash_array(tok) % DSIR_BUCKETS).astype(np.int64)
-    if len(tok) > 1:
+    codes, uniq = pd.factorize(ex.to_numpy(dtype=object))
+    hu = pd.util.hash_array(uniq.astype(object, copy=False))
+    bk_u = (hu % DSIR_BUCKETS).astype(np.int64)[codes]
+    if len(codes) > 1:
         same = pos_u[1:] == pos_u[:-1]
-        big = (pd.Series(tok[:-1][same]) + _NGRAM_SEP
-               + pd.Series(tok[1:][same])).to_numpy(dtype=object)
-        bk_b = (pd.util.hash_array(big) % DSIR_BUCKETS).astype(np.int64)
+        hb = ((hu[codes[:-1][same]] * np.uint64(0x100000001B3))
+              ^ hu[codes[1:][same]])
+        bk_b = (hb % DSIR_BUCKETS).astype(np.int64)
         pos_b = pos_u[:-1][same]
     else:
         bk_b = np.empty(0, np.int64)
