@@ -53,14 +53,10 @@ _DOCS_BUCKET = np.int64(NB_BUCKETS)
 
 
 def _hash_tokens(toks: np.ndarray) -> np.ndarray:
-    """Deterministic token→bucket hash (stable across processes).
-    Bucket-identical to hashing every occurrence, but the siphash
-    runs once per UNIQUE token (factorize + gather) — the corpus
-    repeats each token hundreds of times per batch."""
-    codes, uniq = pd.factorize(toks)
-    h = (pd.util.hash_array(uniq.astype(object, copy=False))
-         % NB_BUCKETS).astype(np.int64)
-    return h[codes]
+    """Deterministic token→bucket hash (stable across processes);
+    unique-token siphash + gather via the shared NA-safe helper."""
+    from ._util import hash_tokens_u64
+    return (hash_tokens_u64(toks) % NB_BUCKETS).astype(np.int64)
 
 
 def _labeled_ds(sf_dir: str) -> ray.data.Dataset:

@@ -31,10 +31,10 @@ RP-DBSCAN family:
 - cells are hash-bucketed into ``NBUCKETS`` groups so map_groups
   amortizes over many cells per group (per-raw-key groups measured
   ~20x slower on the dup-span op — same trade), and the per-cell
-  distance matrices tile the home axis in 2048-point blocks so a
-  dense urban cell is bounded memory (runtime skew of a hot cell
-  remains — an eps-grid cell cannot be split without breaking
-  exactness; the tile loop keeps it from OOMing).
+  distance matrices tile BOTH axes (2048-home x 8192-candidate
+  blocks) so a dense urban cell is bounded memory (runtime skew of a
+  hot cell remains — an eps-grid cell cannot be split without
+  breaking exactness; the tile loops keep it from OOMing).
 - three bucketed exchanges total (core flags; core-core edges —
   core status must be global before edges are certain; border
   labels), plus an id-keyed bucketed hash-join to attach component
@@ -61,14 +61,29 @@ EPS = 1.5          # degrees (planar, like radius_join/knn)
 MIN_PTS = 3        # neighbors within eps INCLUDING self
 NBUCKETS = 4096
 LOCAL_COMPONENTS_MAX = 500_000   # cores below this: driver union-find
-_OFF_BASE = 1 << 20
+LOCAL_EDGES_MAX = 4_000_000      # ... but only if edges fit too
+_OFF_BASE = 1 << 31
+_CAND_TILE = 8192   # candidate-axis tile width in the cell kernels
 _HOME_TILE = 2048
 _NOISE = -1
 _OFFS9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
-    return ((cx + _OFF_BASE) << 32) | (cy + _OFF_BASE)
+    """Pack (cx, cy) into one int64 key.  Offsets re-base into
+    [0, 2^32); out-of-range indices (eps below ~1.7e-4 deg on global
+    extents) would silently collide under the OR, so they raise."""
+    ax, ay = cx + _OFF_BASE, cy + _OFF_BASE
+    if len(ax) and (min(ax.min(), ay.min()) < 0
+                    or max(ax.max(), ay.max()) >= (1 << 32)):
+        raise ValueError(
+            "dbscan cell index exceeds the 32-bit key field — eps too "
+            "small for the coordinate extent (cells must fit "
+            f"[-{_OFF_BASE}, {(1 << 32) - _OFF_BASE}))")
+    # pack in uint64 (ax can exceed 2^31; an int64 shift would wrap
+    # mid-expression) and reinterpret the bit pattern as int64
+    return ((ax.astype(np.uint64) << np.uint64(32))
+            | ay.astype(np.uint64)).view(np.int64)
 
 
 def _bucket(cell: np.ndarray) -> np.ndarray:
@@ -131,12 +146,16 @@ def _make_core_kernel(eps: float, tile: int = _HOME_TILE):
                 continue
             lo, la = lon[seg], lat[seg]
             hlo, hla = lon[hm], lat[hm]
-            nn = np.empty(len(hm), np.int64)
+            nn = np.zeros(len(hm), np.int64)
             for h0 in range(0, len(hm), tile):
                 sl = slice(h0, h0 + tile)
-                d2 = ((hlo[sl, None] - lo[None, :]) ** 2
-                      + (hla[sl, None] - la[None, :]) ** 2)
-                nn[sl] = (d2 <= e2).sum(1)
+                # tile BOTH axes: a hot cell must bound the distance
+                # matrix at tile x _CAND_TILE, not tile x cell size
+                for c0 in range(0, len(lo), _CAND_TILE):
+                    cs = slice(c0, c0 + _CAND_TILE)
+                    d2 = ((hlo[sl, None] - lo[None, cs]) ** 2
+                          + (hla[sl, None] - la[None, cs]) ** 2)
+                    nn[sl] += (d2 <= e2).sum(1)
             oid.append(eid[hm])
             onn.append(nn)
             olon.append(hlo)
@@ -173,12 +192,14 @@ def _make_edge_kernel(eps: float, tile: int = _HOME_TILE):
             hlo, hla, hid = lon[hm], lat[hm], eid[hm]
             for h0 in range(0, len(hm), tile):
                 sl = slice(h0, h0 + tile)
-                d2 = ((hlo[sl, None] - lo[None, :]) ** 2
-                      + (hla[sl, None] - la[None, :]) ** 2)
-                ai, bi = np.nonzero((d2 <= e2)
-                                    & (hid[sl, None] < ids[None, :]))
-                oa.append(hid[sl][ai])
-                ob.append(ids[bi])
+                for c0 in range(0, len(lo), _CAND_TILE):
+                    cs = slice(c0, c0 + _CAND_TILE)
+                    d2 = ((hlo[sl, None] - lo[None, cs]) ** 2
+                          + (hla[sl, None] - la[None, cs]) ** 2)
+                    ai, bi = np.nonzero(
+                        (d2 <= e2) & (hid[sl, None] < ids[None, cs]))
+                    oa.append(hid[sl][ai])
+                    ob.append(ids[cs][bi])
         cat = (lambda xs: np.concatenate(xs) if xs
                else np.empty(0, np.int64))
         return pa.table({"doc_a": pa.array(cat(oa)),
@@ -208,15 +229,17 @@ def _make_border_kernel(eps: float, tile: int = _HOME_TILE):
             if len(cand):
                 lo, la, cl = lon[cand], lat[cand], lab[cand]
                 hlo, hla = lon[hm], lat[hm]
-                best = np.empty(len(hm), np.int64)
+                imax = np.iinfo(np.int64).max
+                best = np.full(len(hm), imax, np.int64)
                 for h0 in range(0, len(hm), tile):
                     sl = slice(h0, h0 + tile)
-                    d2 = ((hlo[sl, None] - lo[None, :]) ** 2
-                          + (hla[sl, None] - la[None, :]) ** 2)
-                    near = np.where(d2 <= e2, cl[None, :],
-                                    np.iinfo(np.int64).max)
-                    best[sl] = near.min(1)
-                best[best == np.iinfo(np.int64).max] = _NOISE
+                    for c0 in range(0, len(lo), _CAND_TILE):
+                        cs = slice(c0, c0 + _CAND_TILE)
+                        d2 = ((hlo[sl, None] - lo[None, cs]) ** 2
+                              + (hla[sl, None] - la[None, cs]) ** 2)
+                        near = np.where(d2 <= e2, cl[None, cs], imax)
+                        best[sl] = np.minimum(best[sl], near.min(1))
+                best[best == imax] = _NOISE
             else:
                 best = np.full(len(hm), _NOISE, np.int64)
             oid.append(eid[hm])
@@ -302,11 +325,12 @@ def dbscan_ds(points: ray.data.Dataset, eps: float = EPS,
     # phase 2: core-core edges (needs global core flags, hence a
     # second exchange over the core subset only)
     crep = cores.map_batches(
-        lambda b: _replicate(b, eps, _OFFS9, home9, carry=("n_nbrs",)),
+        lambda b: _replicate(b, eps, _OFFS9, home9),
         batch_format="pyarrow")
     edges = (crep.groupby("bucket")
                  .map_groups(_make_edge_kernel(eps, home_tile),
-                             batch_format="pandas"))
+                             batch_format="pandas")
+                 .materialize())
 
     def all_noise(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -325,7 +349,10 @@ def dbscan_ds(points: ray.data.Dataset, eps: float = EPS,
     if n_core == 0:
         # no cores ⇒ no clusters, no borders: everything is noise
         return flags.map_batches(all_noise, batch_format="pyarrow")
-    if n_core <= LOCAL_COMPONENTS_MAX:
+    # the local path's driver pull and union-find loop scale with the
+    # EDGE count, which dense regimes inflate far past the core count
+    # — both must be bounded before collecting
+    if n_core <= LOCAL_COMPONENTS_MAX and edges.count() <= LOCAL_EDGES_MAX:
         labels = ray.data.from_pandas(_components_local(
             cores.select_columns(["event_id"]).to_pandas(),
             edges.to_pandas()))

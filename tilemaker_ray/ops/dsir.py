@@ -53,21 +53,22 @@ def ngram_buckets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     features of a batch of texts (zero-based RangeIndex required).
     Fully vectorized; bigrams never cross a document boundary.
 
-    Only UNIQUE tokens are string-hashed (factorize + gather — the
-    corpus repeats each token hundreds of times, and object-array
-    hashing was the dominant cost of all three DSIR corpus passes);
-    bigram buckets FNV-mix the two unique-token hashes, so no pair
-    strings are ever built.  Fit and score share this kernel, so the
-    bucket mapping — any fixed mapping — is self-consistent."""
+    Only UNIQUE tokens are string-hashed (the shared NA-safe
+    hash_tokens_u64 helper — object-array hashing was the dominant
+    cost of all three DSIR corpus passes); bigram buckets FNV-mix the
+    two token hashes, so no pair strings are ever built.  Fit and
+    score share this kernel, so the bucket mapping — any fixed
+    mapping — is self-consistent."""
+    from ._util import hash_tokens_u64
     ex = texts.str.split(" ").explode()
     pos_u = ex.index.to_numpy()
-    codes, uniq = pd.factorize(ex.to_numpy(dtype=object))
-    hu = pd.util.hash_array(uniq.astype(object, copy=False))
-    bk_u = (hu % DSIR_BUCKETS).astype(np.int64)[codes]
-    if len(codes) > 1:
+    hu = hash_tokens_u64(ex.to_numpy(dtype=object))
+    bk_u = (hu % DSIR_BUCKETS).astype(np.int64)
+    if len(hu) > 1:
         same = pos_u[1:] == pos_u[:-1]
-        hb = ((hu[codes[:-1][same]] * np.uint64(0x100000001B3))
-              ^ hu[codes[1:][same]])
+        with np.errstate(over="ignore"):
+            hb = ((hu[:-1][same] * np.uint64(0x100000001B3))
+                  ^ hu[1:][same])
         bk_b = (hb % DSIR_BUCKETS).astype(np.int64)
         pos_b = pos_u[:-1][same]
     else:

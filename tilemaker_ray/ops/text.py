@@ -826,14 +826,9 @@ def decontaminate_ngram_ds(sf_dir: str) -> ray.data.Dataset:
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_numpy()
             flat, lens, starts = _flatten_tokens(b.column("text").to_pandas())
-            if len(flat):
-                # value-identical to hashing every occurrence, but
-                # siphash runs once per UNIQUE token
-                codes, uniq = pd.factorize(flat)
-                tok_hash = pd.util.hash_array(
-                    uniq.astype(object, copy=False))[codes]
-            else:
-                tok_hash = np.empty(0, dtype=np.uint64)
+            from ._util import hash_tokens_u64
+            tok_hash = hash_tokens_u64(flat) if len(flat) else \
+                np.empty(0, dtype=np.uint64)
             doc_of = np.repeat(np.arange(len(ids)), lens)
             best = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
             hits = np.zeros(len(ids), dtype=np.int64)
