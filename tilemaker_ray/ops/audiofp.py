@@ -141,7 +141,7 @@ class AudioFingerprinter:
 
 
 def audio_fp_dataset(audio: ray.data.Dataset,
-                     concurrency: int = 2,
+                     concurrency=2,
                      on_error: str = "raise") -> ray.data.Dataset:
     return audio.map_batches(AudioFingerprinter, batch_format="pyarrow",
                              fn_constructor_kwargs={"on_error": on_error},
@@ -171,7 +171,8 @@ def _half_key_rows(b: pa.Table) -> pa.Table:
 def audio_dup_pairs(audio: ray.data.Dataset,
                     ber_t: float = AFP_BER_T,
                     max_df: int | None = AFP_MAX_DF,
-                    on_error: str = "raise") -> pd.DataFrame:
+                    on_error: str = "raise",
+                    concurrency=(1, 8)) -> pd.DataFrame:
     """(doc_a, doc_b, ber) pairs with >= 1 shared exact subfp half and
     aligned BER <= ber_t; doc_a < doc_b, sorted.  Candidate exchange +
     verify run on the shared skeleton in ops/hamming_lsh.py.
@@ -180,7 +181,8 @@ def audio_dup_pairs(audio: ray.data.Dataset,
     import pyarrow.compute as pc
 
     from .hamming_lsh import keyed_dup_pairs
-    fps = audio_fp_dataset(audio, on_error=on_error)
+    fps = audio_fp_dataset(audio, concurrency=concurrency,
+                           on_error=on_error)
     if on_error == "quarantine":
         fps = fps.map_batches(
             lambda b: b.filter(pc.equal(b.column("error"), ""))
@@ -192,6 +194,24 @@ def audio_dup_pairs(audio: ray.data.Dataset,
         seq_fn=lambda v: np.asarray(v, np.uint32),
         score_fn=subfp_ber, score_col="ber",
         keep_fn=lambda s: s <= ber_t, max_df=max_df)
+
+
+def fixture_parquet(kind: str, n: int, build,
+                    root: str = "/tmp/tilemaker_ray_pages") -> str:
+    """Write-once parquet cache for a deterministic media fixture
+    table (`build()` must be a pure function of (kind, n)): tmp-file
+    + atomic rename, so concurrent/retried builds converge.  Shared
+    by the audio and video fingerprint driver entries."""
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{kind}_n{n}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(build(), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 # --- deterministic fixture: recordings + re-encoded gain-shifted dups -----
@@ -241,7 +261,10 @@ def q_audio_fp_dups(sf_dir: str) -> pd.DataFrame:
     planted-dup fixture sized by sf, HK subfp + BER-verified pairs."""
     from ..sources.pages import rows_for_sf
     n = max(60, rows_for_sf(sf_dir) // 300)
-    # one Arrow table = ONE block: repartition so the decode
-    # actor pool actually fans out
-    audio = ray.data.from_arrow(synth_audiofp_table(n)).repartition(8)
+    # fixture cached to parquet (synth measured ~3 s driver-side at
+    # sf0.1 — pure f(n), so write-once like every pages fixture);
+    # repartition so the decode actor pool actually fans out
+    audio = ray.data.read_parquet(
+        fixture_parquet("audiofp", n, lambda: synth_audiofp_table(n))
+    ).repartition(32)
     return audio_dup_pairs(audio)

@@ -101,7 +101,7 @@ class VideoFingerprinter:
 
 
 def video_fp_dataset(video: ray.data.Dataset, stride: int = 1,
-                     concurrency: int = 2,
+                     concurrency=2,
                      on_error: str = "raise") -> ray.data.Dataset:
     # Pass the CLASS (not an instance): an instance makes Ray run a
     # task pool that re-pickles and re-initializes per task; the class
@@ -137,7 +137,8 @@ def video_dup_pairs(video: ray.data.Dataset,
                     match_frac: float = MATCH_FRAC,
                     stride: int = 1,
                     max_df: int | None = VFP_MAX_DF,
-                    on_error: str = "raise") -> pd.DataFrame:
+                    on_error: str = "raise",
+                    concurrency=(1, 8)) -> pd.DataFrame:
     """(doc_a, doc_b, match_frac) clip pairs sharing >= 1 exact frame-
     hash band whose verified frame match fraction >= match_frac;
     doc_a < doc_b, sorted.  Candidate exchange + verify run on the
@@ -147,7 +148,8 @@ def video_dup_pairs(video: ray.data.Dataset,
     import pyarrow.compute as pc
 
     from .hamming_lsh import keyed_dup_pairs
-    fps = video_fp_dataset(video, stride, on_error=on_error)
+    fps = video_fp_dataset(video, stride, concurrency=concurrency,
+                           on_error=on_error)
     if on_error == "quarantine":
         fps = fps.map_batches(
             lambda b: b.filter(pc.equal(b.column("error"), ""))
@@ -206,8 +208,12 @@ def q_video_fp_dups(sf_dir: str) -> pd.DataFrame:
     """Rows-only driver entry (fingerprint not SQL-expressible):
     planted-dup fixture sized by sf, frame-matched dup pairs."""
     from ..sources.pages import rows_for_sf
+    from .audiofp import fixture_parquet
     n = max(50, rows_for_sf(sf_dir) // 400)
-    # one Arrow table = ONE block: repartition so the decode
-    # actor pool actually fans out
-    video = ray.data.from_arrow(synth_videofp_table(n)).repartition(8)
+    # fixture cached to parquet (synth measured ~8 s driver-side at
+    # sf0.1 — pure f(n), so write-once like every pages fixture);
+    # repartition so the decode actor pool actually fans out
+    video = ray.data.read_parquet(
+        fixture_parquet("videofp", n, lambda: synth_videofp_table(n))
+    ).repartition(32)
     return video_dup_pairs(video)
