@@ -284,9 +284,10 @@ def _incremental_tiles(sf_dir: str):
     n = rows_for_sf(sf_dir)
     old_dir, new_dir = pages_path(n), snapshot2_pages_path(n)
     store = geom_store(old_dir).materialize()
-    old_tiles = assemble_tiles(store, nparts=16).to_pandas()
+    old_tiles = assemble_tiles(store, nparts=16).materialize()
     tiles, _ = incremental_update(old_dir, new_dir, store, old_tiles)
-    out = tiles[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    out = tiles.to_pandas()[["zoom", "tile_x", "tile_y",
+                             "n_features", "n_bytes"]]
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(
         drop=True)
 

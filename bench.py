@@ -171,13 +171,15 @@ def run_bench() -> dict:
     from tilemaker_ray.sources.pages import small_delta_pages_path
     sdelta = small_delta_pages_path(rows_for_sf(sf_dir))
     inc_store = geom_store(pages).materialize()
-    inc_tiles = assemble_tiles(inc_store, nparts=64).to_pandas()
+    inc_tiles = assemble_tiles(inc_store, nparts=64).materialize()
+    # tiles are a lazy Dataset now — materialize inside the timed
+    # region so the wall includes the render, not just plan building
     queries["incremental_update"] = timed(
         lambda: incremental_update(pages, sdelta, inc_store, inc_tiles,
-                                   nparts=64))
+                                   nparts=64)[0].materialize())
     queries["incremental_update_bigdelta"] = timed(
         lambda: incremental_update(pages, snap2, inc_store, inc_tiles,
-                                   nparts=64))
+                                   nparts=64)[0].materialize())
     del inc_store, inc_tiles
 
     # DSIR importance resampling + sequence packing
