@@ -1855,3 +1855,66 @@ def test_decontaminate_ngram_token_boundary(tmp_path):
     assert got.loc[1, "probe_id"] == 0
     assert got.loc[3, "probe_id"] == 0 and got.loc[3, "n_hits"] == 2
     assert 2 not in got.index     # mid-word: NOT token-aligned
+
+
+def test_bpe_tiebreak_is_lexicographic():
+    """Merge-count ties resolve by (a, b) lexicographic — the
+    deterministic pick VERDICT r4 #4 requires: every pair here ties at
+    count 2 in round one, so the winner is forced by the order alone."""
+    from tilemaker_ray.ops.bpe import EOW, bpe_train_reference
+    # "zx" x2 and "ya" x2: round-1 pair counts all tie at 2 —
+    # ('a', EOW) vs ('y','a') vs ('z','x') vs ('x',EOW): lexicographic
+    # min is ('a', EOW) (first element decides: 'a' < 'x' < 'y' < 'z')
+    wf = {"zx": 2, "ya": 2}
+    merges = bpe_train_reference(wf, 1)
+    assert merges == [("a", EOW)]
+    # and the full sequence stays deterministic across dict orderings
+    assert (bpe_train_reference({"ya": 2, "zx": 2}, 4)
+            == bpe_train_reference(wf, 4))
+
+
+def test_pandas_nul_hashing_is_why_eow_is_not_nul():
+    """Root-cause record for the r4 BPE flake: pandas' string
+    hashtable truncates at embedded NUL bytes, so groupby keys
+    'a\\x00' and 'a' COLLAPSE and their counts merge — with EOW='\\x00'
+    the distributed trainer inflated ('x','y\\x00') counts whenever
+    ('x','y') coexisted.  This test pins the environment behavior
+    (if pandas ever fixes it, this documents why EOW moved to U+E000)
+    and asserts the chosen sentinel is hash-stable."""
+    from tilemaker_ray.ops.bpe import EOW
+    assert EOW == "" and "\x00" not in EOW
+    # the hazard that forced the move (pandas 2.x behavior):
+    codes, _ = pd.factorize(pd.Series(["a\x00", "a"]))
+    assert codes[0] == codes[1]          # NUL-truncated collision
+    # the sentinel in use does NOT collide:
+    codes2, _ = pd.factorize(pd.Series(["a" + EOW, "a"]))
+    assert codes2[0] != codes2[1]
+    h = pd.util.hash_pandas_object(
+        pd.Series(["a" + EOW, "a"]), index=False)
+    assert h.iloc[0] != h.iloc[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_block_order_invariance():
+    """The distributed trainer's merge sequence is invariant to input
+    block count and row order (the r4 flake's suspected mechanism was
+    a tie resolved by arrival order): identical merges from 1-block,
+    7-block and row-shuffled word tables, all equal to the reference
+    on the same frequencies — ties included (every word has freq 1)."""
+    import ray.data
+
+    from tilemaker_ray.ops.bpe import bpe_train_from_words, bpe_train_reference
+    rng = np.random.default_rng(17)
+    words = ["".join(rng.choice(list("abcd"), rng.integers(2, 6)))
+             for _ in range(120)]
+    words = sorted(set(words))
+    wf = {w: 1 for w in words}       # all-tied frequencies
+    want = bpe_train_reference(wf, 10)
+    base = pd.DataFrame({"word": words,
+                         "n": np.ones(len(words), np.int64)})
+    perms = [base, base.iloc[::-1].reset_index(drop=True),
+             base.sample(frac=1, random_state=3).reset_index(drop=True)]
+    for nblocks, df in zip((1, 7, 4), perms):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = bpe_train_from_words(ds, 10)
+        assert got == want, (nblocks, got[:3], want[:3])

@@ -32,7 +32,16 @@ import pyarrow as pa
 import ray
 import ray.data
 
-EOW = "\x00"      # end-of-word sentinel symbol (never in text)
+# End-of-word sentinel.  NOT "\x00": pandas' string hashtable
+# (factorize / groupby keys / hash_pandas_object) truncates at
+# embedded NUL bytes, which silently MERGED the pair ('x', 'y\x00')
+# with ('x', 'y') in the distributed count groupby — the root cause
+# of the r4 "bit-identical" flake (caught by the block-order
+# invariance test; see tests/test_ops.py::test_bpe_block_order_
+# invariance and test_pandas_nul_hashing_is_why_eow_is_not_nul).
+# U+E000 is private-use: never produced by the corpus generators and
+# stable under pandas hashing.
+EOW = "\ue000"
 BPE_MERGES = 24       # default merge count for the query entry
 SYM_SEP = "\x01"  # joins symbol sequences into one string column
 
@@ -106,7 +115,21 @@ def _word_freq_ds(sf_dir: str) -> ray.data.Dataset:
 def bpe_train(sf_dir: str,
               n_merges: int = BPE_MERGES) -> list[tuple[str, str]]:
     """Distributed BPE training: returns the ordered merge list."""
-    words = _word_freq_ds(sf_dir).materialize()
+    return bpe_train_from_words(_word_freq_ds(sf_dir), n_merges)
+
+
+def bpe_train_from_words(words: ray.data.Dataset,
+                         n_merges: int = BPE_MERGES
+                         ) -> list[tuple[str, str]]:
+    """Train over a (word, n) Dataset.  Block-order independent BY
+    CONSTRUCTION: pair counts are exact integer sums over a complete
+    pair-bucket groupby, and the merge pick is the total order
+    (count desc, a asc, b asc) — the same tie-break as
+    bpe_train_reference — applied first per bucket then across bucket
+    winners, so ties can never be resolved by arrival order
+    (test-asserted under permuted/repartitioned inputs,
+    tests/test_ops.py::test_bpe_block_order_invariance)."""
+    words = words.materialize()
 
     # symbol table rides as (word, syms joined by SYM_SEP, n)
     def init_syms(b: pa.Table) -> pa.Table:
@@ -146,7 +169,8 @@ def bpe_train(sf_dir: str,
             agg = (g.groupby(["a", "b"], sort=True)["n"].sum()
                     .reset_index()
                     .sort_values(["n", "a", "b"],
-                                 ascending=[False, True, True]))
+                                 ascending=[False, True, True],
+                                 kind="stable"))
             return agg.head(1)
 
         tops = (table.map_batches(pair_partial, batch_format="pyarrow")
@@ -156,7 +180,8 @@ def bpe_train(sf_dir: str,
         if len(tops) == 0:
             break
         tops = tops.sort_values(["n", "a", "b"],
-                                ascending=[False, True, True])
+                                ascending=[False, True, True],
+                                kind="stable")
         a, b = str(tops.iloc[0]["a"]), str(tops.iloc[0]["b"])
         merges.append((a, b))
 

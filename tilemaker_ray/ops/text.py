@@ -641,18 +641,33 @@ def lm_bits_ds(sf_dir: str) -> ray.data.Dataset:
                   .map_groups(annotate_unigrams, batch_format="pandas"))
 
     def per_docs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, sub in g.groupby("doc_id", sort=True):
-            uni = sub[sub["kind"] == 1].set_index("i")["c"]
-            big = sub[sub["kind"] == 0].set_index("i")["c"]
-            n = len(uni)
-            bits = -np.log2((uni.loc[1] + a) / (n_tokens + av))
-            if n > 1:
-                idx = np.arange(2, n + 1)
-                bits += (-np.log2((big.loc[idx].to_numpy() + a)
-                                  / (uni.loc[idx].to_numpy() + av))).sum()
-            rows.append((doc_id, round(bits / n, 6)))
-        return pd.DataFrame(rows, columns=["doc_id", "lm_bits"])
+        # fully vectorized (VERDICT r4 #5): docs factorized by
+        # searchsorted, bigram terms aligned to their unigram
+        # denominators by one lexsort per side (both carry exactly the
+        # positions i=2..n per doc, so the sorted sequences are 1:1),
+        # per-doc sums via bincount segment sums — no per-doc loop.
+        uni = g[g["kind"] == 1]
+        big = g[g["kind"] == 0]
+        docs = np.sort(uni["doc_id"].unique())
+        code = np.searchsorted(docs, uni["doc_id"].to_numpy())
+        n = np.bincount(code, minlength=len(docs)).astype(np.float64)
+        u1 = uni[uni["i"] == 1]
+        bits = np.zeros(len(docs))
+        bits[np.searchsorted(docs, u1["doc_id"].to_numpy())] = (
+            -np.log2((u1["c"].to_numpy() + a) / (n_tokens + av)))
+        u2 = uni[uni["i"] > 1]
+        if len(u2):
+            o_u = np.lexsort((u2["i"].to_numpy(),
+                              u2["doc_id"].to_numpy()))
+            o_b = np.lexsort((big["i"].to_numpy(),
+                              big["doc_id"].to_numpy()))
+            term = -np.log2((big["c"].to_numpy()[o_b] + a)
+                            / (u2["c"].to_numpy()[o_u] + av))
+            bits += np.bincount(
+                np.searchsorted(docs, u2["doc_id"].to_numpy()[o_u]),
+                weights=term, minlength=len(docs))
+        return pd.DataFrame({"doc_id": docs,
+                             "lm_bits": np.round(bits / n, 6)})
 
     ann = big_ann.union(uni_ann).map_batches(
         lambda b: b.append_column(
