@@ -119,9 +119,9 @@ class TestCli:
         assert len(read_mbtiles(out)) >= 10
 
     def test_process_lua_shim(self, tmp_path):
-        """--process process-openmaptiles.lua maps to the built-in OMT
-        profile (22 Monaco tiles, the frozen OMT count); any other Lua
-        errors with porting guidance."""
+        """--process process-openmaptiles.lua EXECUTES the reference's
+        shipped Lua through the built-in interpreter (22 Monaco tiles,
+        the frozen OMT count); a missing Lua file errors."""
         out = str(tmp_path / "omt.mbtiles")
         r = run_cli("--input", "/root/reference/test/monaco.pbf",
                     "--output", out, "--quiet", "--process",

@@ -1,0 +1,358 @@
+"""Lua profile surface (tilemaker_ray/lua.py + profiles/lua_profile.py)
+— the reference's `process.lua` extension point runs unmodified:
+interpreter semantics, API-binding behavior, a feature-for-feature twin
+parity against a hand-written Python profile, and the gold gate: the
+reference's SHIPPED process-openmaptiles.lua reproduces the hand-port's
+frozen Monaco per-layer counts through the full engine."""
+
+import numpy as np
+import pytest
+
+from tilemaker_ray.lua import (LuaError, LuaInterpreter, LuaTable,
+                               lua_pattern_to_re, lua_tonumber,
+                               lua_tostring)
+
+EXAMPLE_LUA = "/root/reference/resources/process-example.lua"
+OMT_LUA = "/root/reference/resources/process-openmaptiles.lua"
+MONACO = "/root/reference/test/monaco.pbf"
+
+
+def run(src: str) -> dict:
+    L = LuaInterpreter()
+    L.run(src)
+    return L.globals
+
+
+class TestInterpreter:
+    def test_scoping_and_closures(self):
+        g = run("""
+            local x = 1
+            function mk()
+              local c = 0
+              return function() c = c + 1 return c end
+            end
+            f = mk()
+            a = f(); b = f()
+            g2 = mk()
+            c2 = g2()
+        """)
+        assert (g["a"], g["b"], g["c2"]) == (1.0, 2.0, 1.0)
+
+    def test_multiple_assignment_and_returns(self):
+        g = run("""
+            function two() return 7, 8 end
+            a, b, c = two()
+            d = (two())            -- parens truncate to one value
+            local t = {two()}      -- expands at tail
+            n = #t
+            x, y = 1, 2
+            x, y = y, x
+        """)
+        assert (g["a"], g["b"], g["c"]) == (7.0, 8.0, None)
+        assert g["d"] == 7.0 and g["n"] == 2.0
+        assert (g["x"], g["y"]) == (2.0, 1.0)
+
+    def test_truthiness_and_logic_ops(self):
+        g = run("""
+            a = nil or "dflt"
+            b = false or 0          -- 0 is truthy in Lua
+            c = 0 and "yes"
+            d = "" and "empty-is-true"
+            e = not nil
+        """)
+        assert g["a"] == "dflt" and g["b"] == 0.0
+        assert g["c"] == "yes" and g["d"] == "empty-is-true"
+        assert g["e"] is True
+
+    def test_numeric_semantics(self):
+        g = run("""
+            a = 7 % 3
+            b = -7 % 3              -- Lua: floored modulo -> 2
+            c = 2^10
+            d = -2^2                -- unary binds looser than ^
+            e = 10 / 4
+            s = tostring(3)         -- integer-valued floats print bare
+            f = tonumber("0x1F")
+            bad = tonumber("12abc")
+        """)
+        assert g["a"] == 1.0 and g["b"] == 2.0
+        assert g["c"] == 1024.0 and g["d"] == -4.0 and g["e"] == 2.5
+        assert g["s"] == "3" and g["f"] == 31.0 and g["bad"] is None
+
+    def test_string_concat_precedence(self):
+        g = run('a = "n" .. 1 + 2')     # .. binds looser than +
+        assert g["a"] == "n3"
+
+    def test_tables_and_length(self):
+        g = run("""
+            t = { "a", "b", x = 1, ["k e y"] = 2, "c" }
+            n = #t
+            v = t["k e y"]
+            t[#t + 1] = "d"
+            last = t[4]
+            u = {}
+            u[1.0] = "one"          -- 1.0 and 1 are the same key
+            one = u[1]
+        """)
+        assert g["n"] == 3.0 and g["v"] == 2.0
+        assert g["last"] == "d" and g["one"] == "one"
+
+    def test_pairs_ipairs_break(self):
+        g = run("""
+            t = {10, 20, 30}
+            s = 0
+            for i, v in ipairs(t) do
+              if v == 30 then break end
+              s = s + v
+            end
+            keys = 0
+            for k, v in pairs({a=1, b=2}) do keys = keys + 1 end
+        """)
+        assert g["s"] == 30.0 and g["keys"] == 2.0
+
+    def test_repeat_and_numeric_for_step(self):
+        g = run("""
+            s = 0
+            for i = 10, 1, -3 do s = s + i end   -- 10+7+4+1
+            r = 0
+            repeat r = r + 1 until r >= 4
+        """)
+        assert g["s"] == 22.0 and g["r"] == 4.0
+
+    def test_pcall_and_error(self):
+        g = run("""
+            ok, err = pcall(function() error("boom") end)
+            ok2, val = pcall(function() return 5 end)
+        """)
+        assert g["ok"] is False and "boom" in g["err"]
+        assert g["ok2"] is True and g["val"] == 5.0
+
+    def test_string_library(self):
+        g = run("""
+            a = string.sub("hello", 2, 4)
+            b = string.sub("hello", -3)
+            c = string.upper("ab") .. string.lower("CD")
+            d = string.format("%05.1f|%s|%d", 3.25, "x", 9)
+            e = string.rep("ab", 2)
+            f = ("x;y;z"):len()
+            i1, i2 = string.find("abcdef", "cd")
+            m = string.match("key=value", "(%w+)=(%w+)")
+        """)
+        assert g["a"] == "ell" and g["b"] == "llo"
+        assert g["c"] == "ABcd" and g["d"] == "003.2|x|9"
+        assert g["e"] == "abab" and g["f"] == 5.0
+        assert (g["i1"], g["i2"]) == (3.0, 4.0)
+        assert g["m"] == "key"      # first capture of multi-return
+
+    def test_gmatch_split_idiom(self):
+        """The split() helper every shipped profile defines."""
+        g = run("""
+            function split(inputstr, sep)
+              local t = {}
+              for str in string.gmatch(inputstr, "([^"..sep.."]+)") do
+                table.insert(t, str)
+              end
+              return t
+            end
+            p = split("8;9;10", ";")
+            n = #p
+            a, b, c = p[1], p[2], p[3]
+        """)
+        assert g["n"] == 3.0
+        assert (g["a"], g["b"], g["c"]) == ("8", "9", "10")
+
+    def test_gsub_variants(self):
+        g = run("""
+            a = string.gsub("hello world", "o", "0")
+            b = string.gsub("hello", "l+", "L")
+            c = string.gsub("a1b2", "%d", function(d) return d .. d end)
+        """)
+        assert g["a"] == "hell0 w0rld"
+        assert g["b"] == "heLo"
+        assert g["c"] == "a11b22"
+
+    def test_lua_patterns(self):
+        assert lua_pattern_to_re("%a+").fullmatch("Abc")
+        assert lua_pattern_to_re("^ab-c$").fullmatch("ac")  # lazy -
+        assert lua_pattern_to_re("[%d,]+").fullmatch("1,2")
+        assert lua_pattern_to_re("%.").fullmatch(".")
+        assert not lua_pattern_to_re("%.").fullmatch("x")
+        with pytest.raises(LuaError):
+            lua_pattern_to_re("%bxy")
+
+    def test_tostring_tonumber(self):
+        assert lua_tostring(3.0) == "3"
+        assert lua_tostring(True) == "true"
+        assert lua_tostring(None) == "nil"
+        assert lua_tonumber(" 10 ") == 10.0
+        assert lua_tonumber("ff", 16) == 255.0
+
+    def test_shipped_profiles_all_load(self):
+        import glob
+
+        from tilemaker_ray.lua import LuaFunction
+        for path in sorted(glob.glob("/root/reference/resources/*.lua")):
+            L = LuaInterpreter()
+            L.run(open(path).read())
+            assert isinstance(L.globals.get("way_function"),
+                              LuaFunction), path
+
+
+class TestLuaProfileTwinParity:
+    """process-example.lua through LuaProfile == a hand-written Python
+    twin of the same logic, feature-for-feature (layer, geom type,
+    minzoom, attrs incl. kinds/minzooms)."""
+
+    class PyExampleTwin:
+        """Manual port of process-example.lua (node+way hooks)."""
+
+        def __init__(self):
+            from tilemaker_ray.pipelines.osm import SignificantTags
+            self.node_filter = SignificantTags(
+                ["amenity", "historic", "leisure", "place", "shop",
+                 "tourism"])
+            self.way_filter = SignificantTags(None)
+
+        @staticmethod
+        def relation_scan(tags):
+            return False
+
+        relation_postscan = None
+
+        @staticmethod
+        def attribute_function(attr, layer):
+            return attr
+
+        def node_function(self, node_id, lon, latp, tags, emit,
+                          relations=None):
+            amenity = tags.get("amenity", "")
+            shop = tags.get("shop", "")
+            if amenity != "" or shop != "":
+                emit.Layer("poi", (lon, latp))
+                emit.Attribute("class", amenity if amenity != "" else shop)
+                emit.Attribute("name:latin", tags.get("name", ""))
+                emit.AttributeNumeric("rank", 3)
+            place = tags.get("place", "")
+            if place != "":
+                emit.Layer("place", (lon, latp))
+                emit.Attribute("class", place)
+                emit.Attribute("name:latin", tags.get("name", ""))
+                if place == "city":
+                    emit.AttributeNumeric("rank", 4)
+                    emit.MinZoom(3)
+                elif place == "town":
+                    emit.AttributeNumeric("rank", 6)
+                    emit.MinZoom(6)
+                else:
+                    emit.AttributeNumeric("rank", 9)
+                    emit.MinZoom(10)
+
+        def way_function(self, way_id, pts, closed, tags, emit,
+                         relations=None):
+            from tilemaker_ray.geom import core as gc
+            highway = tags.get("highway", "")
+            waterway = tags.get("waterway", "")
+            building = tags.get("building", "")
+            if highway != "":
+                emit.Layer("transportation", pts)
+                if highway in ("unclassified", "residential"):
+                    highway = "minor"
+                emit.Attribute("class", highway)
+                name = tags.get("name", "")
+                if name != "":
+                    emit.Layer("transportation_name", pts)
+                    emit.Attribute("class", highway)
+                    emit.Attribute("name:latin", name)
+            if waterway in ("stream", "river", "canal"):
+                emit.Layer("waterway", pts)
+                emit.Attribute("class", waterway)
+                emit.AttributeNumeric("intermittent", 0)
+            if tags.get("natural") == "water":
+                emit.Layer("water", [[gc.close_ring(pts)]])
+                if tags.get("water") == "river":
+                    emit.Attribute("class", "river")
+                else:
+                    emit.Attribute("class", "lake")
+            if building != "":
+                emit.Layer("building", [[gc.close_ring(pts)]])
+
+        def relation_function(self, rel_id, polys, tags, emit):
+            pass
+
+    LAYERS = {"poi", "place", "transportation", "transportation_name",
+              "waterway", "water", "building"}
+
+    def _feats(self, profile, entities):
+        from tilemaker_ray.profile import Emitter
+        out = []
+        for kind, eid, geom, tags in entities:
+            emit = Emitter(set(self.LAYERS))
+            if kind == "node":
+                lon, latp = geom
+                profile.node_function(eid, lon, latp, tags, emit)
+            else:
+                pts, closed = geom
+                profile.way_function(eid, pts, closed, tags, emit)
+            for f in emit.features:
+                lon = None if np.isnan(f.lon) else f.lon
+                latp = None if np.isnan(f.latp) else f.latp
+                out.append((f.layer, f.geom_type, f.min_zoom, f.z_order,
+                            lon, latp, f.canonical_attrs()))
+        return out
+
+    def test_example_profile_twin(self):
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        lua = LuaProfile(EXAMPLE_LUA)
+        twin = self.PyExampleTwin()
+        line = np.array([[7.42, 43.5], [7.43, 43.51], [7.44, 43.52]])
+        ring = np.array([[7.4, 43.5], [7.41, 43.5], [7.41, 43.51],
+                         [7.4, 43.5]])
+        entities = [
+            ("node", 1, (7.42, 43.9), {"amenity": "cafe", "name": "K"}),
+            ("node", 2, (7.43, 43.9), {"shop": "bakery"}),
+            ("node", 3, (7.44, 43.9), {"place": "city", "name": "M"}),
+            ("node", 4, (7.45, 43.9), {"place": "town", "name": "T"}),
+            ("node", 5, (7.46, 43.9), {"place": "village", "name": "V"}),
+            ("node", 6, (7.47, 43.9), {"tourism": "hotel"}),
+            ("way", 10, (line, False), {"highway": "residential",
+                                        "name": "Rue"}),
+            ("way", 11, (line, False), {"highway": "motorway"}),
+            ("way", 12, (line, False), {"waterway": "river"}),
+            ("way", 13, (ring, True), {"natural": "water",
+                                       "water": "river"}),
+            ("way", 14, (ring, True), {"natural": "water"}),
+            ("way", 15, (ring, True), {"building": "yes"}),
+            ("way", 16, (line, False), {"barrier": "fence"}),
+        ]
+        got = self._feats(lua, entities)
+        want = self._feats(twin, entities)
+        assert got == want
+        assert len(got) == 12   # the fixture exercises every branch
+        # node_keys parsed from the script drive the same prefilter
+        assert lua.node_filter.accept({"amenity": "cafe"})
+        assert not lua.node_filter.accept({"name": "x"})
+        assert twin.node_filter.accept({"amenity": "cafe"}) and \
+            not twin.node_filter.accept({"name": "x"})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLuaMonacoGold:
+    """The reference's SHIPPED process-openmaptiles.lua, interpreted,
+    must reproduce the hand-port's frozen Monaco per-layer counts
+    through the full engine (the VERDICT r4 #6 'done' bar)."""
+
+    def test_monaco_feature_counts_via_lua(self):
+        from tilemaker_ray.pipelines.osm import osm_feature_dataset
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        from tilemaker_ray.profiles.openmaptiles import openmaptiles_config
+        prof = LuaProfile(OMT_LUA)
+        feats = osm_feature_dataset(MONACO, openmaptiles_config(),
+                                    profile=prof)
+        counts = feats.to_pandas().groupby("layer").size().to_dict()
+        assert counts == {
+            "transportation": 2944, "poi_detail": 1722, "building": 1285,
+            "transportation_name": 798, "housenumber": 340,
+            "landcover": 151, "poi": 140, "water": 63, "boundary": 53,
+            "landuse": 46, "aeroway": 14, "place": 11,
+            "water_name_detail": 5, "waterway_detail": 3, "water_name": 1,
+        }

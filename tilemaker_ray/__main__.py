@@ -46,11 +46,11 @@ def main(argv=None) -> int:
                          "'openmaptiles' = the full OpenMapTiles schema, "
                          "the reference's process-openmaptiles.lua)")
     ap.add_argument("--process", default="",
-                    help="tag-processing Lua file (reference flag): the "
-                         "shipped process-openmaptiles.lua maps to the "
-                         "built-in openmaptiles profile; other Lua "
-                         "scripts are not executable here — port them "
-                         "as a profile class (see profiles/)")
+                    help="tag-processing Lua file (reference flag): "
+                         "executed directly by the built-in Lua-subset "
+                         "interpreter (tilemaker_ray/lua.py) — the "
+                         "reference's shipped profiles run unmodified; "
+                         "see PROFILES.md for the language contract")
     ap.add_argument("--bbox", default="", help="minlon,minlat,maxlon,maxlat")
     ap.add_argument("--merge", action="store_true",
                     help="merge with existing .mbtiles (overwrites otherwise)")
@@ -80,15 +80,10 @@ def main(argv=None) -> int:
         print("error: --input and --output are required (flags or "
               "positional)", file=sys.stderr)
         return 2
-    if args.process:
-        base = os.path.basename(args.process)
-        if "openmaptiles" in base:
-            args.profile = "openmaptiles"
-        else:
-            print(f"error: cannot execute Lua ({args.process}); port the "
-                  f"script as a profile class (profiles/) or use "
-                  f"--profile openmaptiles", file=sys.stderr)
-            return 2
+    if args.process and not os.path.exists(args.process):
+        print(f"error: Lua profile not found: {args.process}",
+              file=sys.stderr)
+        return 2
     inputs = args.input
     for p in inputs:
         if not os.path.exists(p):
@@ -134,13 +129,18 @@ def main(argv=None) -> int:
     t0 = time.time()
     is_pbf = args.input.endswith(".pbf")
     profile = None
-    if args.profile == "openmaptiles":
-        from .profiles.openmaptiles import (OpenMapTilesProfile,
-                                            openmaptiles_config)
+    if args.process:
+        from .profiles.lua_profile import LuaProfile
+        profile = LuaProfile(args.process)
+    elif args.profile == "openmaptiles":
+        from .profiles.openmaptiles import OpenMapTilesProfile
         profile = OpenMapTilesProfile()
     if args.config:
         config = Config.from_json(args.config)
-    elif args.profile == "openmaptiles":
+    elif args.profile == "openmaptiles" or (
+            args.process and "openmaptiles" in
+            os.path.basename(args.process)):
+        from .profiles.openmaptiles import openmaptiles_config
         config = openmaptiles_config()
     elif is_pbf:
         from .pipelines.osm import osm_config
