@@ -107,11 +107,16 @@ def _token_counts(sf_dir: str):
     (exact distributed ntile over (lm_bits, doc_id) — the CCNet
     head/middle/tail split) ⊕ seq_pack (GPT-style concat-and-chunk
     packing positions via a distributed prefix sum — same per-doc
-    grain)."""
+    grain) ⊕ export_doc_spans (the REAL tokenize→place→exchange→write
+    export pipeline under the SQL-expressible WsTokenizer surrogate —
+    per-doc block/shard placement and id sums read back from the
+    WRITTEN shards, r5)."""
     from tilemaker_ray.ops import text
+    from tilemaker_ray.pipelines.export import export_doc_spans
 
     a = text.q_token_count(sf_dir)
     a = a.merge(text.q_seq_pack(sf_dir), on="doc_id")
+    a = a.merge(export_doc_spans(sf_dir), on="doc_id")
     b = text.q_normalize_text(sf_dir).rename(
         columns={"n_tokens": "n_clean_tokens"})
     # ONE bigram-LM run feeds both the score column and the tercile
@@ -238,6 +243,18 @@ def _bpe_merges(sf_dir: str):
     from tilemaker_ray.ops.bpe import q_bpe_merges
 
     return q_bpe_merges(sf_dir)
+
+
+def _cosine_topk_rerank(sf_dir: str):
+    """cosine_topk (brute-force top-k) ⊕ rerank_topk (pq_topk's exact-
+    rerank kernel under a deterministic SQL-expressible shortlist —
+    same (query_id, rank) grain, r5)."""
+    from tilemaker_ray.ops import similarity
+    from tilemaker_ray.ops.pq import q_rerank_topk
+
+    a = similarity.q_cosine_topk(sf_dir)
+    return (a.merge(q_rerank_topk(sf_dir), on=["query_id", "rank"])
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
 def _export_shards(sf_dir: str):
@@ -469,7 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "dedup_clusters": dedup.q_dedup_clusters,
         # similarity search
-        "cosine_topk": similarity.q_cosine_topk,
+        "cosine_topk": _cosine_topk_rerank,
         "cosine_dup_pairs": similarity.q_cosine_dup_pairs,
         # exact sketch→verify pipelines: CMS heavy hitters and the
         # bloom-accelerated semi-join both produce exact results
@@ -697,17 +714,30 @@ def oracle_sql() -> dict[str, str]:
     t, n = out.pop("token_count"), out.pop("normalize_text")
     lm, lt = out.pop("lm_bits"), out.pop("lm_tercile")
     from tilemaker_ray.ops.text import seq_pack_oracle_sql
+    from tilemaker_ray.pipelines.export import export_doc_spans_oracle_sql
     sp = seq_pack_oracle_sql()
+    xs = export_doc_spans_oracle_sql()
     out["token_count"] = f"""
         SELECT t.doc_id, t.n_tokens, t.n_chars, t.n_bpe_tokens,
                p.start_tok, p.end_tok, p.first_block, p.last_block,
                p.n_blocks,
+               x.exp_first_block, x.exp_last_block, x.exp_shard_first,
+               x.exp_shard_last, x.exp_tok_sum,
                l.lm_bits, lt.lm_tercile,
                n.clean_text, n.n_tokens AS n_clean_tokens
         FROM ({t}) t JOIN ({n}) n ON t.doc_id = n.doc_id
                      JOIN ({lm}) l ON t.doc_id = l.doc_id
                      JOIN ({lt}) lt ON t.doc_id = lt.doc_id
                      JOIN ({sp}) p ON t.doc_id = p.doc_id
+                     JOIN ({xs}) x ON t.doc_id = x.doc_id
+    """
+    from tilemaker_ray.ops.pq import rerank_topk_oracle_sql
+    ct = out.pop("cosine_topk")
+    out["cosine_topk"] = f"""
+        SELECT c.query_id, c.rank, c.vec_id, r.rr_vec_id
+        FROM ({ct}) c JOIN ({rerank_topk_oracle_sql()}) r
+          ON c.query_id = r.query_id AND c.rank = r.rank
+        ORDER BY c.query_id, c.rank
     """
     from tilemaker_ray.ops.dbscan import DBSCAN_ORACLE
     s2c, zo = out.pop("s2_cells"), out.pop("zorder_encode")

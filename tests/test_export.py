@@ -106,3 +106,26 @@ def test_driver_entry(ray_session):
     assert list(df.columns) == ["shard", "n_blocks", "n_tokens",
                                 "tok_sum", "tok_xor"]
     assert len(df) > 0 and (df["n_blocks"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_doc_spans_oracle_parity():
+    """The surrogate-tokenizer export oracle (VERDICT r4 #7): the REAL
+    tokenize→place→exchange→write pipeline under WsTokenizer, read
+    back from the WRITTEN shards, equals the DuckDB window-cumsum twin
+    row-for-row (placement AND per-doc id sums)."""
+    import duckdb
+
+    from tilemaker_ray.pipelines.export import (export_doc_spans,
+                                                export_doc_spans_oracle_sql)
+    got = export_doc_spans(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = con.sql(export_doc_spans_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+    # the spans actually straddle blocks and shards at this scale
+    assert (got["exp_first_block"] != got["exp_last_block"]).any()
+    assert got["exp_shard_last"].max() > 0

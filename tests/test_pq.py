@@ -91,3 +91,21 @@ def test_topk_recall(ray_session):
 def test_small_sf_runs(ray_session):
     out = pq.q_pq_topk(SF)
     assert len(out) > 0 and out["rank"].min() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rerank_kernel_oracle_parity():
+    """The exact-rerank stage under a deterministic SQL-expressible
+    shortlist (vec_id % 3 == query_id % 3) equals the DuckDB twin —
+    pins the rerank half of pq_topk exactly (VERDICT r4 #7)."""
+    import duckdb
+
+    from tilemaker_ray.ops.pq import q_rerank_topk, rerank_topk_oracle_sql
+    got = (q_rerank_topk(SF)
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{SF}/embeddings.parquet')")
+    exp = (con.sql(rerank_topk_oracle_sql()).df()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -235,3 +235,70 @@ def q_pq_topk(sf_dir: str) -> pd.DataFrame:
     """Rows-only driver entry (approximate by construction): top-k via
     PQ-ADC shortlist + exact rerank; (query_id, rank, vec_id)."""
     return pq_topk(sf_dir)
+
+
+def q_rerank_topk(sf_dir: str) -> "pd.DataFrame":
+    """ORACLED exercise of the exact-rerank stage (VERDICT r4 #7): the
+    rerank kernel (_exact_rerank_batch — the same streaming gather +
+    normalized matmul pq_topk's second stage runs) under a
+    DETERMINISTIC, SQL-expressible shortlist — query q's candidates
+    are every vector with vec_id % 3 == q % 3, vec_id != q — so the
+    resulting per-query top-k is exactly reproducible in DuckDB
+    (a PQ-ADC shortlist is approximate by construction and cannot be;
+    this pins the rerank half of the op).  Output (query_id, rank,
+    rr_vec_id) rides the cosine_topk driver row (same grain)."""
+    from .similarity import _load_queries, _rank_topk
+    qid, qmat = _load_queries(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        t = _exact_rerank_batch(b, qid, qn, cand_ids=np.asarray(ids))
+        v = t.column("vec_id").to_numpy()
+        q = qid[t.column("qi").to_numpy()]
+        keep = (v % 3 == q % 3) & (v != q)
+        return pa.table({
+            "query_id": pa.array(q[keep], pa.int64()),
+            "vec_id": pa.array(v[keep], pa.int64()),
+            "sim": pa.array(t.column("sim").to_numpy()[keep],
+                            pa.float64())})
+
+    # per-batch partial top-k (combiner) keeps the driver frame tiny
+    def topk_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = (df.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True],
+                             kind="stable")
+                .groupby("query_id").head(32))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    got = (ds.map_batches(batch, batch_format="pyarrow")
+             .map_batches(topk_partial, batch_format="pyarrow")
+             .to_pandas())
+    out = _rank_topk(got)
+    return out.rename(columns={"vec_id": "rr_vec_id"})
+
+
+def rerank_topk_oracle_sql() -> str:
+    from .similarity import N_QUERIES, TOP_K
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])) AS sim
+          FROM q, embeddings e
+          WHERE e.vec_id % 3 = q.query_id % 3
+            AND e.vec_id <> q.query_id
+        ), r AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s
+        )
+        SELECT query_id, rank, vec_id AS rr_vec_id
+        FROM r WHERE rank <= {TOP_K}
+    """
