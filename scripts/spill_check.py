@@ -31,7 +31,7 @@ SMALL_STORE = 100 * 1024 * 1024
 NORMAL_STORE = 1 << 30
 
 
-def _collect() -> dict:
+def _collect() -> tuple[dict, float]:
     from ray.data import DataContext
 
     from tilemaker_ray.pipelines.flagship import tile_dataset
@@ -44,10 +44,15 @@ def _collect() -> dict:
     d = pages_path(n_rows)
     out = {}
     tiles = tile_dataset(d, concurrency=2)
+    # sample the spill directory WHILE iterating (ADVICE r4: Ray
+    # deletes spilled files as consumed objects are freed, so a
+    # post-run listing is timing-dependent) — track the running max
+    peak_spill = _spilled_mb()
     for b in tiles.iter_batches(batch_format="pandas", batch_size=4096):
+        peak_spill = max(peak_spill, _spilled_mb())
         for z, x, y, m in zip(b["zoom"], b["tile_x"], b["tile_y"], b["mvt"]):
             out[(int(z), int(x), int(y))] = hashlib.md5(bytes(m)).hexdigest()
-    return out
+    return out, max(peak_spill, _spilled_mb())
 
 
 def _spilled_mb() -> float:
@@ -68,8 +73,7 @@ def leg(store_bytes: int) -> tuple[dict, float]:
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              object_store_memory=store_bytes, logging_level="ERROR")
     try:
-        tiles = _collect()
-        return tiles, _spilled_mb()
+        return _collect()
     finally:
         ray.shutdown()
 

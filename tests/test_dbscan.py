@@ -124,6 +124,7 @@ def test_dbscan_oracle_sf0001(ray_session):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM "
             f"read_parquet('{SF}/events.parquet')")
+    D.dbscan_oracle_guard(con)    # ADVICE r4: fail informatively, not OOM
     osql = (con.sql(D.DBSCAN_ORACLE).df()
             .sort_values("event_id").reset_index(drop=True))
     for c in osql.columns:

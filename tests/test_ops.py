@@ -1918,3 +1918,18 @@ def test_bpe_block_order_invariance():
         ds = ray.data.from_pandas(df).repartition(nblocks)
         got = bpe_train_from_words(ds, 10)
         assert got == want, (nblocks, got[:3], want[:3])
+
+
+def test_hash_tokens_u64_value_identity_incl_none():
+    """hash_tokens_u64 must equal pd.util.hash_array elementwise for
+    every NA flavor callers can see (ADVICE r4: pyarrow null strings
+    surface as None, exploded nulls as NaN) and for empty input."""
+    from tilemaker_ray.ops._util import hash_tokens_u64
+    arr = np.array(["a", None, np.nan, "b", "a", None, "", "a"],
+                   dtype=object)
+    np.testing.assert_array_equal(hash_tokens_u64(arr),
+                                  pd.util.hash_array(arr))
+    allna = np.array([None, np.nan], dtype=object)
+    np.testing.assert_array_equal(hash_tokens_u64(allna),
+                                  pd.util.hash_array(allna))
+    assert len(hash_tokens_u64(np.array([], dtype=object))) == 0

@@ -60,6 +60,18 @@ def hash_tokens_u64(toks) -> "np.ndarray":
             uniq.astype(object, copy=False))[np.clip(codes, 0, None)]
     na = codes < 0
     if na.any():
+        # hash_array distinguishes None from NaN (ADVICE r4: None is
+        # hashed as an object, NaN via the float path) — restore each
+        # NA position to ITS OWN hash_array value.  The `is None` scan
+        # touches only the NA rows, so the factorize-once win stands.
         out = out.copy()
-        out[na] = pd.util.hash_array(np.array([np.nan], dtype=object))[0]
+        vals = np.asarray(toks, dtype=object)[na]
+        is_none = np.fromiter((v is None for v in vals), bool, len(vals))
+        fill = np.empty(len(vals), np.uint64)
+        fill[~is_none] = pd.util.hash_array(
+            np.array([np.nan], dtype=object))[0]
+        if is_none.any():
+            fill[is_none] = pd.util.hash_array(
+                np.array([None], dtype=object))[0]
+        out[na] = fill
     return out

@@ -86,6 +86,12 @@ def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
             | ay.astype(np.uint64)).view(np.int64)
 
 
+# the shift-based bucket map below yields [0, NBUCKETS) ONLY for a
+# power of two — assert it so an edit can't silently skew bucket ids
+# (ADVICE r4)
+assert NBUCKETS & (NBUCKETS - 1) == 0, "NBUCKETS must be a power of two"
+
+
 def _bucket(cell: np.ndarray) -> np.ndarray:
     h = cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     return (h >> np.uint64(64 - NBUCKETS.bit_length() + 1)).astype(np.int64)
@@ -496,6 +502,41 @@ def dbscan_local(eid: np.ndarray, lon: np.ndarray, lat: np.ndarray,
 # closure is reach-set min per node (components are small at the
 # oracle's subcritical sf0.01 density — verified ≤ 4 nodes), border
 # labels are min over core neighbors, noise is -1.
+def dbscan_oracle_guard(con) -> None:
+    """Feasibility pre-check for DBSCAN_ORACLE (ADVICE r4): the reach
+    CTE materializes full per-node reach sets — O(Σ component²) rows —
+    which is fine at the observed subcritical sf densities but would
+    blow up rather than fail informatively on a dense fixture.  This
+    bounds the blow-up with two cheap aggregates (core-edge count and
+    the max single-cell population) BEFORE the recursive CTE runs:
+    Σ component² ≤ (Σ degree)² in the worst case, so cap the edge
+    count; a hot cell is the usual density driver, so cap that too.
+    `con` must already expose the `events` view."""
+    stats = con.sql(f"""
+        WITH pts AS (
+          SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+        ), c AS (
+          SELECT CAST(floor(lon/{EPS}) AS BIGINT) AS cx,
+                 CAST(floor(lat/{EPS}) AS BIGINT) AS cy
+          FROM pts
+        )
+        SELECT count(*) AS n,
+               max(cnt) AS max_cell
+        FROM (SELECT cx, cy, count(*) AS cnt FROM c GROUP BY cx, cy)
+    """).fetchone()
+    n, max_cell = int(stats[0] or 0), int(stats[1] or 0)
+    # worst-case edges ≈ Σ_cell cnt × (9 × max neighbor cell) — bound
+    # by the dominant-cell estimate; 5e7 reach rows is comfortably
+    # inside DuckDB, beyond it the oracle should be re-fixtured
+    est_edges = 9 * max_cell * max(max_cell, 1)
+    if est_edges > 50_000_000 or n > 5_000_000:
+        raise RuntimeError(
+            f"DBSCAN_ORACLE infeasible on this fixture: ~{est_edges} "
+            f"worst-case neighbor pairs from a {max_cell}-point cell "
+            f"over {n} rows; shrink EPS or the fixture instead of "
+            f"letting the recursive reach CTE blow up")
+
+
 DBSCAN_ORACLE = f"""
     WITH RECURSIVE pts AS (
       SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
