@@ -356,3 +356,76 @@ class TestLuaMonacoGold:
             "landuse": 46, "aeroway": 14, "place": 11,
             "water_name_detail": 5, "waterway_detail": 3, "water_name": 1,
         }
+
+
+class TestInterpreterEdges:
+    def test_numeric_string_coercion_in_arith(self):
+        g = run('a = "10" + 5  b = "0x10" + 0')
+        assert g["a"] == 15.0 and g["b"] == 16.0
+
+    def test_table_method_definition_and_colon_call(self):
+        g = run("""
+            obj = { n = 2 }
+            function obj.get(o) return o.n end
+            function obj:bump() self.n = self.n + 1 end
+            obj:bump()
+            v = obj.get(obj)
+        """)
+        assert g["v"] == 3.0
+
+    def test_nested_table_constructors(self):
+        g = run("""
+            poi = { amenity = { "bar", "cafe" }, shop = { "bakery" } }
+            a = poi.amenity[2]
+            n = 0
+            for k, list in pairs(poi) do n = n + #list end
+        """)
+        assert g["a"] == "cafe" and g["n"] == 3.0
+
+    def test_while_with_nested_break_only_exits_inner(self):
+        g = run("""
+            total = 0
+            i = 0
+            while i < 3 do
+              i = i + 1
+              local j = 0
+              while true do
+                j = j + 1
+                if j >= 2 then break end
+              end
+              total = total + j
+            end
+        """)
+        assert g["total"] == 6.0 and g["i"] == 3.0
+
+    def test_scoped_local_shadowing(self):
+        g = run("""
+            x = "global"
+            do
+              local x = "inner"
+              y = x
+            end
+            z = x
+        """)
+        assert g["y"] == "inner" and g["z"] == "global"
+
+    def test_long_strings_and_comments(self):
+        g = run("""
+            --[[ a long
+                 comment ]]
+            s = [[line1
+line2]]
+        """)
+        assert g["s"] == "line1\nline2"
+
+    def test_string_find_plain_and_anchored(self):
+        g = run("""
+            a = string.find("a.b", ".", 1, true)
+            b = string.find("hello", "^h") and 1 or 0
+            c = string.find("hello", "^e") and 1 or 0
+        """)
+        assert g["a"] == 2.0 and g["b"] == 1.0 and g["c"] == 0.0
+
+    def test_gsub_with_table_replacement(self):
+        g = run('r = string.gsub("ab", "%a", { a = "1" })')
+        assert g["r"] == "1b"       # unmatched table key keeps original

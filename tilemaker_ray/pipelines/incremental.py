@@ -176,7 +176,14 @@ def assemble_tiles(store: ray.data.Dataset, nparts: int,
                                           batch_format="pandas")
 
 
-INCR_BLOOM_THRESHOLD = 200_000   # ids/keys above this escalate to Bloom
+# ids/keys above this escalate to the Bloom path.  The broadcast
+# below it is a SORTED NUMPY ARRAY (np.isin membership), not a Python
+# set — 2M uint64 ids are 16 MB broadcast once via the closure, so the
+# threshold sits where the array itself starts to matter, not where a
+# Python set would have (the r5 bigdelta bench crossing 200k tripped
+# the confirm exchange for a ~4 s loss at a size the array handles
+# for free).
+INCR_BLOOM_THRESHOLD = 2_000_000
 _CONFIRM_BUCKETS = 512           # exact-confirm bucket join fan-out
 
 
@@ -326,11 +333,12 @@ def incremental_update(old_dir: str, new_dir: str,
         drop_retract = lambda ds: _drop_retracted_bloom(   # noqa: E731
             ds, retracted, id_bits, m_id)
     else:
-        drop_ids = set(
-            int(v) for v in retracted.to_pandas()["feature_id"].to_numpy())
+        drop_ids = np.sort(np.unique(
+            retracted.to_pandas()["feature_id"].to_numpy(np.uint64)))
 
         def _drop_set(df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df["feature_id"].isin(drop_ids).to_numpy()]
+            ids = df["feature_id"].to_numpy(np.uint64)
+            return df[~np.isin(ids, drop_ids)]
 
         drop_retract = lambda ds: ds.map_batches(   # noqa: E731
             _drop_set, batch_format="pandas")
@@ -368,11 +376,11 @@ def incremental_update(old_dir: str, new_dir: str,
         stats["tile_path"] = "set"
         touched = [np.asarray(_tkeys(d.to_pandas()), np.int64)
                    for d in delta_parts]
-        t_set = set(int(v) for v in np.unique(np.concatenate(touched)))
-        stats["touched_tiles"] = len(t_set)
+        t_arr = np.unique(np.concatenate(touched))
+        stats["touched_tiles"] = len(t_arr)
 
         def tile_member(df: pd.DataFrame) -> np.ndarray:
-            return pd.Series(_tkeys(df)).isin(t_set).to_numpy()
+            return np.isin(_tkeys(df), t_arr)
 
     def affected(df: pd.DataFrame) -> pd.DataFrame:
         return df[tile_member(df)]
