@@ -429,3 +429,87 @@ line2]]
     def test_gsub_with_table_replacement(self):
         g = run('r = string.gsub("ab", "%a", { a = "1" })')
         assert g["r"] == "1b"       # unmatched table key keeps original
+
+
+class TestLuaProfileMore:
+    def test_attribute_function_parity_with_handport(self):
+        """The Lua OMT attribute_function (shapefile remap) equals the
+        hand-port's on every branch."""
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        from tilemaker_ray.profiles.openmaptiles import OpenMapTilesProfile
+        lua = LuaProfile(OMT_LUA)
+        py = OpenMapTilesProfile()
+        cases = [
+            ({"featurecla": "Glaciated areas"}, "landcover"),
+            ({"featurecla": "Antarctic Ice Shelf"}, "landcover"),
+            ({"featurecla": "Urban area"}, "landuse"),
+            ({"featurecla": "Ocean"}, "ocean"),
+            ({"scalerank": 3, "featurecla": "Lake"}, "water"),
+        ]
+        for attr, layer in cases:
+            assert lua.attribute_function(dict(attr), layer) == \
+                py.attribute_function(dict(attr), layer), (attr, layer)
+
+    def test_way_keys_filter(self, tmp_path):
+        """way_keys (the reference's optional way prefilter) parsed
+        from the script drives SignificantTags like node_keys."""
+        p = tmp_path / "wk.lua"
+        p.write_text("""
+            node_keys = { "amenity" }
+            way_keys = { "highway", "waterway=river" }
+            function node_function() end
+            function way_function() end
+        """)
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        prof = LuaProfile(str(p))
+        assert prof.way_filter.accept({"highway": "primary"})
+        assert prof.way_filter.accept({"waterway": "river"})
+        assert not prof.way_filter.accept({"waterway": "stream"})
+        assert not prof.way_filter.accept({"building": "yes"})
+
+    def test_init_function_receives_project_and_runs_once(self, tmp_path):
+        p = tmp_path / "init.lua"
+        p.write_text("""
+            calls = 0
+            function init_function(name)
+              calls = calls + 1
+              seen = name
+            end
+            node_keys = {}
+            function node_function() end
+            function way_function() end
+        """)
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        prof = LuaProfile(str(p))
+        assert prof.lua.globals["calls"] == 1.0
+        assert isinstance(prof.lua.globals["seen"], str)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLuaMonacoBytes:
+    """BYTE parity: Monaco rendered through the interpreted shipped
+    Lua equals the hand-port's gzipped MVT blobs tile-for-tile — the
+    strongest possible Lua-vs-port gate (attr kinds, minzooms, zorder
+    and geometry all participate in the bytes)."""
+
+    def test_monaco_tiles_byte_identical_to_handport(self):
+        import pandas as pd
+
+        from tilemaker_ray.pipelines.osm import osm_tile_dataset
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        from tilemaker_ray.profiles.openmaptiles import (
+            OpenMapTilesProfile, openmaptiles_config)
+
+        def tiles(profile):
+            df = osm_tile_dataset(MONACO, openmaptiles_config(),
+                                  profile=profile).to_pandas()
+            return (df.sort_values(["zoom", "tile_x", "tile_y"])
+                      .reset_index(drop=True))
+
+        a = tiles(LuaProfile(OMT_LUA))
+        b = tiles(OpenMapTilesProfile())
+        assert len(a) == len(b) == 22
+        pd.testing.assert_frame_equal(
+            a[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]],
+            b[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]])
+        assert all(bytes(x) == bytes(y) for x, y in zip(a["mvt"], b["mvt"]))

@@ -193,11 +193,8 @@ def tokenize(src: str):
             raise LuaError(f"lex error at line {line}: {src[pos:pos+20]!r}")
         line += src[pos:m.end()].count("\n")
         pos = m.end()
-        kind = m.lastgroup
-        if kind in ("ws", "comment", "longcomment"):
-            # named subgroups of longstr/longcomment set lastgroup to
-            # the LAST matched group — recover via which group matched
-            pass
+        # m.lastgroup is unreliable here (named subgroups inside
+        # longstr/longcomment win), so dispatch on which group matched
         if m.group("ws") or m.group("comment") or m.group("longcomment"):
             continue
         if m.group("longstr") is not None:
@@ -430,8 +427,7 @@ class _Parser:
 
     def expr(self, limit=0):
         k = self.peek()
-        if k in ("not", "-", "#") and not (
-                k == "-" and False):
+        if k in ("not", "-", "#"):
             op = self.next()[0]
             operand = self.expr(self._UNARY_PRI)
             left = ("unop", op, operand)
