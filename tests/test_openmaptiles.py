@@ -40,8 +40,12 @@ class TestPlaceRank:
     def test_calc_rank_capital(self):
         # capital city of 2M: rank = 2 - 1 = 1
         assert calc_rank("city", 2e6, 2) == 1
-        # capital=yes on a village is demoted (+3 non-city, +2 non-town)
-        assert calc_rank("village", 1000, 2) == 2 + 3 + 3 + 2
+        # capital=yes on a village is demoted (+3 non-city, +2 non-town);
+        # the population bump is +2 — the reference checks <100000
+        # BEFORE <50000, so the +3 branch is dead code there (r5 parity)
+        assert calc_rank("village", 1000, 2) == 2 + 2 + 3 + 2
+        # Monaco itself: capital=yes city under 100k → 2 + 2 = 4
+        assert calc_rank("city", 38400, 2) == 4
 
 
 class TestWayClassification:

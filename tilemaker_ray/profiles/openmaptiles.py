@@ -288,10 +288,14 @@ def calc_rank(place: str, population: float, capital_al):
             rank -= 2
         elif population > 1e6:
             rank -= 1
-        elif population < 50000:
-            rank += 3
         elif population < 100000:
+            # the reference checks <100000 FIRST (lua :81-84), which
+            # makes its following `< 50000 → +3` branch dead code —
+            # reproduced verbatim for parity (found by the interpreted
+            # Lua vs hand-port Monaco byte diff, round 5)
             rank += 2
+        elif population < 50000:   # pragma: no cover — dead in the ref
+            rank += 3
         if place != "city":
             rank += 3
             if place != "town":
@@ -436,10 +440,14 @@ class OpenMapTilesProfile:
 
     @staticmethod
     def set_minzoom_by_area(emit: Emitter, area: float, limit: int = 0) -> None:
-        """lua :828-839 — area-driven MinZoom with a floor."""
+        """lua SetMinZoomByAreaWithLimit — area-driven MinZoom with a
+        floor.  The reference's guard is `minzoom <= z` (a limit-13
+        pier CAN land at z13); the old `limit <= z - 1` pushed it to
+        z14 — found by the interpreted-Lua vs hand-port Monaco byte
+        diff, round 5."""
         for z, zres in ((6, ZRES5), (7, ZRES6), (8, ZRES7), (9, ZRES8),
                         (10, ZRES9), (11, ZRES10), (12, ZRES11), (13, ZRES12)):
-            if limit <= z - 1 and area > zres * zres:
+            if limit <= z and area > zres * zres:
                 emit.MinZoom(z)
                 return
         emit.MinZoom(14)
