@@ -513,3 +513,71 @@ class TestLuaMonacoBytes:
             a[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]],
             b[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]])
         assert all(bytes(x) == bytes(y) for x, y in zip(a["mvt"], b["mvt"]))
+
+
+class TestInterpreterHardening:
+    """Review r5 fixes: host exceptions are pcall-catchable LuaErrors,
+    pairs tolerates clearing, stray break is a parse error, pattern
+    edge cases fail loudly or translate correctly."""
+
+    def test_pcall_catches_host_exceptions(self):
+        g = run("""
+            ok, err = pcall(function()
+              return string.format("%d", "nope")
+            end)
+        """)
+        assert g["ok"] is False and "ValueError" in g["err"]
+
+    def test_clear_table_during_pairs(self):
+        g = run("""
+            t = {a=1, b=2, c=3}
+            for k, v in pairs(t) do t[k] = nil end
+            n = 0
+            for k in pairs(t) do n = n + 1 end
+        """)
+        assert g["n"] == 0.0
+
+    def test_break_outside_loop_is_parse_error(self):
+        with pytest.raises(LuaError, match="break outside"):
+            run("break")
+        with pytest.raises(LuaError, match="break outside"):
+            run("while true do local f = function() break end end")
+        # loops inside functions inside loops stay fine
+        run("while true do local f = function() "
+            "for i=1,2 do break end end f() break end")
+
+    def test_gsub_bad_capture_index_is_lua_error(self):
+        g = run("""
+            ok, err = pcall(function()
+              return string.gsub("ab", "(a)", "%2")
+            end)
+        """)
+        assert g["ok"] is False and "capture index" in g["err"]
+
+    def test_uppercase_complements_in_sets(self):
+        assert lua_pattern_to_re("[%S]+").fullmatch("abc")
+        assert not lua_pattern_to_re("[%S]").match(" ")
+        assert lua_pattern_to_re("[%D,]+").fullmatch("a,b")
+        with pytest.raises(LuaError):
+            lua_pattern_to_re("[%A]")
+
+    def test_attribute_numeric_strict(self):
+        from tilemaker_ray.lua import LuaError as LE
+        from tilemaker_ray.profile import Emitter
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        import numpy as np
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "p.lua")
+            with open(p, "w") as f:
+                f.write("""
+                    node_keys = {}
+                    function node_function()
+                      AttributeNumeric("x", tonumber(Find("missing")))
+                    end
+                    function way_function() end
+                """)
+            prof = LuaProfile(p)
+            emit = Emitter({"poi"})
+            with pytest.raises(LE, match="number expected"):
+                prof.node_function(1, 0.0, 0.0, {}, emit)

@@ -227,6 +227,7 @@ class _Parser:
     def __init__(self, toks):
         self.toks = toks
         self.i = 0
+        self.loop_depth = 0
 
     def peek(self):
         return self.toks[self.i][0]
@@ -255,6 +256,13 @@ class _Parser:
         self.expect("eof")
         return body
 
+    def loop_block(self):
+        self.loop_depth += 1
+        try:
+            return self.block()
+        finally:
+            self.loop_depth -= 1
+
     def block(self):
         stmts = []
         while True:
@@ -274,7 +282,9 @@ class _Parser:
                 stmts.append(("return", exprs))
                 return stmts
             if k == "break":
-                self.next()
+                t = self.next()
+                if self.loop_depth == 0:
+                    raise LuaError(f"line {t[2]}: break outside a loop")
                 stmts.append(("break",))
                 continue
             stmts.append(self.statement())
@@ -290,12 +300,12 @@ class _Parser:
             self.next()
             cond = self.expr()
             self.expect("do")
-            b = self.block()
+            b = self.loop_block()
             self.expect("end")
             return ("while", cond, b)
         if k == "repeat":
             self.next()
-            b = self.block()
+            b = self.loop_block()
             self.expect("until")
             cond = self.expr()
             return ("repeat", b, cond)
@@ -333,7 +343,7 @@ class _Parser:
                 if self.accept(","):
                     step = self.expr()
                 self.expect("do")
-                b = self.block()
+                b = self.loop_block()
                 self.expect("end")
                 return ("fornum", n1, start, stop, step, b)
             names = [n1]
@@ -342,7 +352,7 @@ class _Parser:
             self.expect("in")
             exprs = self.exprlist()
             self.expect("do")
-            b = self.block()
+            b = self.loop_block()
             self.expect("end")
             return ("forin", names, exprs, b)
         if k == "function":
@@ -404,7 +414,12 @@ class _Parser:
                 if not self.accept(","):
                     break
             self.expect(")")
-        b = self.block()
+        # break cannot cross a function boundary (Lua compile error)
+        saved, self.loop_depth = self.loop_depth, 0
+        try:
+            b = self.block()
+        finally:
+            self.loop_depth = saved
         self.expect("end")
         return ("function", params, b, name)
 
@@ -614,14 +629,31 @@ class LuaInterpreter:
             if k is None:
                 idx = 0
             else:
-                idx = keys.index(_normkey(k)) + 1
+                try:
+                    idx = keys.index(_normkey(k)) + 1
+                except ValueError:
+                    raise LuaError("invalid key to 'next'") from None
             if idx >= len(keys):
                 return None
             kk = keys[idx]
             return (kk, t.h[kk])
 
         def _pairs(t):
-            return (_next, t, None)
+            # snapshot the keys so clearing the CURRENT field during
+            # iteration (legal in Lua 5.1) is safe; keys deleted later
+            # are skipped, additions are not visited (undefined in Lua)
+            keys = list(t.h.keys())
+            idx = [0]
+
+            def step(*_):
+                while idx[0] < len(keys):
+                    kk = keys[idx[0]]
+                    idx[0] += 1
+                    if kk in t.h:
+                        return (kk, t.h[kk])
+                return None
+
+            return (step, t, None)
 
         def _inext(t, i):
             i = int(i) + 1
@@ -750,6 +782,9 @@ class LuaInterpreter:
                                 out.append(m.group(0))
                             elif d.isdigit():
                                 gi = int(d)
+                                if gi > (m.re.groups or 0):
+                                    raise LuaError(
+                                        f"invalid capture index %{gi}")
                                 out.append(m.group(gi) if m.re.groups
                                            else m.group(0))
                             else:
@@ -1076,7 +1111,14 @@ class LuaInterpreter:
                 return r.vals
             return None
         if callable(fn):
-            return fn(*args)
+            # wrap host-side Python exceptions as LuaError so pcall can
+            # catch them and the message names the cause (review r5)
+            try:
+                return fn(*args)
+            except (LuaError, _Break, _Return):
+                raise
+            except Exception as e:   # noqa: BLE001 — boundary wrap
+                raise LuaError(f"{type(e).__name__}: {e}") from e
         raise LuaError(f"attempt to call a {type(fn).__name__} value")
 
     def eval(self, e, env: Env):
@@ -1225,11 +1267,16 @@ _CLASS_MAP = {
     "w": "[a-zA-Z0-9]", "W": "[^a-zA-Z0-9]",
     "x": "[0-9a-fA-F]", "X": "[^0-9a-fA-F]",
 }
-_CLASS_INNER = {     # inside [...] — bare-set form
+_CLASS_INNER = {     # inside [...] — bare-set / escape form
     "a": "a-zA-Z", "d": "0-9", "l": "a-z", "s": " \\t\\n\\r\\f\\v",
     "u": "A-Z", "w": "a-zA-Z0-9", "x": "0-9a-fA-F",
     "p": "!-/:-@\\[-`{-~", "c": "\\x00-\\x1f",
+    # complements Python can express inside a set directly:
+    "S": "\\S", "D": "\\D", "W": "\\W",
 }
+# complements with no in-set Python equivalent: reject loudly instead
+# of silently matching the literal letter (review r5)
+_CLASS_INNER_UNSUPPORTED = set("ALUXPC")
 
 _pat_cache: dict = {}
 
@@ -1284,6 +1331,9 @@ def lua_pattern_to_re(pat: str):
                     d = inner[k + 1]
                     if d in _CLASS_INNER:
                         body.append(_CLASS_INNER[d])
+                    elif d in _CLASS_INNER_UNSUPPORTED:
+                        raise LuaError(
+                            f"%{d} inside a set is not supported")
                     else:
                         body.append(_re.escape(d))
                     k += 2

@@ -520,20 +520,22 @@ def dbscan_oracle_guard(con) -> None:
                  CAST(floor(lat/{EPS}) AS BIGINT) AS cy
           FROM pts
         )
-        SELECT count(*) AS n,
+        SELECT sum(cnt) AS n_rows,
                max(cnt) AS max_cell
         FROM (SELECT cx, cy, count(*) AS cnt FROM c GROUP BY cx, cy)
     """).fetchone()
-    n, max_cell = int(stats[0] or 0), int(stats[1] or 0)
-    # worst-case edges ≈ Σ_cell cnt × (9 × max neighbor cell) — bound
-    # by the dominant-cell estimate; 5e7 reach rows is comfortably
-    # inside DuckDB, beyond it the oracle should be re-fixtured
-    est_edges = 9 * max_cell * max(max_cell, 1)
-    if est_edges > 50_000_000 or n > 5_000_000:
+    n_rows, max_cell = int(stats[0] or 0), int(stats[1] or 0)
+    # every point pairs with at most the population of its 3x3 cell
+    # neighborhood <= 9*max_cell, so 9*max_cell*n_rows bounds the nbr
+    # CTE across ALL cells (not just the hottest — review r5); the
+    # reach CTE is bounded by the same quantity per component hop.
+    # 1e9 candidate pairs is where DuckDB turns from slow to hopeless.
+    est_pairs = 9 * max_cell * n_rows
+    if est_pairs > 1_000_000_000:
         raise RuntimeError(
-            f"DBSCAN_ORACLE infeasible on this fixture: ~{est_edges} "
-            f"worst-case neighbor pairs from a {max_cell}-point cell "
-            f"over {n} rows; shrink EPS or the fixture instead of "
+            f"DBSCAN_ORACLE infeasible on this fixture: ~{est_pairs} "
+            f"worst-case neighbor pairs ({n_rows} rows, hottest cell "
+            f"{max_cell}); shrink EPS or the fixture instead of "
             f"letting the recursive reach CTE blow up")
 
 

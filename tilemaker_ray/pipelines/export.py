@@ -312,9 +312,13 @@ def q_export_shards(sf_dir: str) -> pd.DataFrame:
     """Rows-only driver entry: per-shard integer stats of the packed
     export (fresh output dir per call; the sum/xor pair pins every
     token id in every block)."""
+    import shutil
     import tempfile
     out = tempfile.mkdtemp(prefix="tmk_export_")
-    df = export_shards(sf_dir, out)
+    try:
+        df = export_shards(sf_dir, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)   # stats-only entry
     return df.drop(columns=["resumed"])
 
 
@@ -334,11 +338,19 @@ def export_doc_spans(sf_dir: str,
     invariant.  Every column is a pure SQL window expression over
     documents (export_doc_spans_oracle_sql) — a misplaced block, a
     wrong offset, or a corrupted id in ANY written shard flips a row."""
+    import shutil
     import tempfile
     out_dir = tempfile.mkdtemp(prefix="tmk_export_oracle_")
-    export_shards(sf_dir, out_dir, seq_len=seq_len,
-                  shard_blocks=shard_blocks, tokenizer_cls=WsTokenizer)
-    stream = read_stream(out_dir, seq_len).astype(np.int64)
+    try:
+        export_shards(sf_dir, out_dir, seq_len=seq_len,
+                      shard_blocks=shard_blocks,
+                      tokenizer_cls=WsTokenizer)
+        stream = read_stream(out_dir, seq_len).astype(np.int64)
+    finally:
+        # this harness is invoked by the driver's token_count row on
+        # every correctness run — clean the surrogate shards instead of
+        # accumulating corpus-sized parquet in /tmp (review r5)
+        shutil.rmtree(out_dir, ignore_errors=True)
     eos = np.flatnonzero(stream == EOS_ID)
     starts = np.concatenate([[0], eos[:-1] + 1])
     ends = eos + 1                      # exclusive, includes the EOS

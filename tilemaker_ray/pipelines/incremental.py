@@ -139,9 +139,12 @@ def save_tiles(tiles: ray.data.Dataset, path: str) -> None:
     `old_tiles` (the tile table is NOT driver-sized at scale; it lives
     in parquet between recrawls just like the feature store)."""
     def to_arrow(df: pd.DataFrame) -> pa.Table:
-        out = df.copy()
-        out["mvt"] = [bytes(v) for v in out["mvt"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # pa.array consumes buffer objects directly — same no-per-row
+        # conversion as save_store (review r5)
+        cols = {c: (pa.array(list(df[c]), pa.binary()) if c == "mvt"
+                    else pa.array(df[c]))
+                for c in df.columns}
+        return pa.table(cols)
 
     tiles.map_batches(to_arrow, batch_format="pandas").write_parquet(
         path, partition_cols=["zoom"])
@@ -366,6 +369,10 @@ def incremental_update(old_dir: str, new_dir: str,
         # positive) or bloom-negative (passed through) — the partition
         # is exact because both predicates read the SAME bits.
         stats["tile_path"] = "bloom"
+        # the exact touched-tile count is never driver-collected on
+        # this path BY DESIGN; the delta row count is its upper bound
+        stats["touched_tiles"] = -1
+        stats["touched_tiles_upper_bound"] = n_retract + n_insert
         m_tk = _bloom_m_bits(n_retract + n_insert)
         tk_bits = ray.put(_bloom_of(delta_parts, _tkeys, m_tk))
 

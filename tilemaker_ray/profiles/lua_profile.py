@@ -136,8 +136,16 @@ class LuaProfile:
                                  int(minzoom or 0))
 
         def AttributeNumeric(key, value, minzoom=0.0):
-            ctx().emit.AttributeNumeric(str(key), float(value or 0.0),
-                                        int(minzoom or 0))
+            # strict like the reference's kaguya float binding: nil or
+            # a non-numeric string is a Lua type error, not a silent 0
+            # (review r5) — scripts guard with `tonumber(x) or 0`
+            from ..lua import lua_tonumber
+            v = lua_tonumber(value)
+            if v is None:
+                raise LuaError(
+                    f"AttributeNumeric({key!r}): number expected, got "
+                    f"{lua_tostring(value)!r}")
+            ctx().emit.AttributeNumeric(str(key), v, int(minzoom or 0))
 
         def AttributeBoolean(key, value, minzoom=0.0):
             ctx().emit.AttributeBoolean(str(key), bool(value),
