@@ -581,3 +581,100 @@ class TestInterpreterHardening:
             emit = Emitter({"poi"})
             with pytest.raises(LE, match="number expected"):
                 prof.node_function(1, 0.0, 0.0, {}, emit)
+
+
+class TestLuaPostscanAndCentroid:
+    def test_relation_postscan_reads_parents_and_sets_tags(self, tmp_path):
+        """relation_postscan_function: NextRelation iterates PARENT
+        relations, FindInRelation reads their tags, SetTag mutates the
+        relation's own tags (the reference's post-scan bounce-down,
+        osm_lua_processing.cpp:1005-1017).  Exercised directly through
+        the adapter (found a (tags, role) tuple-order bug on first
+        test, r5)."""
+        p = tmp_path / "ps.lua"
+        p.write_text("""
+            node_keys = {}
+            function node_function() end
+            function way_function() end
+            function relation_scan_function()
+              if Find("type") == "route" or Find("type") == "network" then
+                Accept()
+              end
+            end
+            function relation_postscan_function()
+              while true do
+                local rel = NextRelation()
+                if not rel then break end
+                local net = FindInRelation("network")
+                if net ~= "" then SetTag("network", net) end
+              end
+            end
+        """)
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        prof = LuaProfile(str(p))
+        assert prof.relation_scan({"type": "route"}) is True
+        assert prof.relation_scan({"type": "boundary"}) is False
+        got = prof.relation_postscan(
+            7, {"type": "route", "ref": "A8"},
+            [(12, {"type": "network", "network": "icn"}, "child")])
+        assert got == {"type": "route", "ref": "A8", "network": "icn"}
+        # no parents: tags unchanged
+        got2 = prof.relation_postscan(8, {"type": "route"}, [])
+        assert got2 == {"type": "route"}
+
+    def test_centroid_binding(self, tmp_path):
+        """Centroid() returns {lat, lon} (the reference's vector<double>
+        order, osm_lua_processing.cpp:186/855)."""
+        p = tmp_path / "c.lua"
+        p.write_text("""
+            node_keys = {}
+            function node_function()
+              local c = Centroid()
+              got_lat, got_lon = c[1], c[2]
+            end
+            function way_function() end
+        """)
+        import numpy as np
+
+        from tilemaker_ray import tilemath as tm
+        from tilemaker_ray.profile import Emitter
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        prof = LuaProfile(str(p))
+        latp = float(tm.lat2latp(43.5))
+        prof.node_function(1, 7.42, latp, {}, Emitter({"poi"}))
+        g = prof.lua.globals
+        assert abs(g["got_lon"] - 7.42) < 1e-12
+        assert abs(g["got_lat"] - 43.5) < 1e-9
+
+
+class TestVarargs:
+    """Varargs (`...`) + select() — closes the last documented
+    interpreter gap that real-world process.lua helpers hit."""
+
+    def test_varargs_collect_and_forward(self):
+        g = run("""
+            function sum(...)
+              local t = {...}
+              local s = 0
+              for i, v in ipairs(t) do s = s + v end
+              return s, select("#", ...)
+            end
+            a, n = sum(1, 2, 3, 4)
+            function fwd(...) return sum(...) end
+            f = fwd(5, 6)
+            function mixed(first, ...)
+              return first .. "-" .. select("#", ...)
+            end
+            m = mixed("x", 10, 20)
+            function tail(...) return select(2, ...) end
+            t1, t2 = tail("a", "b", "c")
+        """)
+        assert g["a"] == 10.0 and g["n"] == 4.0
+        assert g["f"] == 11.0 and g["m"] == "x-2"
+        assert (g["t1"], g["t2"]) == ("b", "c")
+
+    def test_vararg_outside_function_is_error(self):
+        with pytest.raises(LuaError, match="outside a vararg"):
+            run("v = ...")
+        with pytest.raises(LuaError, match="outside a vararg"):
+            run("function f() return ... end f()")

@@ -15,9 +15,9 @@ Scope (deliberately bounded, PROFILES.md documents the contract):
   for, if/elseif/else, return, break
 - expressions: full operator set with Lua precedence (or, and,
   comparisons, .., + - * / % ^, unary not/#/-, call/index chains,
-  table constructors, varargs are NOT supported)
+  table constructors, varargs (`...` + select))
 - stdlib: print, type, tostring, tonumber, pairs, ipairs, next,
-  unpack, error, assert, pcall, string.{len,sub,upper,lower,rep,
+  unpack, select, error, assert, pcall, string.{len,sub,upper,lower,rep,
   format,find,match,gmatch,gsub,byte,char}, table.{insert,remove,
   concat,sort}, math.{min,max,floor,ceil,abs,sqrt,huge,pi,max,modf}
 - Lua patterns (the subset the string functions take) are translated
@@ -81,13 +81,14 @@ class LuaTable:
 
 
 class LuaFunction:
-    __slots__ = ("params", "body", "env", "name")
+    __slots__ = ("params", "body", "env", "name", "varargs")
 
-    def __init__(self, params, body, env, name="?"):
+    def __init__(self, params, body, env, name="?", varargs=False):
         self.params = params
         self.body = body
         self.env = env
         self.name = name
+        self.varargs = varargs
 
 
 def lua_tostring(v) -> str:
@@ -402,13 +403,15 @@ class _Parser:
     def funcbody(self, is_method: bool, name="?"):
         self.expect("(")
         params = ["self"] if is_method else []
+        varargs = False
         if not self.accept(")"):
             while True:
                 t = self.next()
                 if t[0] == "name":
                     params.append(t[1])
                 elif t[0] == "...":
-                    raise LuaError(f"line {t[2]}: varargs not supported")
+                    varargs = True
+                    break
                 else:
                     raise LuaError(f"line {t[2]}: bad parameter")
                 if not self.accept(","):
@@ -421,7 +424,7 @@ class _Parser:
         finally:
             self.loop_depth = saved
         self.expect("end")
-        return ("function", params, b, name)
+        return ("function", params, b, name, varargs)
 
     # ---- expressions ------------------------------------------------------
 
@@ -477,6 +480,9 @@ class _Parser:
         if k == "function":
             self.next()
             return self.funcbody(False)
+        if k == "...":
+            self.next()
+            return ("vararg",)
         if k == "{":
             return self.tablector()
         return self.suffixedexp()
@@ -688,7 +694,18 @@ class LuaInterpreter:
             j = int(j) if j is not None else t.length()
             return tuple(t.get(k) for k in range(i, j + 1))
 
+        def _select(n, *rest):
+            if n == "#":
+                return float(len(rest))
+            i = int(n)
+            if i < 0:
+                i = len(rest) + i + 1
+            if i < 1:
+                raise LuaError("bad argument #1 to 'select'")
+            return tuple(rest[i - 1:]) or None
+
         g.update({
+            "select": _select,
             "print": _print, "type": _type, "tostring": lua_tostring,
             "tonumber": lua_tonumber, "pairs": _pairs, "ipairs": _ipairs,
             "next": _next, "error": _error, "assert": _assert,
@@ -1101,6 +1118,8 @@ class LuaInterpreter:
             env = Env(fn.env)
             for i, p in enumerate(fn.params):
                 env.vars[p] = args[i] if i < len(args) else None
+            if fn.varargs:
+                env.vars["..."] = tuple(args[len(fn.params):])
             try:
                 self.exec_block(fn.body, env)
             except _Return as r:
@@ -1144,7 +1163,8 @@ class LuaInterpreter:
             args = self.eval_list(e[3], env, want=-1)
             return self.call_value(fn, [obj] + args)
         if op == "function":
-            return LuaFunction(e[1], e[2], env, e[3])
+            return LuaFunction(e[1], e[2], env, e[3],
+                               e[4] if len(e) > 4 else False)
         if op == "table":
             t = LuaTable()
             arr_i = 0
@@ -1164,6 +1184,12 @@ class LuaInterpreter:
                     t.set(self.eval1(rest[0], env),
                           self.eval1(rest[1], env))
             return t
+        if op == "vararg":
+            scope = env.lookup("...")
+            if scope is None:
+                raise LuaError("cannot use '...' outside a vararg "
+                               "function")
+            return tuple(scope.vars["..."])
         if op == "binop":
             return self.binop(e[1], e[2], e[3], env)
         if op == "unop":
