@@ -678,3 +678,34 @@ class TestVarargs:
             run("v = ...")
         with pytest.raises(LuaError, match="outside a vararg"):
             run("function f() return ... end f()")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLuaDebugProfile:
+    """The reference's 538-line process-debug.lua (the split-layer
+    debug schema) runs e2e through the interpreter on Monaco; counts
+    frozen (no hand-port exists — this gate pins the interpreter +
+    adapter against regressions, complementing the OMT byte gate)."""
+
+    def test_monaco_debug_profile_counts(self):
+        from tilemaker_ray.config import Config
+        from tilemaker_ray.pipelines.osm import osm_feature_dataset
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        feats = osm_feature_dataset(
+            MONACO,
+            Config.from_json(
+                "/root/reference/resources/config-debug.json"),
+            profile=LuaProfile(
+                "/root/reference/resources/process-debug.lua"))
+        counts = feats.to_pandas().groupby("layer").size().to_dict()
+        assert counts == {
+            "aeroway": 14, "building": 1285, "housenumber": 340,
+            "landcover": 145, "landuse": 46, "place": 11, "poi": 34,
+            "poi_detail": 1538, "transportation": 157,
+            "transportation_detail": 2140, "transportation_main": 192,
+            "transportation_mid": 385, "transportation_name": 40,
+            "transportation_name_detail": 2326,
+            "transportation_name_mid": 508, "water": 63,
+            "water_name": 1, "water_name_detail": 5,
+            "waterway_detail": 3,
+        }
