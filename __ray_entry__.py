@@ -368,6 +368,26 @@ def _osm_monaco_tiles(sf_dir: str):
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
 
 
+def _osm_monaco_lua_tiles(sf_dir: str):
+    """Rows-only: monaco.pbf through the reference's SHIPPED
+    process-openmaptiles.lua executed by the built-in Lua interpreter
+    (tilemaker_ray/lua.py + profiles/lua_profile.py) — the user
+    `process.lua` surface through the driver; byte-identity with the
+    hand-port is test-asserted (tests/test_lua.py::TestLuaMonacoBytes)."""
+    from tilemaker_ray.pipelines.osm import osm_tile_dataset
+    from tilemaker_ray.profiles.lua_profile import LuaProfile
+    from tilemaker_ray.profiles.openmaptiles import openmaptiles_config
+
+    df = osm_tile_dataset(
+        "/root/reference/test/monaco.pbf", openmaptiles_config(),
+        profile=LuaProfile(
+            "/root/reference/resources/process-openmaptiles.lua")
+    ).to_pandas()
+    out = df[["zoom", "tile_x", "tile_y", "n_features", "n_bytes"]]
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(
+        drop=True)
+
+
 def _osm_monaco_omt_tiles(sf_dir: str):
     """Rows-only: monaco.pbf through the FULL OpenMapTiles production
     profile (profiles/openmaptiles.py — the reference's
@@ -617,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OSM-source pipeline on the reference's Monaco fixture
         "osm_monaco_tiles": _osm_monaco_tiles,
         "osm_monaco_omt_tiles": _osm_monaco_omt_tiles,
+        "osm_monaco_lua_tiles": _osm_monaco_lua_tiles,
     }
 
 

@@ -592,6 +592,7 @@ class LuaInterpreter:
 
     def __init__(self):
         self.globals: dict = {}
+        self._needs_scope: dict = {}   # id(stmts) -> block has locals
         self._install_stdlib()
 
     # ---- public API -------------------------------------------------------
@@ -957,6 +958,16 @@ class LuaInterpreter:
         for st in stmts:
             self.exec_stmt(st, env)
 
+    def _scoped(self, stmts, env: Env) -> Env:
+        """A child Env only when the block declares locals — blocks
+        without `local` can't shadow, so the parent env is reusable
+        (measured: Env churn was a top interpreter cost)."""
+        need = self._needs_scope.get(id(stmts))
+        if need is None:
+            need = any(s[0] in ("local", "localfn") for s in stmts)
+            self._needs_scope[id(stmts)] = need
+        return Env(env) if need else env
+
     def exec_stmt(self, st, env: Env):
         op = st[0]
         if op == "exprstat":
@@ -986,25 +997,25 @@ class LuaInterpreter:
             env.vars[name] = None
             env.vars[name] = self.eval(fnexpr, env)
         elif op == "do":
-            self.exec_block(st[1], Env(env))
+            self.exec_block(st[1], self._scoped(st[1], env))
         elif op == "if":
             _, arms, els = st
             for cond, body in arms:
                 if _truthy(self.eval1(cond, env)):
-                    self.exec_block(body, Env(env))
+                    self.exec_block(body, self._scoped(body, env))
                     return
-            self.exec_block(els, Env(env))
+            self.exec_block(els, self._scoped(els, env))
         elif op == "while":
             _, cond, body = st
             while _truthy(self.eval1(cond, env)):
                 try:
-                    self.exec_block(body, Env(env))
+                    self.exec_block(body, self._scoped(body, env))
                 except _Break:
                     break
         elif op == "repeat":
             _, body, cond = st
             while True:
-                e2 = Env(env)
+                e2 = self._scoped(body, env)
                 try:
                     self.exec_block(body, e2)
                 except _Break:
