@@ -709,3 +709,61 @@ class TestLuaDebugProfile:
             "water_name": 1, "water_name_detail": 5,
             "waterway_detail": 3,
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLuaCoastlineExternal:
+    """The shipped process-coastline.lua's attribute_function drives
+    the external-shapefile path end-to-end (LayerDef.source + remap —
+    the hand-port's ocean e2e, through the interpreted Lua)."""
+
+    def test_ocean_shapefile_via_coastline_lua(self, tmp_path):
+        import gzip
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_shapefile import poly_payload, write_dbf, write_shp
+
+        from tilemaker_ray.geom import core as gc
+        from tilemaker_ray.mvt import decode_tile
+        from tilemaker_ray.pipelines.osm import (external_features_table,
+                                                 osm_tile_dataset)
+        from tilemaker_ray.profiles.lua_profile import LuaProfile
+        from tilemaker_ray.profiles.openmaptiles import openmaptiles_config
+
+        ring = [(7.40, 43.71), (7.46, 43.71), (7.46, 43.76),
+                (7.40, 43.76), (7.40, 43.71)]
+        stype, pay = poly_payload([ring])
+        shp = str(tmp_path / "ocean.shp")
+        write_shp(shp, [(stype, pay)])
+        write_dbf(str(tmp_path / "ocean.dbf"),
+                  [("featurecla", "C", 20, 0)],
+                  [{"featurecla": "Ocean"}])
+
+        cfg = openmaptiles_config()
+        for ld in cfg.layers:
+            if ld.name == "ocean":
+                ld.source = shp
+        prof = LuaProfile(
+            "/root/reference/resources/process-coastline.lua")
+        ext = external_features_table(cfg, prof.attribute_function)
+        assert ext.num_rows == 1
+        assert ext.column("layer")[0].as_py() == "ocean"
+        assert ext.column("geom_type")[0].as_py() == gc.POLYGON_
+        assert '"class"' in ext.column("attrs")[0].as_py()
+
+        # full engine pass with the OMT Lua (the coastline script has
+        # empty node/way hooks) just for the external layer rendering
+        omt = LuaProfile(
+            "/root/reference/resources/process-openmaptiles.lua")
+        df = osm_tile_dataset(MONACO, cfg, profile=omt).to_pandas()
+        found = False
+        for _, row in df[df.zoom == 14].iterrows():
+            dec = decode_tile(gzip.decompress(row.mvt))
+            for f in dec.get("water", {}).get("features", []):
+                if f["tags"].get("class") == "ocean":
+                    found = True
+                    break
+            if found:
+                break
+        assert found
